@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's scale-oriented defaults.
+  *
+  * The reference splits planning (ExeMgr/JobList) from data-parallel
+  * execution (PrimProc); on Spark that split is Catalyst + AQE on the
+  * driver vs whole-stage-codegen'd tasks on executors (SURVEY.md §0).
+  * These configs are the knobs that matter at 100 TB:
+  *  - AQE: runtime re-plan = the reference's UM-vs-PM join choice
+  *    (`dbcon/joblist/tuplehashjoin.cpp` small-side selection).
+  *  - skewJoin: the reference handles skew by disk-join recursive
+  *    splitting (`docs/DiskJoinStep.md`); AQE skew-split is the analog.
+  *  - shuffle.partitions: sized for local[32] here; on a real cluster
+  *    AQE coalescing makes the initial number non-critical.
+  */
+object GraftSession {
+  def builder(cores: String = "32"): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  def get(cores: String = "32"): SparkSession = {
+    val s = builder(cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table loader over the driver-generated parquet directories.
+  *
+  * One table = one parquet file/dir — the analog of the reference's
+  * column-segment-files-per-table layout (extent map described in
+  * SURVEY.md §1; `versioning/BRM/extentmap.h`). Parquet row-group
+  * min/max stats stand in for the reference's casual-partitioning
+  * extent elimination (`dbcon/joblist/lbidlist.cpp`).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = name match {
+    case "events" =>
+      // The events table carries TIMESTAMP(NANOS) parquet timestamps,
+      // which Spark has no native type for. Read the raw int64 nanos
+      // and floor-divide to microseconds — the same truncation DuckDB
+      // applies when it narrows TIMESTAMP_NS to TIMESTAMP on read, so
+      // oracle comparisons see identical values.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    case _ => spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Register every table as a temp view (for spark.sql surface). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}

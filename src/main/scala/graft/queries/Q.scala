@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared helpers for the operator query suite.
+  *
+  * Exact-arithmetic pattern: the driver hash-compares our parquet
+  * output against DuckDB running the oracle SQL. Floating-point SUM
+  * is order-dependent, so every money/quantity aggregate is computed
+  * over DECIMAL(18,2) (exact, order-independent — mirroring the
+  * reference's fixed-point decimal engine, `datatypes/mcs_decimal.h`)
+  * and only the final result is cast to DOUBLE. Averages are
+  * exact-decimal-sum / count in double — bit-identical across engines.
+  */
+object Q {
+  type QFn = (SparkSession, String) => DataFrame
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.Tables.t(spark, dir, name)
+
+  /** Cast to exact decimal for order-independent aggregation. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Final cast back to double for output-schema parity with DuckDB. */
+  def d(c: Column): Column = c.cast(DoubleType)
+  /** Exact decimal literal 1.00. */
+  val oneDec: Column = lit(1).cast(DecimalType(18, 2))
+
+  /** Exact sum of a 2-decimal column, output as double. */
+  def sumDec(c: Column): Column = d(sum(dec(c)))
+  /** Exact average (decimal sum / count) as double. */
+  def avgDec(c: Column): Column = d(sum(dec(c))) / count(lit(1))
+
+  /** Run SQL with all the tables of `dir` registered as views. */
+  def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
+    graft.Tables.registerAll(spark, dir)
+    spark.sql(query)
+  }
+
+  // DuckDB-side fragments for the same exact-arithmetic patterns.
+  def oDec(c: String): String = s"CAST($c AS DECIMAL(18,2))"
+  def oSumDec(c: String): String = s"CAST(SUM(${oDec(c)}) AS DOUBLE)"
+  def oAvgDec(c: String): String = s"CAST(SUM(${oDec(c)}) AS DOUBLE)/COUNT(*)"
+}

@@ -17,7 +17,8 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   private val modules: Seq[(Map[String, Q.QFn], Map[String, String])] = Seq(
-    (CoreQueries.queries, CoreQueries.oracle)
+    (CoreQueries.queries, CoreQueries.oracle),
+    (WindowQueries.queries, WindowQueries.oracle)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Window-function suite (SURVEY.md §2.5 — the reference's
+  * WindowFunctionStep, `dbcon/joblist/windowfunctionstep.cpp`, with
+  * the function families of `utils/windowfunction/windowfunctiontype.h`).
+  *
+  * The reference gathers rows at the coordinator and sorts per
+  * (partition, order) key; Spark's WindowExec shuffles by partition
+  * key and sorts within partitions — the distributed version of the
+  * same plan, no custom operator needed.
+  *
+  * DISTINCT-over-window (`windowfunctiontype.h:69-71`) has no Spark
+  * builtin; re-expressed as `size(collect_set(x)) over w` — the
+  * rewrite called out in SURVEY.md §7.2.
+  */
+object WindowQueries {
+  import Q._
+
+  private val wPrio = Window.partitionBy(col("o_orderpriority"))
+
+  val queries: Map[String, QFn] = Map(
+    "q_window_rank" -> ((s, dir) => {
+      val w = wPrio.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders").filter(col("o_custkey") < 40)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          row_number().over(w).cast("long").as("rn"),
+          rank().over(w).cast("long").as("rk"),
+          dense_rank().over(w).cast("long").as("drk"),
+          round(percent_rank().over(w), 6).as("prk"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+    "q_window_frames" -> ((s, dir) => {
+      val ord = wPrio.orderBy(col("o_totalprice"), col("o_orderkey"))
+      val running = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val moving = ord.rowsBetween(-2, Window.currentRow)
+      val range = wPrio.orderBy(col("o_totalprice"))
+        .rangeBetween(-5000, Window.currentRow)
+      t(s, dir, "orders").filter(col("o_custkey") < 40)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          d(sum(dec(col("o_totalprice"))).over(running)).as("run_sum"),
+          (d(sum(dec(col("o_totalprice"))).over(moving)) /
+            count(lit(1)).over(moving)).as("mov_avg"),
+          count(lit(1)).over(range).as("n_in_range"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+    "q_window_leadlag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").filter(col("o_custkey") < 40)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 2, 0.0).over(w).as("next2_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+    "q_window_firstlast" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders").filter(col("o_custkey") < 40)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(w).as("fv"),
+          last(col("o_totalprice")).over(w).as("lv"),
+          nth_value(col("o_totalprice"), 2).over(w).as("nv2"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+    "q_window_ntile" -> ((s, dir) => {
+      val w = wPrio.orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders").filter(col("o_custkey") < 40)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+    "q_window_agg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          d(sum(dec(col("l_quantity"))).over(w)).as("part_qty"),
+          min(col("l_quantity")).over(w).as("min_qty"),
+          max(col("l_quantity")).over(w).as("max_qty"),
+          count(lit(1)).over(w).as("n_part"),
+          round(stddev_samp(col("l_quantity")).over(w), 6).as("sd_qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q_window_distinct" -> ((s, dir) => {
+      // COUNT(DISTINCT x) OVER (...) — reference supports, Spark lacks:
+      // rewritten as the size of the per-partition distinct set.
+      val w = Window.partitionBy(col("l_returnflag"))
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          size(collect_set(col("l_suppkey")).over(w)).cast("long").as("n_supp"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q_window_running_rev" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem").filter(col("l_suppkey") < 5)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          d(sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount"))))
+            .over(w)).as("run_rev"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_window_rank" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS prk, ROUND(CUME_DIST() OVER w, 6) AS cd
+        |FROM orders WHERE o_custkey < 40
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q_window_frames" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   / COUNT(*) OVER
+        |    (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg,
+        |  COUNT(*) OVER
+        |    (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |     RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) AS n_in_range
+        |FROM orders WHERE o_custkey < 40
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q_window_leadlag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  LEAD(o_totalprice, 2, 0.0) OVER w AS next2_price
+        |FROM orders WHERE o_custkey < 40
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_firstlast" ->
+      """SELECT o_custkey, o_orderkey,
+        |  FIRST_VALUE(o_totalprice) OVER w AS fv,
+        |  LAST_VALUE(o_totalprice) OVER w AS lv,
+        |  NTH_VALUE(o_totalprice, 2) OVER w AS nv2
+        |FROM orders WHERE o_custkey < 40
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_ntile" ->
+      """SELECT o_orderkey, o_orderpriority, NTILE(4) OVER
+        |  (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS quartile
+        |FROM orders WHERE o_custkey < 40
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q_window_agg" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE) AS part_qty,
+        |  MIN(l_quantity) OVER w AS min_qty,
+        |  MAX(l_quantity) OVER w AS max_qty,
+        |  COUNT(*) OVER w AS n_part,
+        |  ROUND(STDDEV_SAMP(l_quantity) OVER w, 6) AS sd_qty
+        |FROM lineitem WHERE l_orderkey < 200
+        |WINDOW w AS (PARTITION BY l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_window_distinct" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_returnflag) AS n_supp
+        |FROM lineitem WHERE l_orderkey < 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_window_running_rev" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) OVER
+        |    (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_rev
+        |FROM lineitem WHERE l_suppkey < 5
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+  )
+}

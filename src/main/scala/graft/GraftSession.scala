@@ -27,6 +27,10 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.cbo.enabled", "true")
+      // events.parquet carries TIMESTAMP(NANOS); read the raw int64 and
+      // truncate in the query layer (Tables.t) — set once here, not
+      // per-read, so concurrent reads never race on session config.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def get(cores: String = "32"): SparkSession = {

@@ -21,14 +21,25 @@ object Tables {
       // which Spark has no native type for. Read the raw int64 nanos
       // and floor-divide to microseconds — the same truncation DuckDB
       // applies when it narrows TIMESTAMP_NS to TIMESTAMP on read, so
-      // oracle comparisons see identical values.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // oracle comparisons see identical values. nanosAsLong is set in
+      // GraftSession.builder; guard here for externally-built sessions.
+      if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     case _ => spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** Register every table as a temp view (for spark.sql surface). */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
+
+  /** Register every table as a temp view (for spark.sql surface).
+    * Idempotent per (session, dir): round-1 re-registered 10 parquet
+    * views on every SQL-path query, which dominated the bench (the
+    * five slowest queries were all SQL-path). */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val key = (System.identityHashCode(spark), dir)
+    if (registered.add(key))
+      all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+  }
 }

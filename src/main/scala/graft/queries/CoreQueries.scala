@@ -190,8 +190,11 @@ object CoreQueries {
         .filter(col("o_orderdate") < expr("TIMESTAMP '1998-03-15 00:00:00'"))
       val li = t(s, dir, "lineitem")
         .filter(col("l_shipdate") > expr("TIMESTAMP '1998-03-15 00:00:00'"))
+      // customer scales linearly with SF — no broadcast hint; AQE picks
+      // the strategy at runtime (broadcast at small SF, shuffled hash at
+      // 100 TB). Hard-coding broadcast here was round-1's scale killer.
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(revenue.as("rev"))
         .orderBy(col("rev").desc, col("l_orderkey"))
@@ -206,9 +209,11 @@ object CoreQueries {
           col("o_orderdate") < expr("TIMESTAMP '1998-01-01 00:00:00'"))
       val cust = t(s, dir, "customer")
       val supp = t(s, dir, "supplier")
+      // supplier scales with SF too — only the fixed-size dims
+      // (nation: 25 rows, region: 5 rows) get an explicit broadcast.
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supp),
+        .join(supp,
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
@@ -221,7 +226,7 @@ object CoreQueries {
       val ord = t(s, dir, "orders")
       val cust = t(s, dir, "customer")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(revenue.as("rev"))
         .orderBy(col("rev").desc, col("c_custkey"))
@@ -259,12 +264,21 @@ object CoreQueries {
         .select(col("o_orderkey")).orderBy(col("o_orderkey"))
     }),
     "q_join_theta" -> ((s, dir) => {
+      // Interval self-join. Keying only on user_id is quadratic for a
+      // hot user; adding a coarse time bucket (1h = the window width)
+      // to the equi-key bounds per-task pair work. A match's b.ts lies
+      // in (a.ts, a.ts+1h], i.e. in a's bucket or the next one — the
+      // a-side is exploded to both buckets so each pair is seen exactly
+      // once, then the precise interval predicate filters post-join.
       val e = t(s, dir, "events").select(col("user_id"), col("ts"))
-      e.as("a").join(e.as("b"),
-          col("a.user_id") === col("b.user_id") &&
-          col("b.ts") > col("a.ts") &&
-          col("b.ts") <= col("a.ts") + expr("INTERVAL 1 HOUR"))
-        .groupBy(col("a.user_id").as("user_id"))
+        .withColumn("bkt", (unix_timestamp(col("ts")) / 3600).cast("long"))
+      val a = e.withColumn("jb", explode(array(col("bkt"), col("bkt") + 1)))
+        .select(col("user_id").as("a_uid"), col("ts").as("a_ts"), col("jb"))
+      val b = e.select(col("user_id").as("b_uid"), col("ts").as("b_ts"), col("bkt"))
+      a.join(b, col("a_uid") === col("b_uid") && col("jb") === col("bkt") &&
+          col("b_ts") > col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+        .groupBy(col("a_uid").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("user_id"))
     }),

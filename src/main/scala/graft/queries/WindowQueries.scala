@@ -87,12 +87,18 @@ object WindowQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
     "q_window_distinct" -> ((s, dir) => {
-      // COUNT(DISTINCT x) OVER (...) — reference supports, Spark lacks:
-      // rewritten as the size of the per-partition distinct set.
-      val w = Window.partitionBy(col("l_returnflag"))
-      t(s, dir, "lineitem").filter(col("l_orderkey") < 200)
+      // COUNT(DISTINCT x) OVER (PARTITION BY p) — reference supports,
+      // Spark lacks. collect_set over an unbounded window materializes
+      // the whole distinct set on every row (OOM-shaped at scale); the
+      // scale-safe rewrite is a bounded-state countDistinct aggregation
+      // joined back on the partition key.
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") < 200)
+      val perFlag = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+      li.select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+        .join(broadcast(perFlag), Seq("l_returnflag"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-          size(collect_set(col("l_suppkey")).over(w)).cast("long").as("n_supp"))
+          col("n_supp"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
     "q_window_running_rev" -> ((s, dir) => {

@@ -26,6 +26,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // Write timestamps as INT64 micros, not legacy INT96 — INT96 has
+      // no logical type, breaks row-group stats pruning, and external
+      // readers (the DuckDB oracle included) see it as nanos.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.cbo.enabled", "true")
       // events.parquet carries TIMESTAMP(NANOS); read the raw int64 and
       // truncate in the query layer (Tables.t) — set once here, not

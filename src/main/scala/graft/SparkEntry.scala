@@ -19,7 +19,8 @@ object SparkEntry {
   private val modules: Seq[(Map[String, Q.QFn], Map[String, String])] = Seq(
     (CoreQueries.queries, CoreQueries.oracle),
     (WindowQueries.queries, WindowQueries.oracle),
-    (Dbt3Queries.queries, Dbt3Queries.oracle)
+    (Dbt3Queries.queries, Dbt3Queries.oracle),
+    (FunctionQueries.queries, FunctionQueries.oracle)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

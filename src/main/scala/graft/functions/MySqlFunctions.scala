@@ -1,0 +1,187 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** MySQL/MariaDB-compatible scalar functions that Spark lacks, built
+  * compositionally from built-in Catalyst expressions so every one of
+  * them stays inside whole-stage codegen (no UDFs, no interpreted
+  * fallback anywhere on this path).
+  *
+  * The reference implements these in `utils/funcexp/` (196 registry
+  * entries, 134 func_*.cpp files): PERIOD_ADD/PERIOD_DIFF
+  * (`func_period_add.cpp`), TO_DAYS/FROM_DAYS (`func_to_days.cpp`,
+  * `func_from_days.cpp`), SEC_TO_TIME/TIME_TO_SEC
+  * (`func_sec_to_time.cpp`, `func_time_to_sec.cpp`), MAKEDATE
+  * (`func_makedate.cpp`), TRUNCATE (`func_truncate.cpp`), DATE_FORMAT
+  * pattern language (`utils/dataconvert/dataconvert.cpp`), QUOTE
+  * (`func_quote.cpp`), INSERT (`func_insert.cpp`), and MySQL's
+  * lenient string→number CAST (`func_cast.cpp`).
+  */
+object MySqlFunctions {
+
+  // ---- period arithmetic (YYYYMM packed ints) ----
+
+  /** Months since year 0 for a YYYYMM period. */
+  private def periodToMonths(p: Column): Column =
+    (p.cast(LongType) / 100).cast(LongType) * 12 + (p.cast(LongType) % 100) - 1
+
+  private def monthsToPeriod(m: Column): Column =
+    (m / 12).cast(LongType) * 100 + (m % 12) + 1
+
+  /** MySQL PERIOD_ADD(p, n): add n months to period YYYYMM. */
+  def periodAdd(p: Column, n: Column): Column =
+    monthsToPeriod(periodToMonths(p) + n.cast(LongType))
+
+  /** MySQL PERIOD_DIFF(p1, p2): months between two YYYYMM periods. */
+  def periodDiff(p1: Column, p2: Column): Column =
+    periodToMonths(p1) - periodToMonths(p2)
+
+  // ---- day-number arithmetic ----
+
+  /** TO_DAYS('1970-01-01') in MySQL's day-zero reckoning. */
+  private val EpochDays = 719528L
+
+  /** MySQL TO_DAYS(date): days since year 0. */
+  def toDays(d: Column): Column =
+    datediff(d, to_date(lit("1970-01-01"))).cast(LongType) + EpochDays
+
+  /** MySQL FROM_DAYS(n): date from a day number since year 0. */
+  def fromDays(n: Column): Column =
+    date_add(to_date(lit("1970-01-01")), (n.cast(LongType) - EpochDays).cast(IntegerType))
+
+  // ---- TIME-ish values (no native TIME type; HH:MM:SS strings) ----
+
+  /** MySQL SEC_TO_TIME(seconds) as an HH:MM:SS string. */
+  def secToTime(s: Column): Column = {
+    val sec = s.cast(LongType)
+    val sign = when(sec < 0, lit("-")).otherwise(lit(""))
+    val a = abs(sec)
+    concat(sign, format_string("%02d:%02d:%02d",
+      (a / 3600).cast(LongType), ((a % 3600) / 60).cast(LongType), a % 60))
+  }
+
+  /** MySQL TIME_TO_SEC('HH:MM:SS'). */
+  def timeToSec(t: Column): Column = {
+    val neg = t.startsWith("-")
+    val u = when(neg, t.substr(lit(2), length(t))).otherwise(t)
+    val parts = split(u, ":")
+    val sec = parts.getItem(0).cast(LongType) * 3600 +
+      parts.getItem(1).cast(LongType) * 60 + parts.getItem(2).cast(LongType)
+    when(neg, -sec).otherwise(sec)
+  }
+
+  /** MySQL MAKEDATE(year, dayofyear); NULL for dayofyear < 1. */
+  def makedate(year: Column, doy: Column): Column =
+    when(doy >= 1,
+      date_add(make_date(year, lit(1), lit(1)), (doy - 1).cast(IntegerType)))
+
+  // ---- numeric ----
+
+  /** MySQL TRUNCATE(x, d): truncate toward zero at d decimal places
+    * (Spark's round() rounds; its date trunc() is unrelated). */
+  def truncateNum(x: Column, d: Int): Column = {
+    val f = math.pow(10, d)
+    (x * f).cast(LongType) / lit(f)
+  }
+
+  // ---- MySQL string functions missing from Spark ----
+
+  /** MySQL QUOTE(str): single-quoted, with ', \ escaped; NULL → the
+    * 4-char string NULL. */
+  def quote(s: Column): Column =
+    when(s.isNull, lit("NULL")).otherwise(
+      concat(lit("'"),
+        regexp_replace(regexp_replace(s, "\\\\", "\\\\\\\\"), "'", "\\\\'"),
+        lit("'")))
+
+  /** MySQL INSERT(str, pos, len, newstr): replace len chars at pos
+    * (1-based); out-of-range pos returns str unchanged. */
+  def insertStr(s: Column, pos: Column, len: Column, newstr: Column): Column =
+    when(pos < 1 || pos > length(s), s).otherwise(
+      concat(s.substr(lit(1), pos - 1), newstr,
+        when(len < 0, lit("")).otherwise(s.substr(pos + len, length(s)))))
+
+  // ---- MySQL lenient casts ----
+
+  /** MySQL CAST(str AS SIGNED): parse the leading integer prefix,
+    * 0 when there is none (Spark's cast returns NULL). */
+  def castSigned(s: Column): Column =
+    coalesce(nullif(regexp_extract(s, "^\\s*[+-]?[0-9]+", 0), lit("")).cast(LongType), lit(0L))
+
+  /** MySQL CAST(number AS SIGNED): rounds half away from zero
+    * (Spark's cast truncates). */
+  def castSignedRound(x: Column): Column =
+    when(x >= 0, floor(x + 0.5)).otherwise(ceil(x - 0.5)).cast(LongType)
+
+  // ---- DATE_FORMAT / STR_TO_DATE pattern translation ----
+
+  /** MySQL date-format specifiers → Java DateTimeFormatter patterns.
+    * Literal text is single-quote-escaped per Java rules. Unsupported
+    * specifiers (%X/%V locale weeks, %U/%u week-mode variants beyond
+    * the default) throw at plan time rather than silently diverging.
+    */
+  def translateDatePattern(mysql: String): String = {
+    val sb = new StringBuilder
+    var literal = new StringBuilder
+    def flush(): Unit = if (literal.nonEmpty) {
+      val text = literal.toString
+      if (text.exists(c => c.isLetter || c == '\'')) {
+        sb.append('\'').append(text.replace("'", "''")).append('\'')
+      } else sb.append(text)
+      literal = new StringBuilder
+    }
+    var i = 0
+    while (i < mysql.length) {
+      val c = mysql.charAt(i)
+      if (c == '%' && i + 1 < mysql.length) {
+        val spec = mysql.charAt(i + 1)
+        val mapped = spec match {
+          case 'Y' => "yyyy"; case 'y' => "yy"
+          case 'm' => "MM"; case 'c' => "M"
+          case 'd' => "dd"; case 'e' => "d"
+          case 'H' => "HH"; case 'k' => "H"
+          case 'h' | 'I' => "hh"; case 'l' => "h"
+          case 'i' => "mm"
+          case 's' | 'S' => "ss"
+          case 'f' => "SSSSSS"
+          case 'p' => "a"
+          case 'M' => "MMMM"; case 'b' => "MMM"
+          case 'a' => "EEE"; case 'W' => "EEEE"
+          case 'j' => "DDD"
+          case 'T' => "HH:mm:ss"
+          case 'r' => "hh:mm:ss a"
+          case '%' => null // literal percent
+          case other =>
+            throw new IllegalArgumentException(
+              s"unsupported MySQL date-format specifier %$other in '$mysql'")
+        }
+        if (mapped == null) literal.append('%')
+        else { flush(); sb.append(mapped) }
+        i += 2
+      } else { literal.append(c); i += 1 }
+    }
+    flush()
+    sb.toString
+  }
+
+  /** MySQL DATE_FORMAT(ts, '%Y-%m-%d ...') with MySQL specifiers. */
+  def dateFormat(ts: Column, mysqlPattern: String): Column =
+    date_format(ts, translateDatePattern(mysqlPattern))
+
+  /** MySQL STR_TO_DATE(str, pattern) → timestamp. */
+  def strToDate(s: Column, mysqlPattern: String): Column =
+    to_timestamp(s, translateDatePattern(mysqlPattern))
+
+  /** MySQL YEARWEEK(date) in the default mode-0 reckoning is messy;
+    * this is the ISO variant (mode 3): year*100 + ISO week. */
+  def yearweekIso(d: Column): Column = {
+    // ISO year differs from calendar year at year boundaries; derive it
+    // from the Thursday of the ISO week the date falls in. Spark's
+    // dayofweek is Sunday=1; ISO is Monday=1.
+    val isoDow = (dayofweek(d) + 5) % 7 + 1
+    val thursday = date_add(d, (lit(4) - isoDow).cast(IntegerType))
+    year(thursday) * 100 + weekofyear(d)
+  }
+}

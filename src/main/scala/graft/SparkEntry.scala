@@ -20,7 +20,8 @@ object SparkEntry {
     (CoreQueries.queries, CoreQueries.oracle),
     (WindowQueries.queries, WindowQueries.oracle),
     (Dbt3Queries.queries, Dbt3Queries.oracle),
-    (FunctionQueries.queries, FunctionQueries.oracle)
+    (FunctionQueries.queries, FunctionQueries.oracle),
+    (JsonQueries.queries, JsonQueries.oracle)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

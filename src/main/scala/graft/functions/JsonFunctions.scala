@@ -1,0 +1,336 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MySQL-compatible JSON function family as custom Catalyst
+  * expressions — the analog of the reference's ~30 `func_json_*.cpp`
+  * files (`utils/funcexp/func_json_merge_patch.cpp`,
+  * `func_json_insert.cpp`, `func_json_remove.cpp`, `func_json_keys.cpp`,
+  * `func_json_depth.cpp`, `func_json_contains.cpp`, ..., path helpers
+  * in `utils/funcexp/jsonhelpers.cpp`).
+  *
+  * Spark's builtins cover extraction (`get_json_object`, `json_tuple`,
+  * `json_array_length`, `json_object_keys`, `from_json`/`to_json`);
+  * these expressions add the MUTATION and INSPECTION surface Spark
+  * lacks: JSON_MERGE_PATCH (RFC 7396), JSON_INSERT/SET/REPLACE/REMOVE
+  * with MySQL `$.a.b[i]` paths, JSON_DEPTH, JSON_CONTAINS, JSON_TYPE
+  * (MySQL type names), JSON_VALID, JSON_QUOTE/UNQUOTE.
+  *
+  * They evaluate via Jackson (already on the Spark classpath) under
+  * CodegenFallback — JSON document surgery is cold-path parity work,
+  * not hot-loop arithmetic; the rest of a plan around them still
+  * codegens, and each expression is a narrow per-row transform that
+  * distributes with the row (no state, no driver involvement).
+  */
+object JsonFunctions {
+
+  private val mapper = new ObjectMapper()
+
+  private def parse(s: UTF8String): Option[JsonNode] =
+    try Option(mapper.readTree(s.toString)) catch { case _: Exception => None }
+
+  private def render(n: JsonNode): UTF8String = UTF8String.fromString(mapper.writeValueAsString(n))
+
+  /** A parsed MySQL JSON path: `$` then `.key` / `[idx]` legs.
+    * Wildcards are not supported for mutation (same as MySQL). */
+  private[functions] def parsePath(path: String): Option[List[Either[String, Int]]] = {
+    if (!path.startsWith("$")) return None
+    val legs = scala.collection.mutable.ListBuffer.empty[Either[String, Int]]
+    var i = 1
+    while (i < path.length) {
+      path.charAt(i) match {
+        case '.' =>
+          val start = i + 1
+          var j = start
+          while (j < path.length && path.charAt(j) != '.' && path.charAt(j) != '[') j += 1
+          if (j == start) return None
+          legs += Left(path.substring(start, j)); i = j
+        case '[' =>
+          val end = path.indexOf(']', i)
+          if (end < 0) return None
+          val idx = path.substring(i + 1, end).trim
+          if (!idx.forall(_.isDigit)) return None
+          legs += Right(idx.toInt); i = end + 1
+        case _ => return None
+      }
+    }
+    Some(legs.toList)
+  }
+
+  /** Walk to the parent of the path target; None if any leg missing. */
+  private def walkParent(root: JsonNode, legs: List[Either[String, Int]]): Option[JsonNode] = {
+    var cur = root
+    for (leg <- legs.dropRight(1)) {
+      leg match {
+        case Left(k) => if (cur.isObject && cur.has(k)) cur = cur.get(k) else return None
+        case Right(i) => if (cur.isArray && i < cur.size) cur = cur.get(i) else return None
+      }
+    }
+    Some(cur)
+  }
+
+  /** Parse a value operand: JSON if it parses, else a JSON string
+    * (MySQL auto-wraps SQL strings). */
+  private def valueNode(v: UTF8String): JsonNode = {
+    val s = v.toString
+    try {
+      val n = mapper.readTree(s)
+      if (n == null) mapper.getNodeFactory.textNode(s) else n
+    } catch { case _: Exception => mapper.getNodeFactory.textNode(s) }
+  }
+
+  /** RFC 7396 merge patch — MySQL JSON_MERGE_PATCH
+    * (ref func_json_merge_patch.cpp). */
+  case class JsonMergePatch(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "json_merge_patch"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    private def merge(target: JsonNode, patch: JsonNode): JsonNode =
+      if (!patch.isObject) patch.deepCopy[JsonNode]()
+      else {
+        val out: ObjectNode =
+          if (target.isObject) target.deepCopy[ObjectNode]() else mapper.createObjectNode()
+        val it = patch.properties().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.isNull) out.remove(e.getKey)
+          else out.set[JsonNode](e.getKey, merge(
+            if (out.has(e.getKey)) out.get(e.getKey) else mapper.createObjectNode(),
+            e.getValue))
+        }
+        out
+      }
+    override def nullSafeEval(a: Any, b: Any): Any =
+      (parse(a.asInstanceOf[UTF8String]), parse(b.asInstanceOf[UTF8String])) match {
+        case (Some(t), Some(p)) => render(merge(t, p))
+        case _ => null
+      }
+  }
+
+  sealed trait ModifyMode
+  object ModifyMode {
+    case object Insert extends ModifyMode  // only if absent
+    case object Replace extends ModifyMode // only if present
+    case object Set extends ModifyMode     // always
+  }
+
+  /** JSON_INSERT / JSON_REPLACE / JSON_SET (ref func_json_insert.cpp —
+    * the reference likewise shares one implementation across modes). */
+  case class JsonModify(doc: Expression, path: Expression, value: Expression, mode: ModifyMode)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(doc, path, value)
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = mode match {
+      case ModifyMode.Insert => "json_insert"
+      case ModifyMode.Replace => "json_replace"
+      case ModifyMode.Set => "json_set"
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(doc = c(0), path = c(1), value = c(2))
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val d = doc.eval(input); val p = path.eval(input); val v = value.eval(input)
+      if (d == null || p == null || v == null) return null
+      val rootOpt = parse(d.asInstanceOf[UTF8String])
+      val legsOpt = parsePath(p.asInstanceOf[UTF8String].toString)
+      (rootOpt, legsOpt) match {
+        case (Some(root0), Some(legs)) if legs.nonEmpty =>
+          val root = root0.deepCopy[JsonNode]()
+          walkParent(root, legs) match {
+            case Some(parent) =>
+              val vn = valueNode(v.asInstanceOf[UTF8String])
+              legs.last match {
+                case Left(k) if parent.isObject =>
+                  val o = parent.asInstanceOf[ObjectNode]
+                  val present = o.has(k)
+                  val write = mode match {
+                    case ModifyMode.Insert => !present
+                    case ModifyMode.Replace => present
+                    case ModifyMode.Set => true
+                  }
+                  if (write) o.set[JsonNode](k, vn)
+                case Right(i) if parent.isArray =>
+                  val a = parent.asInstanceOf[ArrayNode]
+                  val present = i < a.size
+                  mode match {
+                    case ModifyMode.Insert => if (!present) a.add(vn)
+                    case ModifyMode.Replace => if (present) a.set(i, vn)
+                    case ModifyMode.Set => if (present) a.set(i, vn) else a.add(vn)
+                  }
+                case _ => // leg/type mismatch: no-op, like MySQL
+              }
+              render(root)
+            case None => render(root)
+          }
+        case (Some(root), _) => render(root)
+        case _ => null
+      }
+    }
+  }
+
+  /** JSON_REMOVE (ref func_json_remove.cpp). */
+  case class JsonRemove(doc: Expression, path: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def left: Expression = doc
+    override def right: Expression = path
+    override def dataType: DataType = StringType
+    override def prettyName: String = "json_remove"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(doc = l, path = r)
+    override def nullSafeEval(d: Any, p: Any): Any = {
+      val rootOpt = parse(d.asInstanceOf[UTF8String])
+      val legsOpt = parsePath(p.asInstanceOf[UTF8String].toString)
+      (rootOpt, legsOpt) match {
+        case (Some(root0), Some(legs)) if legs.nonEmpty =>
+          val root = root0.deepCopy[JsonNode]()
+          walkParent(root, legs).foreach { parent =>
+            legs.last match {
+              case Left(k) if parent.isObject => parent.asInstanceOf[ObjectNode].remove(k)
+              case Right(i) if parent.isArray && i < parent.size =>
+                parent.asInstanceOf[ArrayNode].remove(i)
+              case _ =>
+            }
+          }
+          render(root)
+        case (Some(root), _) => render(root)
+        case _ => null
+      }
+    }
+  }
+
+  /** JSON_DEPTH (ref func_json_depth.cpp): scalar/empty doc = 1. */
+  case class JsonDepth(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "json_depth"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    private def depth(n: JsonNode): Int =
+      if (n.isContainerNode && n.size() > 0) {
+        var m = 0
+        val it = n.elements()
+        while (it.hasNext) m = math.max(m, depth(it.next()))
+        1 + m
+      } else 1
+    override def nullSafeEval(d: Any): Any =
+      parse(d.asInstanceOf[UTF8String]).map(depth).orNull
+  }
+
+  /** JSON_CONTAINS(doc, candidate) — containment, not equality
+    * (ref func_json_contains.cpp): objects contain a candidate object
+    * whose every member is contained; arrays contain each candidate
+    * element (or a candidate scalar equal to some element). */
+  case class JsonContains(doc: Expression, candidate: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def left: Expression = doc
+    override def right: Expression = candidate
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "json_contains"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(doc = l, candidate = r)
+    private def contains(t: JsonNode, c: JsonNode): Boolean =
+      if (t.isObject && c.isObject) {
+        val it = c.properties().iterator()
+        var ok = true
+        while (it.hasNext && ok) {
+          val e = it.next()
+          ok = t.has(e.getKey) && contains(t.get(e.getKey), e.getValue)
+        }
+        ok
+      } else if (t.isArray) {
+        if (c.isArray) {
+          val it = c.elements(); var ok = true
+          while (it.hasNext && ok) { val e = it.next(); ok = containsInArray(t, e) }
+          ok
+        } else containsInArray(t, c)
+      } else t == c
+    private def containsInArray(arr: JsonNode, c: JsonNode): Boolean = {
+      val it = arr.elements()
+      while (it.hasNext) if (contains(it.next(), c)) return true
+      false
+    }
+    override def nullSafeEval(d: Any, c: Any): Any =
+      (parse(d.asInstanceOf[UTF8String]), parse(c.asInstanceOf[UTF8String])) match {
+        case (Some(t), Some(n)) => contains(t, n)
+        case _ => null
+      }
+  }
+
+  /** JSON_TYPE with MySQL's type names (ref func_json_type.cpp). */
+  case class JsonTypeMySql(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "json_type"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def nullSafeEval(d: Any): Any =
+      parse(d.asInstanceOf[UTF8String]).map { n =>
+        val t =
+          if (n.isObject) "OBJECT" else if (n.isArray) "ARRAY"
+          else if (n.isTextual) "STRING" else if (n.isBoolean) "BOOLEAN"
+          else if (n.isNull) "NULL"
+          else if (n.isIntegralNumber) "INTEGER" else "DOUBLE"
+        UTF8String.fromString(t)
+      }.orNull
+  }
+
+  /** JSON_VALID (ref func_json_valid.cpp). */
+  case class JsonValid(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "json_valid"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def nullSafeEval(d: Any): Any = parse(d.asInstanceOf[UTF8String]).isDefined
+  }
+
+  /** JSON_QUOTE (ref func_json_quote.cpp): SQL string → JSON string. */
+  case class JsonQuote(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "json_quote"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def nullSafeEval(d: Any): Any =
+      render(mapper.getNodeFactory.textNode(d.asInstanceOf[UTF8String].toString))
+  }
+
+  /** JSON_UNQUOTE (ref func_json_unquote.cpp): JSON string → SQL
+    * string; non-strings render as JSON text, like MySQL. */
+  case class JsonUnquote(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "json_unquote"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def nullSafeEval(d: Any): Any =
+      parse(d.asInstanceOf[UTF8String]) match {
+        case Some(n) if n.isTextual => UTF8String.fromString(n.asText())
+        case Some(n) => render(n)
+        case None => d // not valid JSON: MySQL returns the input as-is
+      }
+  }
+
+  /** Register the family into a session's FunctionRegistry so the SQL
+    * surface (`selectExpr`, `spark.sql`) can call them by MySQL name —
+    * the analog of funcexp's fFuncMap registration
+    * (`utils/funcexp/funcexp.cpp:~80`). Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def f1(name: String, b: Expression => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, es => b(es.head), "built-in")
+    def f2(name: String, b: (Expression, Expression) => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, es => b(es(0), es(1)), "built-in")
+    def f3(name: String, b: (Expression, Expression, Expression) => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, es => b(es(0), es(1), es(2)), "built-in")
+    f2("json_merge_patch", JsonMergePatch)
+    f3("json_insert", JsonModify(_, _, _, ModifyMode.Insert))
+    f3("json_replace", JsonModify(_, _, _, ModifyMode.Replace))
+    f3("json_set", JsonModify(_, _, _, ModifyMode.Set))
+    f2("json_remove", JsonRemove)
+    f1("json_depth", JsonDepth)
+    f2("json_contains_doc", JsonContains)
+    f1("json_type", JsonTypeMySql)
+    f1("json_valid", JsonValid)
+    f1("json_quote", JsonQuote)
+    f1("json_unquote", JsonUnquote)
+  }
+}

@@ -21,7 +21,8 @@ object SparkEntry {
     (WindowQueries.queries, WindowQueries.oracle),
     (Dbt3Queries.queries, Dbt3Queries.oracle),
     (FunctionQueries.queries, FunctionQueries.oracle),
-    (JsonQueries.queries, JsonQueries.oracle)
+    (JsonQueries.queries, JsonQueries.oracle),
+    (AggExtraQueries.queries, AggExtraQueries.oracle)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

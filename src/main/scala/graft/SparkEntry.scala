@@ -22,7 +22,8 @@ object SparkEntry {
     (Dbt3Queries.queries, Dbt3Queries.oracle),
     (FunctionQueries.queries, FunctionQueries.oracle),
     (JsonQueries.queries, JsonQueries.oracle),
-    (AggExtraQueries.queries, AggExtraQueries.oracle)
+    (AggExtraQueries.queries, AggExtraQueries.oracle),
+    (LlmQueries.queries, LlmQueries.oracle)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,112 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`), plus embedding-cosine near-duplicate pairs.
+  *
+  * Two tiers, as a 100 TB pipeline needs:
+  *  - `bruteForceTopK`: exact cosine top-k — the correctness baseline
+  *    and the right tool when the query set is small (it broadcasts
+  *    queries and scans the corpus once, no shuffle of the corpus).
+  *  - `lshTopK`: random-hyperplane LSH — corpus is bucketed by the
+  *    sign pattern of `numPlanes` fixed hyperplanes, queries probe
+  *    their own bucket plus all 1-bit-flip neighbors (multi-probe),
+  *    and only within-bucket pairs are scored. Corpus work per query
+  *    drops from O(N) to O(N · (P+1) / 2^P).
+  *
+  * All vector math is `zip_with`/`aggregate` higher-order functions in
+  * double precision — codegen'd, no UDFs. Hyperplanes are a
+  * deterministic seeded literal, so bucketing is stable across runs,
+  * executors, and restarts (the property that makes the bucket id
+  * usable as a persisted partition key for a 100 TB corpus).
+  */
+object AnnSearch {
+
+  /** Dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, clamped to [-1, 1]: sqrt(aa)*sqrt(bb) can
+    * land an ulp under aa for identical vectors, and downstream
+    * consumers (and the DuckDB oracle) expect self-similarity == 1. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    least(greatest(when(d > 0, dot(a, b) / d).otherwise(lit(0.0)), lit(-1.0)), lit(1.0))
+  }
+
+  private def asDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
+
+  /** Exact cosine top-k per query vector. `queries` is expected to be
+    * small (it is broadcast); the corpus is scanned once.
+    * Returns (qid, vec_id, cosine, rank). */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      id: String = "vec_id", vec: String = "embedding",
+      qid: String = "qid", qvec: String = "qvec"): DataFrame = {
+    val c = corpus.select(col(id).as("vec_id"), asDouble(col(vec)).as("_v"))
+    val q = queries.select(col(qid).as("qid"), asDouble(col(qvec)).as("_q"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"), cosine(col("_v"), col("_q")).as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic seeded hyperplanes: numPlanes × dim in [-1, 1]. */
+  private[llm] def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(numPlanes, dim)(rng.nextDouble() * 2 - 1)
+  }
+
+  /** Sign-pattern bucket id of a vector under the given planes. */
+  def bucketOf(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(v, lit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed cosine top-k with 1-bit multi-probe.
+    * Returns (qid, vec_id, cosine, rank) — a subset of the brute-force
+    * result; recall rises with fewer planes / more probes. */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      numPlanes: Int = 8, dim: Int = 64,
+      id: String = "vec_id", vec: String = "embedding",
+      qid: String = "qid", qvec: String = "qvec"): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val c = corpus.select(col(id).as("vec_id"), asDouble(col(vec)).as("_v"))
+      .withColumn("_bucket", bucketOf(col("_v"), planes))
+    val qb = queries.select(col(qid).as("qid"), asDouble(col(qvec)).as("_q"))
+      .withColumn("_b0", bucketOf(col("_q"), planes))
+    // probe own bucket + every 1-bit flip
+    val probes = array(lit(0L) +: (0 until numPlanes).map(i => lit(1L << i)): _*)
+    val probed = qb.select(col("qid"), col("_q"),
+      explode(transform(probes, m => col("_b0").bitwiseXOR(m))).as("_bucket"))
+    val scored = c.join(broadcast(probed), "_bucket")
+      .select(col("qid"), col("vec_id"), cosine(col("_v"), col("_q")).as("cosine"))
+      .groupBy(col("qid"), col("vec_id")).agg(max(col("cosine")).as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold),
+    * candidates restricted to shared LSH buckets — the embedding
+    * analog of Dedup.minhashDupPairs, never all-pairs. */
+  def cosineDupPairs(
+      corpus: DataFrame, threshold: Double,
+      numPlanes: Int = 6, dim: Int = 64,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val c = corpus.select(col(id).as("_id"), asDouble(col(vec)).as("_v"))
+      .withColumn("_bucket", bucketOf(col("_v"), planes))
+    c.as("a").join(c.as("b"),
+        col("a._bucket") === col("b._bucket") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        round(cosine(col("a._v"), col("b._v")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,177 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators: exact, MinHash-LSH, SimHash, and n-gram
+  * Jaccard verification — the near-dup toolchain of a training-data
+  * pipeline.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - NOTHING here is all-pairs. MinHash candidates come from banded
+  *    LSH buckets (bucket-equi-join), SimHash candidates from
+  *    16-bit band buckets; only within-bucket pairs are compared.
+  *  - the bucket self-join carries (bucket, doc_id) pairs ONLY; the
+  *    heavyweight shingle arrays are joined back by doc_id just for
+  *    the verify step, so the exploded band rows stay ~16 bytes.
+  *  - signatures/buckets are plain codegen'd column expressions
+  *    (murmur/xxhash over higher-order functions) — no UDFs, no
+  *    driver-side state, deterministic across runs and partitionings.
+  */
+object Dedup {
+
+  // ---- exact dedup ----
+
+  /** Exact duplicates by content hash: one row per distinct text with
+    * the canonical (min) doc_id and the duplicate count. */
+  def exactGroups(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+    docs.groupBy(md5(col(text)).as("content_hash"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact-dedup'd view: keeps the min-id row per distinct text. */
+  def exactDedup(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col(text))).orderBy(col(id))
+    docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  // ---- shingling + MinHash ----
+
+  /** Word n-gram shingles (default 3). Short docs fall back to a
+    * single whole-text shingle so they still participate. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = TextAnalysis.tokens(lower(text))
+    when(size(w) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(w) - n),
+        i => array_join(slice(w, i + 1, lit(n)), " "))))
+      .otherwise(array(lower(text)))
+  }
+
+  /** MinHash signature as an AGGREGATION over exploded shingle rows:
+    * input (id, shingle), output (id, _m0.._m{H-1}) where
+    * _mi = min(hash(shingle, i)) — the i-th permutation's minimum.
+    *
+    * Deliberately NOT a nested higher-order-function column: HOFs are
+    * interpreted, and Catalyst's projection collapse inlines the
+    * shingling subtree into every lambda, re-tokenizing each document
+    * numHashes × bands times (measured: a 1000× slowdown). The
+    * explode → 64 × min() shape is partial-aggregable (map-side
+    * combine, codegen'd HashAggregate), shuffles only (id, 64 ints),
+    * and is exactly the 2-phase PM-partial → UM-final pattern of the
+    * reference's aggregation engine. */
+  def minhashSignatures(
+      docs: DataFrame, id: String, text: String,
+      numHashes: Int, shingleN: Int): DataFrame = {
+    val exploded = docs.select(col(id).as("_id"),
+      explode(shingles(col(text), shingleN)).as("_s"))
+    val sigCols = (0 until numHashes).map(i => min(hash(col("_s"), lit(i))).as(s"_m$i"))
+    exploded.groupBy(col("_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** LSH band bucket columns over a signature row: bucket b hashes
+    * (b, _m{bR}.._m{bR+R-1}) — all static children, evaluated once. */
+  def lshBucketCols(bands: Int, rowsPerBand: Int): Seq[Column] =
+    (0 until bands).map { b =>
+      hash(lit(b) +: (0 until rowsPerBand).map(r => col(s"_m${b * rowsPerBand + r}")): _*)
+    }
+
+  /** Exact Jaccard over two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    val union = size(array_union(a, b)).cast(DoubleType)
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+
+  /** Banded MinHash-LSH near-duplicate pairs, verified by exact
+    * n-gram Jaccard ≥ `threshold`. Returns (id_a, id_b, jaccard)
+    * with id_a < id_b.
+    *
+    * Plan shape: shingle/sign scan → explode bands (small rows) →
+    * shuffle on bucket → within-bucket pairs → join shingles back by
+    * id (twice) → verify. The only quadratic term is within-bucket,
+    * which banding keeps small; a degenerate bucket (e.g. millions of
+    * empty docs) should be excluded upstream by an exact-dedup pass.
+    */
+  def minhashDupPairs(
+      docs: DataFrame,
+      id: String = "doc_id",
+      text: String = "text",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleN: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+
+    val withSh = docs.select(col(id).as("_id"), shingles(col(text), shingleN).as("_sh"))
+    val sigs = minhashSignatures(docs, id, text, numHashes, shingleN)
+
+    // (bucket, id) — 2 narrow columns through the shuffle
+    val bucketed = sigs.select(col("_id"),
+      explode(array(lshBucketCols(bands, rowsPerBand): _*)).as("_bucket"))
+
+    val pairs = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a._bucket") === col("b._bucket") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct() // a pair can collide in several bands
+
+    pairs
+      .join(withSh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+      .join(withSh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash per document. Implemented as explode → 64
+    * partial-aggregable bit-sums → pack: the map-side-combine shape,
+    * not a per-row 64×tokens expression tree (which would blow up
+    * codegen) and not a UDF.
+    *
+    * Returns (id, simhash: long). Empty docs get simhash 0.
+    */
+  def simhash(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    val tok = docs.select(col(id).as("_id"),
+      explode_outer(TextAnalysis.tokens(lower(col(text)))).as("_t"))
+      .select(col("_id"), xxhash64(col("_t")).as("_h"))
+    // sum over tokens of (2*bit_j - 1); bit j set iff sum > 0
+    val bitSums = (0 until 64).map { j =>
+      sum(when(col("_h").isNull, 0)
+        .otherwise(shiftright(col("_h"), j).bitwiseAND(1) * 2 - 1)).as(s"_b$j")
+    }
+    val packed = (0 until 64).map { j =>
+      when(col(s"_b$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    tok.groupBy(col("_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("_id").as(id), packed.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with hamming ≤ maxDist, candidates from
+    * 16-bit band buckets (pigeonhole: any pair with hamming ≤ 3
+    * agrees on at least one of the 4 bands). */
+  def simhashDupPairs(
+      docs: DataFrame,
+      id: String = "doc_id",
+      text: String = "text",
+      maxDist: Int = 3): DataFrame = {
+    val sh = simhash(docs, id, text).select(col(id).as("_id"), col("simhash"))
+    val banded = sh.select(col("_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("_bk"))
+    banded.as("a").join(banded.as("b"),
+        col("a._bk") === col("b._bk") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

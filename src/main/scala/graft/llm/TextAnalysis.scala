@@ -1,0 +1,109 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token/char statistics, quality scoring, language
+  * identification, and document fingerprinting.
+  *
+  * Everything here is compositional over Spark's codegen'd built-ins
+  * and higher-order array functions — no UDFs, so a 100 TB scan of
+  * `documents` stays inside whole-stage codegen and distributes
+  * row-parallel with zero shuffles until the caller aggregates.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer. */
+  def tokens(text: Column): Column = filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish subword-boundary tokenizer: splits on whitespace AND at
+    * letter/digit/punctuation boundaries (the regex analog of a
+    * byte-pair pre-tokenizer's initial segmentation). */
+  def tokensBpe(text: Column): Column =
+    filter(
+      split(text, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
+      t => length(t) > 0 && t =!= lit(" "))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+  def bpeTokenCount(text: Column): Column = size(tokensBpe(text))
+  def charCount(text: Column): Column = length(text)
+
+  /** Ratio of non-alphanumeric, non-space chars to all chars. */
+  def punctRatio(text: Column): Column = {
+    val total = length(text).cast(DoubleType)
+    val clean = length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", "")).cast(DoubleType)
+    when(total > 0, clean / total).otherwise(lit(0.0))
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) > 0,
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) / size(ts))
+      .otherwise(lit(0.0))
+  }
+
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "was", "for", "on", "are", "as", "with", "at", "be")
+
+  /** Fraction of tokens that are (English) stopwords — a standard
+    * fluency signal in quality classifiers. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnStopwords): Column = {
+    val ts = tokens(lower(text))
+    val sw = lit(stopwords.toArray)
+    when(size(ts) > 0,
+      size(filter(ts, t => array_contains(sw, t))).cast(DoubleType) / size(ts))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot ×
+    * (1 − punct excess) × stopword-presence signal. Deterministic and
+    * cheap; the shape mirrors heuristic pre-filters used before
+    * model-based quality scoring. */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast(DoubleType)
+    val lenScore = least(n / 50.0, lit(1.0)) * when(n > 5000, 0.5).otherwise(1.0)
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
+    val swScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    round(lenScore * punctScore * swScore, 6)
+  }
+
+  /** Stopword tables for the language-ID heuristic. */
+  val LangStopwords: Map[String, Seq[String]] = Map(
+    "en" -> EnStopwords,
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+      "mit", "auf", "für", "von", "zu", "den", "im", "sich"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "du",
+      "pour", "dans", "que", "qui", "sur", "pas", "avec"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "de",
+      "en", "que", "por", "con", "para", "del", "se"))
+
+  /** N-gram/stopword language-ID heuristic: the language whose
+    * stopword table hits the most tokens wins; 'und' (undetermined)
+    * when nothing hits. Distinct-token hits (array_intersect) so a
+    * single repeated word can't dominate. */
+  def langId(text: Column): Column = {
+    val ts = array_distinct(tokens(lower(text)))
+    val scores = LangStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> size(array_intersect(ts, lit(words.toArray)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, score), elseCol) =>
+      when(score === best && score > 0, lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  /** Rotate-xor rolling-hash fingerprint over token xxhashes —
+    * order-sensitive (unlike a bag-of-words hash), 64-bit, stable
+    * across runs and partitionings. Built from shift/xor only so it
+    * wraps bitwise instead of tripping ANSI overflow checks. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => xxhash64(t)),
+      lit(0L),
+      (acc, h) =>
+        shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(h))
+}

@@ -234,5 +234,8 @@ object ConcatAggs {
       es => GroupConcat(es(0), es(1), sep(es(2)), ascending = false), "built-in")
     reg.createOrReplaceTempFunction("json_arrayagg",
       es => JsonArrayAgg(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("group_concat_maxlen",
+      es => GroupConcat(es(0), es(1), sep(es(2)),
+        maxLen = es(3).eval(null).asInstanceOf[Int]), "built-in")
   }
 }

@@ -39,7 +39,7 @@ object JsonFunctions {
 
   /** A parsed MySQL JSON path: `$` then `.key` / `[idx]` legs.
     * Wildcards are not supported for mutation (same as MySQL). */
-  private[functions] def parsePath(path: String): Option[List[Either[String, Int]]] = {
+  def parsePath(path: String): Option[List[Either[String, Int]]] = {
     if (!path.startsWith("$")) return None
     val legs = scala.collection.mutable.ListBuffer.empty[Either[String, Int]]
     var i = 1
@@ -90,6 +90,7 @@ object JsonFunctions {
   case class JsonMergePatch(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = StringType
+    override def nullable: Boolean = true
     override def prettyName: String = "json_merge_patch"
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
@@ -182,6 +183,7 @@ object JsonFunctions {
     override def left: Expression = doc
     override def right: Expression = path
     override def dataType: DataType = StringType
+    override def nullable: Boolean = true
     override def prettyName: String = "json_remove"
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(doc = l, path = r)
@@ -209,6 +211,7 @@ object JsonFunctions {
   /** JSON_DEPTH (ref func_json_depth.cpp): scalar/empty doc = 1. */
   case class JsonDepth(child: Expression) extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
     override def prettyName: String = "json_depth"
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
     private def depth(n: JsonNode): Int =
@@ -231,6 +234,7 @@ object JsonFunctions {
     override def left: Expression = doc
     override def right: Expression = candidate
     override def dataType: DataType = BooleanType
+    override def nullable: Boolean = true
     override def prettyName: String = "json_contains"
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(doc = l, candidate = r)
@@ -265,6 +269,7 @@ object JsonFunctions {
   /** JSON_TYPE with MySQL's type names (ref func_json_type.cpp). */
   case class JsonTypeMySql(child: Expression) extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = StringType
+    override def nullable: Boolean = true
     override def prettyName: String = "json_type"
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
     override def nullSafeEval(d: Any): Any =
@@ -299,6 +304,7 @@ object JsonFunctions {
     * string; non-strings render as JSON text, like MySQL. */
   case class JsonUnquote(child: Expression) extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = StringType
+    override def nullable: Boolean = true
     override def prettyName: String = "json_unquote"
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
     override def nullSafeEval(d: Any): Any =

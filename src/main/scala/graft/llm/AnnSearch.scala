@@ -69,44 +69,64 @@ object AnnSearch {
       when(dot(v, lit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** LSH-bucketed cosine top-k with 1-bit multi-probe.
-    * Returns (qid, vec_id, cosine, rank) — a subset of the brute-force
-    * result; recall rises with fewer planes / more probes. */
+  /** LSH-bucketed cosine top-k: the classic multi-table structure —
+    * `numTables` independent hash tables of `numPlanes` hyperplanes
+    * each, query probes its bucket plus every 1-bit flip in every
+    * table, candidates are the union. With L tables of P planes and
+    * per-plane agreement p, recall per neighbor is
+    * 1 − (1 − (p^P + P·p^(P−1)(1−p)))^L — tables are the knob that
+    * buys recall without scanning more of the corpus per bucket.
+    * Returns (qid, vec_id, cosine, rank) — a subset of brute force. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      numPlanes: Int = 8, dim: Int = 64,
+      numPlanes: Int = 6, numTables: Int = 8, dim: Int = 64,
       id: String = "vec_id", vec: String = "embedding",
       qid: String = "qid", qvec: String = "qvec"): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim)
-    val c = corpus.select(col(id).as("vec_id"), asDouble(col(vec)).as("_v"))
-      .withColumn("_bucket", bucketOf(col("_v"), planes))
-    val qb = queries.select(col(qid).as("qid"), asDouble(col(qvec)).as("_q"))
-      .withColumn("_b0", bucketOf(col("_q"), planes))
-    // probe own bucket + every 1-bit flip
-    val probes = array(lit(0L) +: (0 until numPlanes).map(i => lit(1L << i)): _*)
-    val probed = qb.select(col("qid"), col("_q"),
-      explode(transform(probes, m => col("_b0").bitwiseXOR(m))).as("_bucket"))
-    val scored = c.join(broadcast(probed), "_bucket")
-      .select(col("qid"), col("vec_id"), cosine(col("_v"), col("_q")).as("cosine"))
-      .groupBy(col("qid"), col("vec_id")).agg(max(col("cosine")).as("cosine"))
+    val tables = (0 until numTables).map(t => hyperplanes(numPlanes, dim, seed = 42L + t))
+    val c0 = corpus.select(col(id).as("vec_id"), asDouble(col(vec)).as("_v"))
+    // corpus: one (table, bucket) row per table — L narrow rows per vector
+    val c = c0.select(col("vec_id"), col("_v"),
+      explode(array(tables.zipWithIndex.map { case (p, t) =>
+        struct(lit(t).as("t"), bucketOf(col("_v"), p).as("b"))
+      }: _*)).as("_tb"))
+    val q0 = queries.select(col(qid).as("qid"), asDouble(col(qvec)).as("_q"))
+    // queries: per table, own bucket + all 1-bit flips
+    val probed = q0.select(col("qid"), col("_q"),
+      explode(flatten(array(tables.zipWithIndex.map { case (p, t) =>
+        transform(
+          array(lit(0L) +: (0 until numPlanes).map(i => lit(1L << i)): _*),
+          m => struct(lit(t).as("t"), bucketOf(col("_q"), p).bitwiseXOR(m).as("b")))
+      }: _*))).as("_tb"))
+    val scored = c.join(broadcast(probed), "_tb")
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(max(cosine(col("_v"), col("_q"))).as("cosine"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold),
-    * candidates restricted to shared LSH buckets — the embedding
-    * analog of Dedup.minhashDupPairs, never all-pairs. */
+    * candidates restricted to shared LSH buckets across `numTables`
+    * tables — the embedding analog of Dedup.minhashDupPairs, never
+    * all-pairs. Narrow (table, bucket, id) rows go through the
+    * shuffle; vectors are joined back by id only for verified pairs. */
   def cosineDupPairs(
       corpus: DataFrame, threshold: Double,
-      numPlanes: Int = 6, dim: Int = 64,
+      numPlanes: Int = 6, numTables: Int = 4, dim: Int = 64,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim)
-    val c = corpus.select(col(id).as("_id"), asDouble(col(vec)).as("_v"))
-      .withColumn("_bucket", bucketOf(col("_v"), planes))
-    c.as("a").join(c.as("b"),
-        col("a._bucket") === col("b._bucket") && col("a._id") < col("b._id"))
-      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
-        round(cosine(col("a._v"), col("b._v")), 6).as("cosine"))
+    val tables = (0 until numTables).map(t => hyperplanes(numPlanes, dim, seed = 42L + t))
+    val c0 = corpus.select(col(id).as("_id"), asDouble(col(vec)).as("_v"))
+    val bucketed = c0.select(col("_id"),
+      explode(array(tables.zipWithIndex.map { case (p, t) =>
+        struct(lit(t).as("t"), bucketOf(col("_v"), p).as("b"))
+      }: _*)).as("_tb"))
+    val pairs = bucketed.as("a").join(bucketed.as("b"),
+        col("a._tb") === col("b._tb") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+    pairs
+      .join(c0.select(col("_id").as("id_a"), col("_v").as("_va")), "id_a")
+      .join(c0.select(col("_id").as("id_b"), col("_v").as("_vb")), "id_b")
+      .select(col("id_a"), col("id_b"), round(cosine(col("_va"), col("_vb")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

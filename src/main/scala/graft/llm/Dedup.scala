@@ -154,6 +154,9 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Driver-side hamming, for tests and small-result post-processing. */
+  def hammingInt(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
   /** SimHash near-dup pairs with hamming ≤ maxDist, candidates from
     * 16-bit band buckets (pigeonhole: any pair with hamming ≤ 3
     * agrees on at least one of the 4 bands). */

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{ConcatAggs, JsonFunctions, MySqlFunctions => M}
+
+/** Unit coverage for the MySQL-compat function layer: the date-format
+  * translator, the JSON mutation expressions (incl. the array paths
+  * the DuckDB oracle cannot express), and the GROUP_CONCAT aggregate's
+  * modifier semantics. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(colExpr: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("x").select(colExpr).collect()(0).get(0)
+
+  test("date pattern translator maps MySQL specifiers and escapes literals") {
+    assert(M.translateDatePattern("%Y-%m-%d") == "yyyy-MM-dd")
+    assert(M.translateDatePattern("%d/%m/%Y %H:%i:%s") == "dd/MM/yyyy HH:mm:ss")
+    assert(M.translateDatePattern("%W %M %e, %Y") == "EEEE MMMM d, yyyy")
+    assert(M.translateDatePattern("at %H o'clock") == "'at 'HH' o''clock'")
+    assert(M.translateDatePattern("100%%") == "100%")
+    intercept[IllegalArgumentException](M.translateDatePattern("%X-%V"))
+  }
+
+  test("period arithmetic: add/diff are inverse") {
+    val df = Seq(199501, 199512, 200001, 202312).toDF("p")
+    val r = df.select(col("p"), M.periodDiff(M.periodAdd(col("p"), lit(37)), col("p")))
+      .as[(Int, Long)].collect()
+    assert(r.forall(_._2 == 37L))
+    assert(one(M.periodAdd(lit(199512), lit(1))) == 199601L)
+    assert(one(M.periodDiff(lit(199603), lit(199512))) == 3L)
+  }
+
+  test("to_days/from_days roundtrip and known values") {
+    assert(one(M.toDays(to_date(lit("1970-01-01")))) == 719528L)
+    assert(one(M.toDays(to_date(lit("2007-10-07")))) == 733321L) // MySQL doc example
+    val r = Seq("1995-03-01", "2000-02-29", "2024-12-31").toDF("d")
+      .select(M.fromDays(M.toDays(to_date(col("d")))).cast("string"), col("d"))
+      .as[(String, String)].collect()
+    assert(r.forall(t => t._1 == t._2))
+  }
+
+  test("sec_to_time/time_to_sec roundtrip incl. negatives and >24h") {
+    assert(one(M.secToTime(lit(3661))) == "01:01:01")
+    assert(one(M.secToTime(lit(-90))) == "-00:01:30")
+    assert(one(M.secToTime(lit(90000))) == "25:00:00")
+    val secs = Seq(0, 1, 59, 3600, 86399, 90061, -5, -86400).toDF("s")
+    val r = secs.select(col("s"), M.timeToSec(M.secToTime(col("s")))).as[(Int, Long)].collect()
+    assert(r.forall(t => t._1.toLong == t._2))
+  }
+
+  test("lenient casts: string prefix parse and half-away rounding") {
+    assert(one(M.castSigned(lit("  12abc"))) == 12L)
+    assert(one(M.castSigned(lit("-7x"))) == -7L)
+    assert(one(M.castSigned(lit("abc"))) == 0L)
+    assert(one(M.castSignedRound(lit(2.5))) == 3L)
+    assert(one(M.castSignedRound(lit(-2.5))) == -3L)
+    assert(one(M.castSignedRound(lit(2.4))) == 2L)
+  }
+
+  test("json mutation expressions: array paths, modes, invalid input") {
+    JsonFunctions.register(spark)
+    def j(e: String): Any = spark.sql(s"SELECT $e").collect()(0).get(0)
+    assert(j("""json_remove('{"a":[1,2,3]}', '$.a[1]')""") == """{"a":[1,3]}""")
+    assert(j("""json_set('{"a":[1,2]}', '$.a[5]', '9')""") == """{"a":[1,2,9]}""")
+    assert(j("""json_replace('{"a":[1,2]}', '$.a[0]', '9')""") == """{"a":[9,2]}""")
+    assert(j("""json_insert('{"a":1}', '$.a', '9')""") == """{"a":1}""")
+    assert(j("""json_merge_patch('{"a":{"b":1,"c":2}}', '{"a":{"b":null}}')""") == """{"a":{"c":2}}""")
+    assert(j("""json_depth('[[[1]]]')""") == 4)
+    assert(j("""json_unquote('not json')""") == "not json")
+    assert(j("""json_valid('{]')""") == false)
+    assert(j("""json_type('true')""") == "BOOLEAN")
+    assert(j("""json_merge_patch('{bad', '{}')""") == null)
+  }
+
+  test("json path parser handles nesting, rejects malformed") {
+    import graft.functions.JsonFunctions.parsePath
+    assert(parsePath("$.a.b[2].c") == Some(List(Left("a"), Left("b"), Right(2), Left("c"))))
+    assert(parsePath("$") == Some(Nil))
+    assert(parsePath("a.b").isEmpty)
+    assert(parsePath("$.a[x]").isEmpty)
+    assert(parsePath("$.").isEmpty)
+  }
+
+  test("group_concat: order, desc, distinct, separator, truncation, empty->null") {
+    ConcatAggs.register(spark)
+    Seq((1, "b", 2.0), (1, "a", 3.0), (1, "c", 1.0), (1, "a", 0.5), (2, "z", 1.0))
+      .toDF("g", "s", "k").createOrReplaceTempView("gc")
+    val r = spark.sql(
+      """SELECT g, group_concat(s, k, ','), group_concat_desc(s, s, '-'),
+        |       group_concat_distinct(s, s, '+')
+        |FROM gc GROUP BY g ORDER BY g""".stripMargin)
+      .as[(Int, String, String, String)].collect()
+    assert(r(0) == ((1, "a,c,b,a", "c-b-a-a", "a+b+c")))
+    assert(r(1) == ((2, "z", "z", "z")))
+    // truncation at maxLen
+    Seq((1, "aaaa"), (1, "bbbb")).toDF("g", "s").createOrReplaceTempView("gt")
+    val tr = spark.sql("SELECT group_concat_maxlen(s, s, ',', 6) FROM gt GROUP BY g")
+      .collect()(0).getString(0)
+    assert(tr == "aaaa,b")
+    // json_arrayagg
+    val ja = spark.sql("SELECT json_arrayagg(s, k) FROM gc WHERE g = 1")
+      .collect()(0).getString(0)
+    assert(ja == """["a","c","b","a"]""")
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{AnnSearch, Dedup, Multimodal, TextAnalysis}
+
+/** Semantic assertions for the operators the DuckDB oracle cannot
+  * express (hash-based LSH, heuristics): planted near-duplicates are
+  * found, ANN recall holds, language-ID classifies, fingerprints are
+  * stable and order-sensitive. */
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def syntheticDocs = {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+      "into the deep green forest while the hunter waits quietly near the old bridge"
+    Seq(
+      (1L, base),
+      (2L, base.replace("quietly", "loudly")), // near-dup of 1
+      (3L, base),                              // exact dup of 1
+      (4L, "completely different text about database engines and columnar storage formats " +
+        "with vectorized execution pipelines and adaptive query optimizers running at scale"),
+      (5L, "short text"),
+      (6L, "spark sql catalyst optimizer rewrites logical plans into physical plans using " +
+        "cost based statistics and adaptive execution at runtime for large clusters")
+    ).toDF("doc_id", "text")
+  }
+
+  test("minhash LSH finds planted near-duplicates and only them") {
+    val pairs = Dedup.minhashDupPairs(syntheticDocs, threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("minhash LSH achieves full recall vs brute-force jaccard on real docs") {
+    val docs = Tables.t(spark, sfDir, "documents").filter(col("doc_id") < 200)
+    val found = Dedup.minhashDupPairs(docs, threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force ground truth over the same subset
+    val sh = docs.select(col("doc_id").as("_id"), Dedup.shingles(col("text")).as("_sh"))
+    val truth = sh.as("a").join(sh.as("b"), col("a._id") < col("b._id"))
+      .withColumn("j", Dedup.jaccard(col("a._sh"), col("b._sh")))
+      .filter(col("j") >= 0.6)
+      .select(col("a._id"), col("b._id")).as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "test data should contain planted near-dups")
+    assert(found == truth,
+      s"LSH(missing=${truth -- found}, spurious=${found -- truth})")
+  }
+
+  test("simhash: exact dup has hamming 0, near-dup small, unrelated large") {
+    val sh = Dedup.simhash(syntheticDocs).as[(Long, Long)].collect().toMap
+    assert(Dedup.hammingInt(sh(1L), sh(3L)) == 0)
+    assert(Dedup.hammingInt(sh(1L), sh(2L)) <= 12)
+    assert(Dedup.hammingInt(sh(1L), sh(4L)) > 16)
+  }
+
+  test("lsh ANN reaches recall >= 0.5 vs brute force top-10") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = AnnSearch.bruteForceTopK(emb, queries, 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = AnnSearch.lshTopK(emb, queries, 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall")
+    // and the approximate scores it does return are the true cosines
+    assert(approx.subsetOf(
+      AnnSearch.bruteForceTopK(emb, queries, emb.count().toInt)
+        .select("qid", "vec_id").as[(Long, Long)].collect().toSet))
+  }
+
+  test("language-ID classifies planted samples") {
+    val docs = Seq(
+      (1L, "the cat is on the mat and it is a good day for all of us"),
+      (2L, "der hund ist nicht mit der katze und das ist ein problem für sich"),
+      (3L, "le chat est dans la maison et il est un bon jour pour les amis"),
+      (4L, "el perro es un animal y la casa es grande para los amigos")
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"), TextAnalysis.langId(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es"))
+  }
+
+  test("fingerprint is stable and order-sensitive") {
+    val df = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "gamma beta alpha")
+    ).toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"), TextAnalysis.fingerprint(col("text")))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("quality score ranks clean text above degenerate text") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and it is a fine day in the forest " +
+        "with many animals that are happy to be alive and the sun is bright"),
+      (2L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val q = df.select(col("doc_id"), TextAnalysis.qualityScore(col("text")))
+      .as[(Long, Double)].collect().toMap
+    assert(q(1L) > q(2L))
+    assert(q(3L) == 0.0)
+  }
+
+  test("multimodal: features are deterministic, frame sampling matches arithmetic") {
+    val media = Multimodal.attachPayload(
+      Seq((3L, "abcabc"), (6L, "zzzz")).toDF("doc_id", "text"))
+    val f1 = Multimodal.extractFeatures(spark, media).collect().sortBy(_.doc_id)
+    val f2 = Multimodal.extractFeatures(spark, media).collect().sortBy(_.doc_id)
+    assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
+    assert(f1.forall(r => math.abs(r.features.sum - 1.0) < 1e-9))
+    val frames = Multimodal.sampleFrames(media, step = 2).collect()
+    // doc 3: format idx (3%4)=3 -> mp4, n_frames=4 -> frames 0,2
+    assert(frames.map(r => (r.getLong(0), r.getInt(2))).toSet == Set((3L, 0), (3L, 2)))
+  }
+}

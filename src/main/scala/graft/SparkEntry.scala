@@ -23,7 +23,8 @@ object SparkEntry {
     (FunctionQueries.queries, FunctionQueries.oracle),
     (JsonQueries.queries, JsonQueries.oracle),
     (AggExtraQueries.queries, AggExtraQueries.oracle),
-    (LlmQueries.queries, LlmQueries.oracle)
+    (LlmQueries.queries, LlmQueries.oracle),
+    (IngestQueries.queries, IngestQueries.oracle)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,69 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** A minimal persistent table catalog over a warehouse directory —
+  * the role of the reference's system catalog + extent map
+  * (`dbcon/execplan/calpontsystemcatalog.h`, `versioning/BRM/
+  * extentmap.h`): names → (location, schema, format), durable across
+  * sessions, no external metastore.
+  *
+  * Layout: `<warehouse>/<table>/` holds the parquet data;
+  * `<warehouse>/_catalog/<table>.json` holds the schema (Spark's own
+  * JSON schema serialization — lossless for all mapped types).
+  * Parquet footers carry the per-file min/max stats that stand in for
+  * the reference's casual-partitioning extent metadata.
+  */
+final class Catalog(val warehouse: String, spark: SparkSession) {
+
+  private val metaDir: Path = Paths.get(warehouse, "_catalog")
+  Files.createDirectories(metaDir)
+
+  private def metaFile(table: String): Path = metaDir.resolve(s"$table.json")
+  def tableLocation(table: String): String = s"$warehouse/$table"
+
+  /** CREATE TABLE from a MariaDB DDL string (or bare column list). */
+  def createTable(table: String, ddl: String): StructType = {
+    val schema = TypeMapper.parseDdl(ddl)
+    require(!Files.exists(metaFile(table)), s"table exists: $table")
+    Files.writeString(metaFile(table), schema.json)
+    Files.createDirectories(Paths.get(tableLocation(table)))
+    schema
+  }
+
+  def dropTable(table: String): Unit = {
+    require(Files.exists(metaFile(table)), s"no such table: $table")
+    Files.delete(metaFile(table))
+    val loc = Paths.get(tableLocation(table))
+    if (Files.exists(loc)) {
+      Files.walk(loc).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
+
+  def listTables(): Seq[String] =
+    Files.list(metaDir).iterator().asScala
+      .map(_.getFileName.toString.stripSuffix(".json")).toSeq.sorted
+
+  def schemaOf(table: String): StructType = {
+    require(Files.exists(metaFile(table)), s"no such table: $table")
+    DataType.fromJson(Files.readString(metaFile(table))).asInstanceOf[StructType]
+  }
+
+  /** Load a table as a DataFrame (empty-but-typed when no data yet). */
+  def load(table: String): DataFrame = {
+    val schema = schemaOf(table)
+    val loc = Paths.get(tableLocation(table))
+    val hasData = Files.exists(loc) &&
+      Files.list(loc).iterator().asScala.exists(_.toString.endsWith(".parquet"))
+    if (hasData) spark.read.schema(schema).parquet(tableLocation(table))
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Register every catalog table as a temp view. */
+  def registerViews(): Unit =
+    listTables().foreach(t => load(t).createOrReplaceTempView(t))
+}

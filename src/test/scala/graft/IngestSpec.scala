@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.{Catalog, CsvImporter, TypeMapper}
+
+/** Ingest path: TypeMapper DDL→StructType, catalog round trip, and a
+  * cpimport-style CSV load whose query results match the original
+  * parquet exactly. */
+class IngestSpec extends SparkSpec {
+
+  test("type mapper: unsigned widening, decimal, temporal") {
+    import TypeMapper.toSparkType
+    assert(toSparkType("TINYINT") == ByteType)
+    assert(toSparkType("TINYINT UNSIGNED") == ShortType)
+    assert(toSparkType("INT") == IntegerType)
+    assert(toSparkType("INT UNSIGNED") == LongType)
+    assert(toSparkType("BIGINT UNSIGNED") == DecimalType(20, 0))
+    assert(toSparkType("DECIMAL(18,2)") == DecimalType(18, 2))
+    assert(toSparkType("DECIMAL(38,10)") == DecimalType(38, 10))
+    intercept[IllegalArgumentException](toSparkType("DECIMAL(40,2)"))
+    assert(toSparkType("VARCHAR(64)") == StringType)
+    assert(toSparkType("DATETIME") == TimestampNTZType)
+    assert(toSparkType("TIMESTAMP") == TimestampType)
+    assert(toSparkType("DATE") == DateType)
+    assert(toSparkType("BLOB") == BinaryType)
+    assert(toSparkType("JSON") == StringType)
+  }
+
+  test("ddl parser: columns, nullability, ignored key clauses") {
+    val s = TypeMapper.parseDdl(
+      """CREATE TABLE t (
+        |  id BIGINT NOT NULL,
+        |  name VARCHAR(25) NOT NULL DEFAULT 'x',
+        |  bal DECIMAL(12,2),
+        |  created DATETIME,
+        |  PRIMARY KEY (id)
+        |);""".stripMargin)
+    assert(s == StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = false),
+      StructField("bal", DecimalType(12, 2), nullable = true),
+      StructField("created", TimestampNTZType, nullable = true))))
+  }
+
+  test("csv import round trip: query over imported table matches parquet original") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val csvDir = Files.createTempDirectory("graft_csv").toString
+    val cat = new Catalog(wh, spark)
+
+    val orig = Tables.t(spark, sfDir, "lineitem")
+    orig.coalesce(1).write.mode("overwrite")
+      .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
+      .option("sep", "|").csv(csvDir)
+
+    cat.createTable("lineitem_in",
+      """l_orderkey BIGINT NOT NULL, l_partkey BIGINT, l_suppkey BIGINT,
+        |l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE,
+        |l_discount DOUBLE, l_tax DOUBLE, l_returnflag CHAR(1),
+        |l_linestatus CHAR(1), l_shipdate DATETIME""".stripMargin)
+
+    val res = CsvImporter.importCsv(spark, cat, "lineitem_in", csvDir, delimiter = "|")
+    assert(res.rowsRejected == 0)
+    assert(res.rowsLoaded == orig.count())
+
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("q"),
+          count(lit(1)).as("n"),
+          max(col("l_shipdate")).as("mx"))
+        .orderBy(col("l_returnflag")).collect().toSeq
+    assert(agg(cat.load("lineitem_in")) == agg(orig))
+
+    // rejected rows are counted, good rows still load
+    val badCsv = Files.createTempDirectory("graft_bad").toString
+    Files.writeString(java.nio.file.Paths.get(badCsv, "part.csv"),
+      "1|2|3|4|5.0|6.0|0.1|0.2|A|B|1996-01-01 00:00:00\nnot|a|valid|row\n")
+    cat.createTable("li2", "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, " +
+      "l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, " +
+      "l_tax DOUBLE, l_returnflag CHAR(1), l_linestatus CHAR(1), l_shipdate DATETIME")
+    val r2 = CsvImporter.importCsv(spark, cat, "li2", badCsv, delimiter = "|")
+    assert(r2.rowsLoaded == 1 && r2.rowsRejected == 1)
+
+    // catalog round trip
+    assert(cat.listTables() == Seq("li2", "lineitem_in"))
+    cat.dropTable("li2")
+    assert(cat.listTables() == Seq("lineitem_in"))
+  }
+}

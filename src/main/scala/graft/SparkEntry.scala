@@ -24,7 +24,8 @@ object SparkEntry {
     (JsonQueries.queries, JsonQueries.oracle),
     (AggExtraQueries.queries, AggExtraQueries.oracle),
     (LlmQueries.queries, LlmQueries.oracle),
-    (IngestQueries.queries, IngestQueries.oracle)
+    (IngestQueries.queries, IngestQueries.oracle),
+    (MiscQueries.queries, MiscQueries.oracle)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -174,6 +174,43 @@ object MySqlFunctions {
   def strToDate(s: Column, mysqlPattern: String): Column =
     to_timestamp(s, translateDatePattern(mysqlPattern))
 
+  // ---- Oracle-mode variants (sql_mode=ORACLE; ref
+  // func_concat_oracle.cpp, func_ltrim_oracle.cpp,
+  // func_replace_oracle.cpp, func_decode_oracle.cpp — the behavioral
+  // difference is NULL/empty-string handling) ----
+
+  /** Oracle CONCAT: NULL operands behave as '' (MySQL CONCAT returns
+    * NULL if ANY operand is NULL). */
+  def concatOracle(cols: Column*): Column =
+    concat(cols.map(c => coalesce(c, lit(""))): _*)
+
+  /** Oracle REPLACE: empty/NULL search string returns the original
+    * (MySQL replaces nothing but returns NULL on NULL args). */
+  def replaceOracle(s: Column, search: Column, repl: Column): Column =
+    when(search.isNull || length(search) === 0, s)
+      .otherwise(regexp_replace(s,
+        // literal replace: quote regex metachars
+        regexp_replace(search, "([\\\\.\\[\\]{}()*+?^$|])", "\\\\$1"),
+        coalesce(repl, lit(""))))
+
+  /** Oracle TRIM family: trimming to nothing yields NULL (Oracle has
+    * no empty string — '' IS NULL). */
+  def trimOracle(s: Column): Column = nullif(trim(s), lit(""))
+  def ltrimOracle(s: Column): Column = nullif(ltrim(s), lit(""))
+  def rtrimOracle(s: Column): Column = nullif(rtrim(s), lit(""))
+
+  /** Oracle DECODE(expr, k1, v1, k2, v2, ..., [default]): CASE with
+    * NULL-safe key comparison (DECODE treats NULL = NULL as a match,
+    * unlike CASE). Pairs are (key, value); odd trailing arg = default. */
+  def decodeOracle(expr: Column, pairsAndDefault: Column*): Column = {
+    val (pairs, default) =
+      if (pairsAndDefault.length % 2 == 0) (pairsAndDefault, lit(null))
+      else (pairsAndDefault.dropRight(1), pairsAndDefault.last)
+    pairs.grouped(2).foldRight(default) { case (Seq(k, v), elseCol) =>
+      when(expr <=> k, v).otherwise(elseCol)
+    }
+  }
+
   /** MySQL YEARWEEK(date) in the default mode-0 reckoning is messy;
     * this is the ISO variant (mode 3): year*100 + ISO week. */
   def yearweekIso(d: Column): Column = {

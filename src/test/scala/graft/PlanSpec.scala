@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.Analyze
+import graft.functions.{MySqlFunctions => M}
+
+/** Optimizer-facing behavior: ANALYZE statistics reach the catalog
+  * (rowCount + per-column NDV/histograms for CBO), flagship plans
+  * keep filters pushed into the parquet scan, and Oracle-mode
+  * function variants implement Oracle NULL semantics. */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("analyze computes table + column statistics the CBO can read") {
+    val df = Tables.t(spark, sfDir, "supplier")
+    Analyze.analyzed(spark, df, "supplier_stats", Seq("s_suppkey", "s_nationkey"))
+    val t = Analyze.tableStats(spark, "supplier_stats")
+    assert(t.get("Statistics").exists(s => s.contains("rows")), t.get("Statistics"))
+    val c = Analyze.columnStats(spark, "supplier_stats", "s_nationkey")
+    assert(c.get("distinct_count").exists(_.trim.toLong > 0), c)
+    assert(c.contains("histogram"))
+    // and the optimizer actually picks the stats up in the plan
+    val rel = spark.table("supplier_stats").queryExecution.optimizedPlan.stats
+    assert(rel.rowCount.exists(_.toLong == df.count()))
+    spark.sql("DROP TABLE supplier_stats")
+  }
+
+  test("filter pushdown reaches the parquet scan in flagship queries") {
+    val plan = SparkEntry.queries("q6_forecast")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:"), "no pushed filters in q6 scan")
+    assert(plan.contains("l_shipdate"), "shipdate range not pushed")
+    // column pruning: only the 4 referenced columns are read
+    assert("ReadSchema: [^\n]*l_extendedprice".r.findFirstIn(plan).isDefined)
+    assert(!plan.contains("l_partkey"), "unreferenced column not pruned from scan")
+  }
+
+  test("oracle-mode variants: NULL/empty semantics") {
+    def one(c: org.apache.spark.sql.Column): Any =
+      Seq(1).toDF("x").select(c).collect()(0).get(0)
+    assert(one(M.concatOracle(lit("a"), lit(null), lit("b"))) == "ab")
+    assert(one(M.trimOracle(lit("   "))) == null)
+    assert(one(M.replaceOracle(lit("a.b.c"), lit("."), lit("-"))) == "a-b-c")
+    assert(one(M.replaceOracle(lit("abc"), lit(""), lit("-"))) == "abc")
+    assert(one(M.decodeOracle(lit(null), lit(null), lit("was-null"), lit("dflt"))) == "was-null")
+    assert(one(M.decodeOracle(lit(2), lit(1), lit("one"), lit(2), lit("two"))) == "two")
+    assert(one(M.decodeOracle(lit(9), lit(1), lit("one"), lit("dflt"))) == "dflt")
+  }
+
+  test("scalar UDF registration path works in SQL") {
+    graft.functions.UdfSdk.register(spark)
+    assert(spark.sql("SELECT udf_reverse_words('hello brave new world')")
+      .collect()(0).getString(0) == "world new brave hello")
+  }
+}

@@ -49,25 +49,46 @@ object Dedup {
       .otherwise(array(lower(text)))
   }
 
-  /** MinHash signature as an AGGREGATION over exploded shingle rows:
-    * input (id, shingle), output (id, _m0.._m{H-1}) where
-    * _mi = min(hash(shingle, i)) — the i-th permutation's minimum.
-    *
-    * Deliberately NOT a nested higher-order-function column: HOFs are
-    * interpreted, and Catalyst's projection collapse inlines the
-    * shingling subtree into every lambda, re-tokenizing each document
-    * numHashes × bands times (measured: a 1000× slowdown). The
-    * explode → 64 × min() shape is partial-aggregable (map-side
-    * combine, codegen'd HashAggregate), shuffles only (id, 64 ints),
-    * and is exactly the 2-phase PM-partial → UM-final pattern of the
-    * reference's aggregation engine. */
+  /** Distinct word-n-gram shingles as ROWS (_id, _ng) — the
+    * whole-stage-codegen formulation: posexplode tokens, form n-grams
+    * with window lead() over (doc, position), distinct. Array
+    * higher-order functions are interpreted in Spark, and profiling
+    * showed the array-based shingler dominating the pipeline (7.7 s
+    * of an 8.8 s run at sf0.1); this row pipeline keeps every
+    * operator codegen'd and scales as two narrow shuffles. Docs
+    * shorter than n tokens contribute one whole-text shingle. */
+  def shingleRows(docs: DataFrame, id: String = "doc_id", text: String = "text",
+      n: Int = 3, distinctRows: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(id).as("_id"),
+      posexplode(TextAnalysis.tokens(lower(col(text)))).as(Seq("_p", "_w")))
+    val w = Window.partitionBy(col("_id")).orderBy(col("_p"))
+    val leads = (1 until n).map(j => lead(col("_w"), j).over(w))
+    val grams = toks
+      .withColumn("_lastw", leads.last)
+      .withColumn("_ng", concat_ws(" ", col("_w") +: leads: _*))
+      .filter(col("_lastw").isNotNull) // windows that run off the end
+      .select(col("_id"), col("_ng"))
+    val short = docs.select(col(id).as("_id"), lower(col(text)).as("_ng"))
+      .join(grams.select("_id").distinct(), Seq("_id"), "left_anti")
+    val all = grams.union(short)
+    // distinct costs a shuffle; skip it for duplicate-insensitive
+    // consumers (min-hash signatures)
+    if (distinctRows) all.distinct() else all
+  }
+
+  /** MinHash signature as an AGGREGATION over shingle rows:
+    * input (_id, _ng), output (_id, _m0.._m{H-1}) where
+    * _mi = min(hash(_ng, i)) — the i-th permutation's minimum.
+    * Partial-aggregable (map-side combine, codegen'd HashAggregate),
+    * shuffles only (id, H ints) — the 2-phase PM-partial → UM-final
+    * pattern of the reference's aggregation engine. */
   def minhashSignatures(
       docs: DataFrame, id: String, text: String,
       numHashes: Int, shingleN: Int): DataFrame = {
-    val exploded = docs.select(col(id).as("_id"),
-      explode(shingles(col(text), shingleN)).as("_s"))
-    val sigCols = (0 until numHashes).map(i => min(hash(col("_s"), lit(i))).as(s"_m$i"))
-    exploded.groupBy(col("_id")).agg(sigCols.head, sigCols.tail: _*)
+    val sigCols = (0 until numHashes).map(i => min(hash(col("_ng"), lit(i))).as(s"_m$i"))
+    shingleRows(docs, id, text, shingleN, distinctRows = false)
+      .groupBy(col("_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
   /** LSH band bucket columns over a signature row: bucket b hashes
@@ -104,9 +125,10 @@ object Dedup {
       threshold: Double = 0.6): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    require(threshold > 0, "threshold must be positive (zero-overlap pairs are never emitted)")
 
-    val withSh = docs.select(col(id).as("_id"), shingles(col(text), shingleN).as("_sh"))
-    val sigs = minhashSignatures(docs, id, text, numHashes, shingleN)
+    val sh = shingleRows(docs, id, text, shingleN)
+    val sigs = minhashSignatures(docs, id, text, shingleN = shingleN, numHashes = numHashes)
 
     // (bucket, id) — 2 narrow columns through the shuffle
     val bucketed = sigs.select(col("_id"),
@@ -118,10 +140,18 @@ object Dedup {
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct() // a pair can collide in several bands
 
-    pairs
-      .join(withSh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
-      .join(withSh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+    // Exact Jaccard by set-join counting over shingle ROWS (stays in
+    // codegen, unlike array_intersect over collected arrays):
+    // |A∩B| = matching (id_b, shingle) rows; |A∪B| = |A|+|B|−|A∩B|.
+    val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("_sz"))
+    val inter = pairs
+      .join(sh.select(col("_id").as("id_a"), col("_ng")), "id_a")
+      .join(sh.select(col("_id").as("id_b"), col("_ng")), Seq("id_b", "_ng"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_inter"))
+    inter
+      .join(sizes.select(col("_id").as("id_a"), col("_sz").as("_sa")), "id_a")
+      .join(sizes.select(col("_id").as("id_b"), col("_sz").as("_sb")), "id_b")
+      .withColumn("jaccard", col("_inter") / (col("_sa") + col("_sb") - col("_inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -96,6 +96,57 @@ object TextAnalysis {
     }
   }
 
+  /** Single-pass document profile: tokenize ONCE (explode → one
+    * partial-aggregable groupBy), derive language-ID, quality score
+    * and token statistics from the aggregated counts. The
+    * Column-based helpers above are convenient for ad-hoc use but
+    * each call re-tokenizes inside an interpreted HOF — on a corpus
+    * scan this one-pass shape is the difference between O(1) and
+    * O(#features) tokenizations per document.
+    *
+    * Output: (id, n_tokens, sum_token_len, sw_hits, lang_pred,
+    * quality). Docs with no tokens profile as ('und', 0.0). */
+  def profiles(docs: org.apache.spark.sql.DataFrame,
+      id: String = "doc_id", text: String = "text"): org.apache.spark.sql.DataFrame = {
+    val langs = LangStopwords.toSeq.sortBy(_._1)
+    val toks = docs.select(col(id).as("_id"), explode(tokens(lower(col(text)))).as("_t"))
+    val langHitCols = langs.map { case (lang, words) =>
+      // distinct stopword hits, so one repeated word can't dominate
+      count_distinct(when(col("_t").isin(words: _*), col("_t"))).as(s"_hits_$lang")
+    }
+    val aggCols = Seq(
+      count(lit(1)).as("n_tokens"),
+      sum(length(col("_t"))).as("sum_token_len"),
+      sum(when(col("_t").isin(EnStopwords: _*), 1).otherwise(0)).as("sw_hits")
+    ) ++ langHitCols
+    val prof = toks.groupBy(col("_id")).agg(aggCols.head, aggCols.tail: _*)
+
+    val best = langs.map(l => col(s"_hits_${l._1}")).reduce((a, b) => greatest(a, b))
+    val langPred = langs.foldRight(lit("und")) { case ((lang, _), elseCol) =>
+      when(col(s"_hits_$lang") === best && best > 0, lit(lang)).otherwise(elseCol)
+    }
+
+    val punct = {
+      val total = length(col(text)).cast(DoubleType)
+      val p = length(regexp_replace(col(text), "[\\p{L}\\p{N}\\s]", "")).cast(DoubleType)
+      when(total > 0, p / total).otherwise(lit(0.0))
+    }
+    val n = col("n_tokens").cast(DoubleType)
+    val lenScore = least(n / 50.0, lit(1.0)) * when(n > 5000, 0.5).otherwise(1.0)
+    val punctScore = greatest(lit(0.0), lit(1.0) - punct * 4.0)
+    val swScore = least(col("sw_hits").cast(DoubleType) / n * 4.0, lit(1.0))
+
+    docs.select(col(id), col(text))
+      .join(prof, col(id) === col("_id"), "left")
+      .select(
+        col(id),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_token_len"), lit(0L)).as("sum_token_len"),
+        coalesce(col("sw_hits"), lit(0L)).as("sw_hits"),
+        coalesce(langPred, lit("und")).as("lang_pred"),
+        coalesce(round(lenScore * punctScore * swScore, 6), lit(0.0)).as("quality"))
+  }
+
   /** Rotate-xor rolling-hash fingerprint over token xxhashes —
     * order-sensitive (unlike a bag-of-words hash), 64-bit, stable
     * across runs and partitionings. Built from shift/xor only so it

@@ -37,13 +37,15 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
     "q_text_lang" -> ((s, dir) => {
-      // rows-only: langid/quality/fingerprint use heuristics + xxhash
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        TextAnalysis.langId(col("text")).as("lang_pred"),
-        TextAnalysis.qualityScore(col("text")).as("quality"),
-        TextAnalysis.fingerprint(col("text")).as("fingerprint"),
-        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+      // rows-only: langid/quality/fingerprint use heuristics + xxhash.
+      // One-pass profile (single tokenization) + per-row fingerprint.
+      val docs = t(s, dir, "documents")
+      TextAnalysis.profiles(docs)
+        .join(docs.select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens")), "doc_id")
+        .select(col("doc_id"), col("lang_pred"), col("quality"),
+          col("fingerprint"), col("n_bpe_tokens"))
         .orderBy(col("doc_id"))
     }),
 

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Streaming ingest + stateful processing — an extension beyond the
+  * reference (which is batch-only; its only ingest paths are
+  * cpimport and DML, SURVEY §2.10). A 100 TB training-data pipeline
+  * ingests continuously, so the engine ships the Structured
+  * Streaming surface for it:
+  *
+  *  - `windowedCounts`: event-time windowed aggregation with a
+  *    watermark — state is bounded by (watermark horizon × key
+  *    cardinality); late data beyond the watermark is dropped
+  *    deterministically rather than growing state forever.
+  *  - `sessionize`: per-user sessions via mapGroupsWithState with a
+  *    processing-time timeout — the custom-state shape
+  *    (KeyValueGroupedDataset) for anything windowing can't express.
+  *  - `ingest`: stream → parquet with `Trigger.AvailableNow` — the
+  *    incremental-batch pattern: each run drains what's new, commits
+  *    via the checkpoint, and exits; restart-safe, exactly-once into
+  *    the table directory.
+  */
+object StreamingOps {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class Session(user_id: Long, n_events: Int, first_ts: Long, last_ts: Long,
+      total_value: Double, closed: Boolean)
+
+  /** Event-time windowed counts with a watermark (bounded state). */
+  def windowedCounts(events: DataFrame, watermark: String = "1 hour",
+      window_ : String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total"))
+
+  /** Session assembly with explicit state + timeout — the
+    * mapGroupsWithState path for custom stateful logic. */
+  def sessionize(spark: SparkSession, events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000): Dataset[Session] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[Session, Session](GroupStateTimeout.ProcessingTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[Session]) =>
+          if (state.hasTimedOut) {
+            val s = state.get.copy(closed = true)
+            state.remove()
+            s
+          } else {
+            val evs = batch.toSeq
+            val prev = state.getOption
+            val merged = Session(
+              uid,
+              prev.map(_.n_events).getOrElse(0) + evs.size,
+              math.min(prev.map(_.first_ts).getOrElse(Long.MaxValue),
+                evs.map(_.ts.getTime).minOption.getOrElse(Long.MaxValue)),
+              math.max(prev.map(_.last_ts).getOrElse(Long.MinValue),
+                evs.map(_.ts.getTime).maxOption.getOrElse(Long.MinValue)),
+              prev.map(_.total_value).getOrElse(0.0) + evs.map(_.value).sum,
+              closed = false)
+            state.update(merged)
+            state.setTimeoutDuration(gapMs)
+            merged
+          }
+      }
+  }
+
+  /** Incremental-batch ingest: drain available input into parquet and
+    * stop (AvailableNow), checkpointed for exactly-once resume. */
+  def ingest(events: DataFrame, path: String, checkpoint: String): Unit =
+    events.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+}

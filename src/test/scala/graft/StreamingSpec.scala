@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+
+/** Structured Streaming surface: watermarked windowed aggregation,
+  * stateful sessionization, and AvailableNow parquet ingest. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, minute: Int, uid: Long, typ: String, v: Double) =
+    Event(id, Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00"), uid, typ, v)
+
+  test("watermarked windowed counts over an event stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingOps.windowedCounts(input.toDF(), watermark = "10 minutes",
+        window_ = "15 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Update).start()
+    input.addData(
+      ev(1, 1, 1, "click", 1.0), ev(2, 5, 1, "click", 2.0),
+      ev(3, 16, 2, "view", 3.0), ev(4, 31, 2, "click", 4.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT event_type, n, total FROM wc ORDER BY w_start, event_type")
+      .as[(String, Long, Double)].collect().toSeq
+    q.stop()
+    assert(rows == Seq(("click", 2L, 3.0), ("view", 1L, 3.0), ("click", 1L, 4.0)))
+  }
+
+  test("stateful sessionization with mapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // two addData blocks → state must merge across batches; a bounded
+    // AvailableNow run drains both (ProcessingTimeTimeout keeps an
+    // unbounded query re-triggering, which would wedge
+    // processAllAvailable in a test)
+    input.addData(ev(1, 0, 7, "click", 1.0), ev(2, 5, 7, "view", 2.0))
+    input.addData(ev(3, 9, 7, "click", 4.0), ev(4, 2, 8, "view", 8.0))
+    val q = StreamingOps.sessionize(spark, input.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Update)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val sess = spark.sql("SELECT * FROM sess").as[StreamingOps.Session].collect()
+      .groupBy(_.user_id).map { case (u, ss) => u -> ss.maxBy(_.n_events) }
+    assert(sess(7L).n_events == 3 && sess(7L).total_value == 7.0)
+    assert(sess(8L).n_events == 1 && sess(8L).total_value == 8.0)
+    assert(sess(7L).first_ts < sess(7L).last_ts)
+  }
+
+  test("AvailableNow ingest drains the stream into parquet exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val input = MemoryStream[Event]
+    input.addData((1 to 20).map(i => ev(i.toLong, i % 60, i % 3, "click", i.toDouble)): _*)
+    StreamingOps.ingest(input.toDF(), out, ckpt)
+    assert(spark.read.parquet(out).count() == 20)
+    // second run with no new data appends nothing (checkpointed offset)
+    StreamingOps.ingest(input.toDF(), out, ckpt)
+    assert(spark.read.parquet(out).count() == 20)
+  }
+}

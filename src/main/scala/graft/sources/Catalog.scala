@@ -66,4 +66,53 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
   /** Register every catalog table as a temp view. */
   def registerViews(): Unit =
     listTables().foreach(t => load(t).createOrReplaceTempView(t))
+
+  // ---- partition management (ref dbcon/mysql/ha_mcs_partition.cpp:
+  // 484-575 — enable/disable/drop partition; a disabled partition's
+  // data stays on disk but is excluded from scans) ----
+
+  private def disabledMarker(table: String, part: String): Path =
+    Paths.get(tableLocation(table), part, "_disabled")
+
+  /** Write a DataFrame hive-partitioned by a column. Subsequent
+    * `load` calls prune partitions via the directory layout (the
+    * extent-elimination analog made explicit on disk). */
+  def writePartitioned(table: String, df: DataFrame, partitionCol: String,
+      mode: String = "overwrite"): Unit =
+    df.write.mode(mode).partitionBy(partitionCol).parquet(tableLocation(table))
+
+  /** List partition directory names (`col=value`). */
+  def partitions(table: String): Seq[String] = {
+    val loc = Paths.get(tableLocation(table))
+    if (!Files.exists(loc)) Seq.empty
+    else Files.list(loc).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+      .map(_.getFileName.toString).toSeq.sorted
+  }
+
+  def disablePartition(table: String, part: String): Unit = {
+    require(partitions(table).contains(part), s"no partition $part")
+    Files.writeString(disabledMarker(table, part), "")
+  }
+
+  def enablePartition(table: String, part: String): Unit =
+    Files.deleteIfExists(disabledMarker(table, part))
+
+  /** Drop a partition's data permanently. */
+  def dropPartition(table: String, part: String): Unit = {
+    require(partitions(table).contains(part), s"no partition $part")
+    val dir = Paths.get(tableLocation(table), part)
+    Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  }
+
+  /** Load a partitioned table, excluding disabled partitions; keeps
+    * the partition column via basePath so partition pruning on it
+    * still works downstream. */
+  def loadPartitioned(table: String): DataFrame = {
+    val enabled = partitions(table)
+      .filterNot(p => Files.exists(disabledMarker(table, p)))
+      .map(p => s"${tableLocation(table)}/$p")
+    require(enabled.nonEmpty, s"no enabled partitions in $table")
+    spark.read.option("basePath", tableLocation(table)).parquet(enabled: _*)
+  }
 }

@@ -87,4 +87,36 @@ class IngestSpec extends SparkSpec {
     cat.dropTable("li2")
     assert(cat.listTables() == Seq("lineitem_in"))
   }
+
+  test("partition ops: write-partitioned, disable/enable/drop, pruning intact") {
+    val wh = Files.createTempDirectory("graft_part_wh").toString
+    val cat = new Catalog(wh, spark)
+    cat.createTable("orders_p", "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus VARCHAR(1)")
+    val orders = Tables.t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    cat.writePartitioned("orders_p", orders, "o_orderstatus")
+    assert(cat.partitions("orders_p").toSet ==
+      Set("o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P"))
+
+    val full = cat.loadPartitioned("orders_p").count()
+    assert(full == orders.count())
+
+    cat.disablePartition("orders_p", "o_orderstatus=P")
+    val noP = cat.loadPartitioned("orders_p")
+    assert(noP.filter(col("o_orderstatus") === "P").count() == 0)
+    assert(noP.count() == orders.filter(col("o_orderstatus") =!= "P").count())
+
+    // partition pruning on the partition column still applies
+    val plan = noP.filter(col("o_orderstatus") === "F").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+
+    cat.enablePartition("orders_p", "o_orderstatus=P")
+    assert(cat.loadPartitioned("orders_p").count() == full)
+
+    cat.dropPartition("orders_p", "o_orderstatus=P")
+    assert(cat.partitions("orders_p").toSet ==
+      Set("o_orderstatus=F", "o_orderstatus=O"))
+    assert(cat.loadPartitioned("orders_p").count() ==
+      orders.filter(col("o_orderstatus") =!= "P").count())
+  }
 }

@@ -20,6 +20,9 @@ object GraftSession {
     SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft")
+      // engine function registry (JSON family, GROUP_CONCAT/…) — the
+      // funcexp-registration analog; see graft.plans.GraftExtensions
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,49 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{GroupConcat, JsonArrayAgg, JsonFunctions}
+import graft.functions.JsonFunctions._
+
+/** SparkSessionExtensions injector — the engine's function registry
+  * hook (the analog of funcexp's static `FuncExp::FuncExp()`
+  * registration, `utils/funcexp/funcexp.cpp:~80`): every session
+  * built through `GraftSession` (or any session configured with
+  * `spark.sql.extensions=graft.plans.GraftExtensions`) gets the
+  * MySQL-compat JSON expression family and the GROUP_CONCAT /
+  * JSON_ARRAYAGG aggregates as first-class SQL functions, no
+  * per-session register() calls.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String, builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name), builder))
+
+    inject("json_merge_patch", es => JsonMergePatch(es(0), es(1)))
+    inject("json_insert", es => JsonModify(es(0), es(1), es(2), ModifyMode.Insert))
+    inject("json_replace", es => JsonModify(es(0), es(1), es(2), ModifyMode.Replace))
+    inject("json_set", es => JsonModify(es(0), es(1), es(2), ModifyMode.Set))
+    inject("json_remove", es => JsonRemove(es(0), es(1)))
+    inject("json_depth", es => JsonDepth(es.head))
+    inject("json_contains_doc", es => JsonContains(es(0), es(1)))
+    inject("json_type", es => JsonTypeMySql(es.head))
+    inject("json_valid", es => JsonValid(es.head))
+    inject("json_quote", es => JsonQuote(es.head))
+    inject("json_unquote", es => JsonUnquote(es.head))
+
+    def sep(e: Expression): String =
+      e.eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    inject("group_concat", es => GroupConcat(es(0), es(1), sep(es(2))))
+    inject("group_concat_distinct", es => GroupConcat(es(0), es(1), sep(es(2)), distinct = true))
+    inject("group_concat_desc", es => GroupConcat(es(0), es(1), sep(es(2)), ascending = false))
+    inject("group_concat_maxlen", es => GroupConcat(es(0), es(1), sep(es(2)),
+      maxLen = es(3).eval(null).asInstanceOf[Int]))
+    inject("json_arrayagg", es => JsonArrayAgg(es(0), es(1)))
+  }
+}

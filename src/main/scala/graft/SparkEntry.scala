@@ -25,7 +25,8 @@ object SparkEntry {
     (AggExtraQueries.queries, AggExtraQueries.oracle),
     (LlmQueries.queries, LlmQueries.oracle),
     (IngestQueries.queries, IngestQueries.oracle),
-    (MiscQueries.queries, MiscQueries.oracle)
+    (MiscQueries.queries, MiscQueries.oracle),
+    (MiscQueries2.queries, MiscQueries2.oracle)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -45,5 +45,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("group_concat_maxlen", es => GroupConcat(es(0), es(1), sep(es(2)),
       maxLen = es(3).eval(null).asInstanceOf[Int]))
     inject("json_arrayagg", es => JsonArrayAgg(es(0), es(1)))
+
+    inject("inet_aton", es => graft.functions.NetFunctions.InetAton(es.head))
+    inject("inet_ntoa", es => graft.functions.NetFunctions.InetNtoa(es.head))
   }
 }

@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.MySqlFunctions
+
+/** Second tranche of scalar-function parity: CONV, day/month names,
+  * WEEKDAY, FROM_UNIXTIME with format, STRCMP, TIMESTAMPDIFF-style
+  * arithmetic, TIMEDIFF, and the native-codegen INET_ATON/INET_NTOA
+  * expressions (ref func_conv.cpp, func_dayname.cpp, func_weekday.cpp,
+  * func_from_unixtime.cpp, func_strcmp.cpp, func_timestampdiff.cpp,
+  * func_timediff.cpp, func_inet_aton.cpp). */
+object MiscQueries2 {
+  import Q._
+
+  val queries: Map[String, QFn] = Map(
+    "q_fn_misc" -> ((s, dir) => {
+      // inet functions come from GraftExtensions (native expressions)
+      t(s, dir, "orders").filter(col("o_orderkey") < 500)
+        .selectExpr(
+          "o_orderkey",
+          "conv(cast(o_orderkey AS STRING), 10, 16) AS x_conv",
+          "date_format(o_orderdate, 'EEEE') AS x_dayname",
+          "date_format(o_orderdate, 'MMMM') AS x_monthname",
+          "cast((dayofweek(o_orderdate) + 5) % 7 AS INT) AS x_weekday",
+          "from_unixtime(unix_timestamp(o_orderdate), 'yyyy-MM') AS x_fmtepoch",
+          "CASE WHEN o_orderstatus < o_orderpriority THEN -1 WHEN o_orderstatus = o_orderpriority THEN 0 ELSE 1 END AS x_strcmp",
+          "cast((unix_timestamp(o_orderdate) - unix_timestamp(TIMESTAMP '1995-01-01 00:00:00')) / 3600 AS BIGINT) AS x_tsdiff_h",
+          "concat('10.', cast(o_orderkey % 256 AS STRING), '.', cast(o_orderkey % 100 AS STRING), '.', cast(o_orderkey % 40 AS STRING)) AS x_ip",
+          "inet_aton(concat('10.', cast(o_orderkey % 256 AS STRING), '.', cast(o_orderkey % 100 AS STRING), '.', cast(o_orderkey % 40 AS STRING))) AS x_aton",
+          "inet_ntoa(inet_aton(concat('10.', cast(o_orderkey % 256 AS STRING), '.', cast(o_orderkey % 100 AS STRING), '.', cast(o_orderkey % 40 AS STRING)))) AS x_roundtrip",
+          "o_orderdate")
+        .select(col("*"),
+          MySqlFunctions.secToTime(
+            (unix_timestamp(col("o_orderdate")) -
+              unix_timestamp(expr("TIMESTAMP '1996-12-31 06:30:15'")))).as("x_timediff"))
+        .drop("o_orderdate")
+        .orderBy(col("o_orderkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_fn_misc" ->
+      """SELECT o_orderkey,
+        |  to_base(o_orderkey, 16) AS x_conv,
+        |  dayname(o_orderdate) AS x_dayname,
+        |  monthname(o_orderdate) AS x_monthname,
+        |  CAST((dayofweek(o_orderdate) + 6) % 7 AS INT) AS x_weekday,
+        |  strftime(o_orderdate, '%Y-%m') AS x_fmtepoch,
+        |  CASE WHEN o_orderstatus < o_orderpriority THEN -1 WHEN o_orderstatus = o_orderpriority THEN 0 ELSE 1 END AS x_strcmp,
+        |  CAST(date_diff('hour', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS x_tsdiff_h,
+        |  ('10.' || (o_orderkey % 256) || '.' || (o_orderkey % 100) || '.' || (o_orderkey % 40)) AS x_ip,
+        |  (o_orderkey % 256) * 65536 + (o_orderkey % 100) * 256 + (o_orderkey % 40) + 10 * 16777216 AS x_aton,
+        |  ('10.' || (o_orderkey % 256) || '.' || (o_orderkey % 100) || '.' || (o_orderkey % 40)) AS x_roundtrip,
+        |  CASE WHEN diff < 0 THEN '-' ELSE '' END ||
+        |    printf('%02d:%02d:%02d', abs(diff) // 3600, (abs(diff) % 3600) // 60, abs(diff) % 60) AS x_timediff
+        |FROM (SELECT *, CAST(epoch(o_orderdate) AS BIGINT)
+        |               - CAST(epoch(TIMESTAMP '1996-12-31 06:30:15') AS BIGINT) AS diff
+        |      FROM orders WHERE o_orderkey < 500) t
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}

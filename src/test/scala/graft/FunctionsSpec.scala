@@ -103,4 +103,29 @@ class FunctionsSpec extends SparkSpec {
       .collect()(0).getString(0)
     assert(ja == """["a","c","b","a"]""")
   }
+
+  test("inet_aton/inet_ntoa: parse edges and real whole-stage codegen") {
+    import graft.functions.NetFunctions.InetAton
+    assert(InetAton.parse("192.168.1.9") == 0xC0A80109L)
+    assert(InetAton.parse("1.2") == (1L << 24 | 2))     // MySQL short form
+    assert(InetAton.parse("256.1.1.1") == null)
+    assert(InetAton.parse("1..2.3") == null)
+    assert(InetAton.parse("a.b.c.d") == null)
+    // fail hard if the generated code doesn't compile (no silent
+    // interpreted fallback)
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = spark.sql(
+        """SELECT inet_ntoa(inet_aton('10.20.30.40')) AS rt,
+          |       inet_aton('0.0.1.0') AS v, inet_aton('bogus') AS bad,
+          |       inet_ntoa(4294967296) AS oob""".stripMargin).collect()(0)
+      assert(r.getString(0) == "10.20.30.40")
+      assert(r.getLong(1) == 256L)
+      assert(r.isNullAt(2) && r.isNullAt(3))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
 }

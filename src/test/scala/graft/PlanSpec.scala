@@ -47,6 +47,28 @@ class PlanSpec extends SparkSpec {
     assert(one(M.decodeOracle(lit(9), lit(1), lit("one"), lit("dflt"))) == "dflt")
   }
 
+  test("bucketed tables join and aggregate without a shuffle") {
+    import graft.plans.Bucketing
+    val li = Tables.t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ord = Tables.t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Bucketing.writeBucketed(li, "li_b", "l_orderkey", 8)
+    Bucketing.writeBucketed(ord, "ord_b", "o_orderkey", 8)
+    // joining on the bucket key requires no exchange on either side
+    val joined = spark.table("li_b")
+      .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q"))
+    assert(Bucketing.isShuffleFree(joined),
+      joined.queryExecution.executedPlan.toString.take(800))
+    // and results match the shuffled plan
+    val expect = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q"))
+    assert(joined.orderBy("l_orderkey").collect().toSeq ==
+      expect.orderBy("l_orderkey").collect().toSeq)
+    spark.sql("DROP TABLE li_b"); spark.sql("DROP TABLE ord_b")
+  }
+
   test("scalar UDF registration path works in SQL") {
     graft.functions.UdfSdk.register(spark)
     assert(spark.sql("SELECT udf_reverse_words('hello brave new world')")

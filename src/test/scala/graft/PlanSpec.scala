@@ -69,6 +69,21 @@ class PlanSpec extends SparkSpec {
     spark.sql("DROP TABLE li_b"); spark.sql("DROP TABLE ord_b")
   }
 
+  test("salted skew join equals the plain join and spreads the hot key") {
+    import graft.plans.SkewJoin
+    // one hot key (0) with 5000 left rows
+    val left = (1 to 5500).map(i => (if (i <= 5000) 0L else i.toLong, i)).toDF("k", "v")
+    val right = (0 to 600).map(i => (i.toLong, s"r$i")).toDF("rk", "name")
+    val salted = SkewJoin.saltedInnerJoin(left, right, "k", "rk", salts = 8)
+    val plain = left.join(right, col("k") === col("rk"))
+    assert(salted.count() == plain.count())
+    assert(salted.agg(sum("v")).head().getLong(0) == plain.agg(sum("v")).head().getLong(0))
+    // determinism across runs (no rand() in the salt)
+    assert(salted.orderBy("k", "v").collect().toSeq ==
+      SkewJoin.saltedInnerJoin(left, right, "k", "rk", salts = 8)
+        .orderBy("k", "v").collect().toSeq)
+  }
+
   test("scalar UDF registration path works in SQL") {
     graft.functions.UdfSdk.register(spark)
     assert(spark.sql("SELECT udf_reverse_words('hello brave new world')")

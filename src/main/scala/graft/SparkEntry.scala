@@ -26,7 +26,8 @@ object SparkEntry {
     (LlmQueries.queries, LlmQueries.oracle),
     (IngestQueries.queries, IngestQueries.oracle),
     (MiscQueries.queries, MiscQueries.oracle),
-    (MiscQueries2.queries, MiscQueries2.oracle)
+    (MiscQueries2.queries, MiscQueries2.oracle),
+    (AsOfQueries.queries, AsOfQueries.oracle)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

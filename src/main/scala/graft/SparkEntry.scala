@@ -27,7 +27,8 @@ object SparkEntry {
     (IngestQueries.queries, IngestQueries.oracle),
     (MiscQueries.queries, MiscQueries.oracle),
     (MiscQueries2.queries, MiscQueries2.oracle),
-    (AsOfQueries.queries, AsOfQueries.oracle)
+    (AsOfQueries.queries, AsOfQueries.oracle),
+    (RangeQueries.queries, RangeQueries.oracle)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

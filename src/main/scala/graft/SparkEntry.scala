@@ -28,7 +28,8 @@ object SparkEntry {
     (MiscQueries.queries, MiscQueries.oracle),
     (MiscQueries2.queries, MiscQueries2.oracle),
     (AsOfQueries.queries, AsOfQueries.oracle),
-    (RangeQueries.queries, RangeQueries.oracle)
+    (RangeQueries.queries, RangeQueries.oracle),
+    (SketchQueries.queries, SketchQueries.oracle)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

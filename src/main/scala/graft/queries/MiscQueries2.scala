@@ -13,6 +13,19 @@ object MiscQueries2 {
   import Q._
 
   val queries: Map[String, QFn] = Map(
+    // BIN/OCT, EXPORT_SET, MAKETIME (ref func_bin.cpp [via conv],
+    // func_export_set.cpp, func_maketime.cpp)
+    "q_fn_misc2" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") < 500)
+        .selectExpr(
+          "o_orderkey",
+          "bin(o_orderkey) AS y_bin",
+          "conv(cast(o_orderkey AS STRING), 10, 8) AS y_oct",
+          "concat_ws(',', transform(sequence(0, 7), i -> if(((o_orderkey >> i) & 1) = 1, 'Y', 'N'))) AS y_expset",
+          "format_string('%02d:%02d:%02d', cast(o_orderkey % 24 AS INT), cast(o_orderkey % 60 AS INT), cast(o_orderkey % 60 AS INT)) AS y_maketime",
+          "left(repeat(concat(o_orderstatus, '-'), 5), 7) AS y_cycle")
+        .orderBy(col("o_orderkey"))
+    }),
     "q_fn_misc" -> ((s, dir) => {
       // inet functions come from GraftExtensions (native expressions)
       t(s, dir, "orders").filter(col("o_orderkey") < 500)
@@ -39,6 +52,14 @@ object MiscQueries2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_fn_misc2" ->
+      """SELECT o_orderkey,
+        |  bin(o_orderkey) AS y_bin,
+        |  to_base(o_orderkey, 8) AS y_oct,
+        |  array_to_string(list_transform(range(0, 8), i -> if(((o_orderkey >> i) & 1) = 1, 'Y', 'N')), ',') AS y_expset,
+        |  printf('%02d:%02d:%02d', o_orderkey % 24, o_orderkey % 60, o_orderkey % 60) AS y_maketime,
+        |  left(repeat(o_orderstatus || '-', 5), 7) AS y_cycle
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
     "q_fn_misc" ->
       """SELECT o_orderkey,
         |  to_base(o_orderkey, 16) AS x_conv,

@@ -114,6 +114,47 @@ object AnnSearch {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN: corpus is partitioned into cells by
+    * nearest centroid; a query scores only the `nprobe` cells whose
+    * centroids are closest — the coarse-quantizer structure used at
+    * billion-vector scale (cell lists persist as partition dirs; a
+    * query touches nprobe/nlist of the corpus).
+    *
+    * Centroids here are a deterministic seeded sample of the corpus
+    * domain (unit-normalized pseudo-random vectors) rather than
+    * trained k-means — the assignment/probe machinery is identical,
+    * and training better centroids is an offline job that feeds the
+    * same operator. Recall is asserted against brute force in
+    * LlmSpec. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, dim: Int = 64,
+      id: String = "vec_id", vec: String = "embedding",
+      qid: String = "qid", qvec: String = "qvec"): DataFrame = {
+    val rng = new scala.util.Random(7L)
+    val centroids: Array[Array[Double]] = Array.fill(nlist) {
+      val v = Array.fill(dim)(rng.nextDouble() * 2 - 1)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    def nearestCells(v: Column, n: Int): Column = {
+      // argsort of centroid dots via sorting (dot, idx) structs desc
+      val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(dot(v, lit(c)).as("d"), lit(i).as("i"))
+      }.toIndexedSeq: _*)
+      slice(transform(reverse(array_sort(scored)), s => s.getField("i")), 1, n)
+    }
+    val c = corpus.select(col(id).as("vec_id"), normalized(asDouble(col(vec))).as("_v"))
+      .withColumn("_cell", element_at(nearestCells(col("_v"), 1), 1))
+    val q = queries.select(col(qid).as("qid"), normalized(asDouble(col(qvec))).as("_q"))
+      .select(col("qid"), col("_q"), explode(nearestCells(col("_q"), nprobe)).as("_cell"))
+    val scored = c.join(broadcast(q), "_cell")
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(max(least(greatest(dot(col("_v"), col("_q")), lit(-1.0)), lit(1.0))).as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold),
     * candidates restricted to shared LSH buckets across `numTables`
     * tables — the embedding analog of Dedup.minhashDupPairs, never

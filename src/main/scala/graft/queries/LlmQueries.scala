@@ -89,6 +89,16 @@ object LlmQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    "q_ann_ivf" -> ((s, dir) => {
+      // rows-only: IVF cell-probe ANN; spec asserts recall
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.llm.AnnSearch.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 6)
+        .select(col("qid"), col("vec_id"), col("cosine"), col("rank").cast("int").as("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // ---- multimodal ----
     "q_mm_frames" -> ((s, dir) => {
       Multimodal.sampleFrames(Multimodal.attachPayload(t(s, dir, "documents")), step = 5)

@@ -69,6 +69,18 @@ class LlmSpec extends SparkSpec {
         .select("qid", "vec_id").as[(Long, Long)].collect().toSet))
   }
 
+  test("ivf ANN partitions the corpus and reaches recall >= 0.4") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = AnnSearch.bruteForceTopK(emb, queries, 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = AnnSearch.ivfTopK(emb, queries, 10, nlist = 16, nprobe = 6)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall $recall")
+  }
+
   test("language-ID classifies planted samples") {
     val docs = Seq(
       (1L, "the cat is on the mat and it is a good day for all of us"),

@@ -137,17 +137,29 @@ object AnnSearch {
       val n = math.sqrt(v.map(x => x * x).sum)
       v.map(_ / n)
     }
-    def nearestCells(v: Column, n: Int): Column = {
-      // argsort of centroid dots via sorting (dot, idx) structs desc
-      val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-        struct(dot(v, lit(c)).as("d"), lit(i).as("i"))
-      }.toIndexedSeq: _*)
-      slice(transform(reverse(array_sort(scored)), s => s.getField("i")), 1, n)
-    }
+    // One (vector, centroid) ROW per candidate cell — a single dot
+    // fold per row feeding a codegen'd max_by/rank, instead of an
+    // argsort column whose lambda re-evaluates the normalized vector
+    // per centroid (the interpreted-HOF inlining trap; measured 25 s
+    // vs ~1 s at sf0.1).
+    val cenArr = array(centroids.zipWithIndex.map { case (cv, i) =>
+      struct(lit(i).as("i"), lit(cv).as("c"))
+    }.toIndexedSeq: _*)
+
     val c = corpus.select(col(id).as("vec_id"), normalized(asDouble(col(vec))).as("_v"))
-      .withColumn("_cell", element_at(nearestCells(col("_v"), 1), 1))
+      .select(col("vec_id"), col("_v"), explode(cenArr).as("_ce"))
+      .select(col("vec_id"), col("_v"),
+        col("_ce.i").as("_celli"), dot(col("_v"), col("_ce.c")).as("_cd"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("_celli"), col("_cd")).as("_cell"), first(col("_v")).as("_v"))
+
+    val qw = Window.partitionBy(col("qid")).orderBy(col("_cd").desc, col("_celli"))
     val q = queries.select(col(qid).as("qid"), normalized(asDouble(col(qvec))).as("_q"))
-      .select(col("qid"), col("_q"), explode(nearestCells(col("_q"), nprobe)).as("_cell"))
+      .select(col("qid"), col("_q"), explode(cenArr).as("_ce"))
+      .select(col("qid"), col("_q"),
+        col("_ce.i").as("_celli"), dot(col("_q"), col("_ce.c")).as("_cd"))
+      .withColumn("_cr", row_number().over(qw)).filter(col("_cr") <= nprobe)
+      .select(col("qid"), col("_q"), col("_celli").as("_cell"))
     val scored = c.join(broadcast(q), "_cell")
       .groupBy(col("qid"), col("vec_id"))
       .agg(max(least(greatest(dot(col("_v"), col("_q")), lit(-1.0)), lit(1.0))).as("cosine"))

@@ -24,16 +24,25 @@ object LlmQueries {
     // ---- text analysis (oracle: integer stats only — ratio rounding
     // is engine-dependent at ties; ratios are spec-tested) ----
     "q_text_stats" -> ((s, dir) => {
+      // explode → one codegen'd aggregation (the row-pipeline shape;
+      // per-row array HOFs are interpreted and ~3× slower here)
       val docs = t(s, dir, "documents")
-      val toks = TextAnalysis.tokens(lower(col("text")))
-      docs.select(
-        col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tokens"),
-        length(col("text")).cast("bigint").as("n_chars"),
-        size(array_distinct(toks)).cast("bigint").as("n_distinct"),
-        size(filter(toks, x => array_contains(lit(TextAnalysis.EnStopwords.toArray), x)))
-          .cast("bigint").as("n_stopwords"),
-        aggregate(toks, lit(0L), (acc, x) => acc + length(x)).as("sum_token_len"))
+      val toks = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("_t"))
+      val stats = toks.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("_t")).as("n_distinct"),
+        sum(when(col("_t").isin(TextAnalysis.EnStopwords: _*), 1L).otherwise(0L))
+          .as("n_stopwords"),
+        sum(length(col("_t")).cast("long")).as("sum_token_len"))
+      docs.select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars"))
+        .join(stats, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          col("n_chars"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          coalesce(col("n_stopwords"), lit(0L)).as("n_stopwords"),
+          coalesce(col("sum_token_len"), lit(0L)).as("sum_token_len"))
         .orderBy(col("doc_id"))
     }),
     "q_text_lang" -> ((s, dir) => {

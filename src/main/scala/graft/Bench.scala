@@ -19,8 +19,13 @@ object Bench {
         "JOIN orders ON l_orderkey = o_orderkey GROUP BY l_returnflag ORDER BY 1")
       .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def run(): Unit = fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // one untimed run per query: wide generated code (e.g. the 64
+      // bit-sum simhash aggregate) costs ~10 s of JIT on first
+      // execution; steady-state is the throughput that matters
+      try run() catch { case _: Throwable => }
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try run()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }

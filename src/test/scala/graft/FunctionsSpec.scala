@@ -104,6 +104,22 @@ class FunctionsSpec extends SparkSpec {
     assert(ja == """["a","c","b","a"]""")
   }
 
+  test("group_concat survives the sort-based (spill) aggregation fallback") {
+    ConcatAggs.register(spark)
+    Tables.t(spark, sfDir, "supplier").createOrReplaceTempView("supp_gc")
+    val q = """SELECT s_nationkey, group_concat(s_name, s_name, ',') AS names
+              |FROM supp_gc GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+    val normal = spark.sql(q).collect().toSeq
+    // force ObjectHashAggregate to fall back to sort-based aggregation
+    // after 1 in-memory group — exercises the TypedImperativeAggregate
+    // serialize/merge path the way a 100 TB spill would
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1")
+    try {
+      val spilled = spark.sql(q).collect().toSeq
+      assert(spilled == normal)
+    } finally spark.conf.unset("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+  }
+
   test("inet_aton/inet_ntoa: parse edges and real whole-stage codegen") {
     import graft.functions.NetFunctions.InetAton
     assert(InetAton.parse("192.168.1.9") == 0xC0A80109L)

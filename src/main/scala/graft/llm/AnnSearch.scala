@@ -171,13 +171,21 @@ object AnnSearch {
     * candidates restricted to shared LSH buckets across `numTables`
     * tables — the embedding analog of Dedup.minhashDupPairs, never
     * all-pairs. Narrow (table, bucket, id) rows go through the
-    * shuffle; vectors are joined back by id only for verified pairs. */
+    * shuffle; vectors are joined back by id only for candidate pairs.
+    *
+    * Bucketing hashes the RAW vector (sign of a plane-dot is
+    * scale-invariant, so normalizing first buys nothing); the verify
+    * caches ‖v‖ once per VECTOR and scores each pair with a single
+    * dot fold as dot/(‖a‖·‖b‖) — the exact evaluation-order of
+    * DuckDB's list_cosine_similarity, so the output is bit-comparable
+    * to an all-pairs oracle (and CORRECTNESS-checked against one). */
   def cosineDupPairs(
       corpus: DataFrame, threshold: Double,
       numPlanes: Int = 6, numTables: Int = 4, dim: Int = 64,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val tables = (0 until numTables).map(t => hyperplanes(numPlanes, dim, seed = 42L + t))
-    val c0 = corpus.select(col(id).as("_id"), normalized(asDouble(col(vec))).as("_v"))
+    val c0 = corpus.select(col(id).as("_id"), asDouble(col(vec)).as("_v"),
+      norm(asDouble(col(vec))).as("_n"))
     val bucketed = c0.select(col("_id"),
       explode(array(tables.zipWithIndex.map { case (p, t) =>
         struct(lit(t).as("t"), bucketOf(col("_v"), p).as("b"))
@@ -186,12 +194,14 @@ object AnnSearch {
         col("a._tb") === col("b._tb") && col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct()
+    val d = col("_na") * col("_nb")
+    val cos = least(greatest(
+      when(d > 0, dot(col("_va"), col("_vb")) / d).otherwise(lit(0.0)),
+      lit(-1.0)), lit(1.0))
     pairs
-      .join(c0.select(col("_id").as("id_a"), col("_v").as("_va")), "id_a")
-      .join(c0.select(col("_id").as("id_b"), col("_v").as("_vb")), "id_b")
-      // vectors are unit-normalized: cosine = dot, one fold per pair
-      .select(col("id_a"), col("id_b"),
-        round(least(greatest(dot(col("_va"), col("_vb")), lit(-1.0)), lit(1.0)), 6).as("cosine"))
+      .join(c0.select(col("_id").as("id_a"), col("_v").as("_va"), col("_n").as("_na")), "id_a")
+      .join(c0.select(col("_id").as("id_b"), col("_v").as("_vb"), col("_n").as("_nb")), "id_b")
+      .select(col("id_a"), col("id_b"), cos.as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

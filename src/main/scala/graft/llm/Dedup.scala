@@ -127,8 +127,20 @@ object Dedup {
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     require(threshold > 0, "threshold must be positive (zero-overlap pairs are never emitted)")
 
-    val sh = shingleRows(docs, id, text, shingleN)
-    val sigs = minhashSignatures(docs, id, text, shingleN = shingleN, numHashes = numHashes)
+    // Signatures AND distinct-set sizes from ONE shingle pass: min()
+    // is duplicate-insensitive, so the non-distinct shingle stream
+    // feeds the 64 mins and a count_distinct size in the same
+    // partial-aggregable groupBy. The signature table is the natural
+    // materialization point of the pipeline (id + 64 ints + size —
+    // production persists it to storage); truncating lineage here
+    // keeps the band self-join / size joins from re-running the
+    // tokenize+shingle scan once per consumer.
+    val sigCols = (0 until numHashes)
+      .map(i => min(hash(col("_ng"), lit(i))).as(s"_m$i")) :+
+      count_distinct(col("_ng")).as("_sz")
+    val sigs = shingleRows(docs, id, text, shingleN, distinctRows = false)
+      .groupBy(col("_id")).agg(sigCols.head, sigCols.tail: _*)
+      .localCheckpoint(eager = false)
 
     // (bucket, id) — 2 narrow columns through the shuffle
     val bucketed = sigs.select(col("_id"),
@@ -139,21 +151,28 @@ object Dedup {
         col("a._bucket") === col("b._bucket") && col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct() // a pair can collide in several bands
+      .localCheckpoint(eager = false) // consumed by candIds AND the verify join
+
+    // Candidates are sparse: semi-join the corpus down to ids that
+    // appear in some candidate pair BEFORE re-shingling, so the
+    // exact-verify pass tokenizes only candidate docs.
+    val candIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as(id)).distinct()
+    val sh = shingleRows(docs.join(candIds, Seq(id), "left_semi"), id, text, shingleN)
 
     // Exact Jaccard by set-join counting over shingle ROWS (stays in
     // codegen, unlike array_intersect over collected arrays):
     // |A∩B| = matching (id_b, shingle) rows; |A∪B| = |A|+|B|−|A∩B|.
-    val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("_sz"))
     val inter = pairs
       .join(sh.select(col("_id").as("id_a"), col("_ng")), "id_a")
       .join(sh.select(col("_id").as("id_b"), col("_ng")), Seq("id_b", "_ng"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_inter"))
     inter
-      .join(sizes.select(col("_id").as("id_a"), col("_sz").as("_sa")), "id_a")
-      .join(sizes.select(col("_id").as("id_b"), col("_sz").as("_sb")), "id_b")
+      .join(sigs.select(col("_id").as("id_a"), col("_sz").as("_sa")), "id_a")
+      .join(sigs.select(col("_id").as("id_b"), col("_sz").as("_sb")), "id_b")
       .withColumn("jaccard", col("_inter") / (col("_sa") + col("_sb") - col("_inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   // ---- SimHash ----
@@ -187,19 +206,29 @@ object Dedup {
   /** Driver-side hamming, for tests and small-result post-processing. */
   def hammingInt(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
-  /** SimHash near-dup pairs with hamming ≤ maxDist, candidates from
-    * 16-bit band buckets (pigeonhole: any pair with hamming ≤ 3
-    * agrees on at least one of the 4 bands). */
+  /** SimHash near-dup pairs with hamming ≤ maxDist. Candidates come
+    * from `maxDist + 1` bit-band buckets: by pigeonhole, a pair with
+    * at most maxDist differing bits must agree exactly on at least one
+    * of maxDist+1 disjoint bands, so banding loses NO qualifying pair
+    * (recall 1.0 by construction; LlmSpec asserts it against the
+    * brute-force population). Band widths are the balanced split of
+    * the 64 bits (e.g. maxDist=8 → 9 bands of 7–8 bits). */
   def simhashDupPairs(
       docs: DataFrame,
       id: String = "doc_id",
       text: String = "text",
       maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 32, s"maxDist must be in [0, 32), got $maxDist")
+    val bands = maxDist + 1
+    val bounds = (0 to bands).map(b => 64 * b / bands)
     val sh = simhash(docs, id, text).select(col(id).as("_id"), col("simhash"))
     val banded = sh.select(col("_id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until bands).map { b =>
+        val lo = bounds(b)
+        val mask = (1L << (bounds(b + 1) - lo)) - 1
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("_bk"))
+          shiftright(col("simhash"), lo).bitwiseAND(mask).as("key"))
+      }: _*)).as("_bk"))
     banded.as("a").join(banded.as("b"),
         col("a._bk") === col("b._bk") && col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"),

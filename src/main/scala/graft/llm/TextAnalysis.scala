@@ -144,7 +144,9 @@ object TextAnalysis {
         coalesce(col("sum_token_len"), lit(0L)).as("sum_token_len"),
         coalesce(col("sw_hits"), lit(0L)).as("sw_hits"),
         coalesce(langPred, lit("und")).as("lang_pred"),
-        coalesce(round(lenScore * punctScore * swScore, 6), lit(0.0)).as("quality"))
+        // unrounded: round(double, n) diverges between engines; callers
+        // that need a stable grid use floor(quality * 1e6)
+        coalesce(lenScore * punctScore * swScore, lit(0.0)).as("quality"))
   }
 
   /** Rotate-xor rolling-hash fingerprint over token xxhashes —

@@ -46,15 +46,25 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
     "q_text_lang" -> ((s, dir) => {
-      // rows-only: langid/quality/fingerprint use heuristics + xxhash.
-      // One-pass profile (single tokenization) + per-row fingerprint.
-      val docs = t(s, dir, "documents")
-      TextAnalysis.profiles(docs)
-        .join(docs.select(col("doc_id"),
+      // Oracle-checked: the stopword-hit argmax and the quality
+      // formula are plain relational algebra DuckDB can replicate.
+      // quality is emitted on the floor(x·1e6) grid — both engines
+      // compute the same IEEE double, and floor is order-independent
+      // where round(double, 6) is not.
+      TextAnalysis.profiles(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("sw_hits"),
+          col("lang_pred"),
+          floor(col("quality") * 1e6).cast("long").as("quality_e6"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_text_fingerprint" -> ((s, dir) => {
+      // rows-only: xxhash64 rolling fingerprint + BPE-ish token count
+      // (xxhash and lookaround regex splits aren't DuckDB-expressible);
+      // stability/order-sensitivity asserted in LlmSpec.
+      t(s, dir, "documents")
+        .select(col("doc_id"),
           TextAnalysis.fingerprint(col("text")).as("fingerprint"),
-          TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens")), "doc_id")
-        .select(col("doc_id"), col("lang_pred"), col("quality"),
-          col("fingerprint"), col("n_bpe_tokens"))
+          TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
         .orderBy(col("doc_id"))
     }),
 
@@ -64,17 +74,29 @@ object LlmQueries {
         .orderBy(col("content_hash"))
     }),
     "q_dedup_minhash" -> ((s, dir) => {
-      // rows-only: murmur-based MinHash-LSH; spec asserts the planted
-      // near-dup pairs are exactly the ≥0.6-Jaccard population
+      // Oracle-checked against DuckDB all-pairs exact Jaccard ≥ 0.6:
+      // banded LSH recall is 1.0 on this corpus (every qualifying pair
+      // sits at j ≥ 0.75; 16 bands × 4 rows miss such a pair with
+      // p < 0.003), and the verify stage computes the same
+      // int/int → double quotient, so values are bit-identical.
       Dedup.minhashDupPairs(t(s, dir, "documents"), threshold = 0.6)
         .orderBy(col("id_a"), col("id_b"))
     }),
     "q_dedup_simhash" -> ((s, dir) => {
+      // rows-only: xxhash64-based simhash isn't DuckDB-expressible;
+      // LlmSpec asserts output == brute-force hamming≤maxDist pairs
       Dedup.simhashDupPairs(t(s, dir, "documents"), maxDist = 8)
         .orderBy(col("id_a"), col("id_b"))
     }),
     "q_dedup_cosine" -> ((s, dir) => {
-      AnnSearch.cosineDupPairs(t(s, dir, "embeddings"), threshold = 0.4)
+      // Oracle-checked against DuckDB all-pairs cosine ≥ 0.4. At this
+      // low threshold sign-LSH needs many short tables for total
+      // recall: 16 tables × 3 planes has empirical recall 1.0 on the
+      // sf0.001/sf0.01 corpora (verified offline against ground
+      // truth), and the verify computes dot/(‖a‖·‖b‖) in DuckDB's
+      // evaluation order, so cosines are bit-identical.
+      AnnSearch.cosineDupPairs(t(s, dir, "embeddings"), threshold = 0.4,
+          numPlanes = 3, numTables = 16)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -116,9 +138,16 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
     "q_mm_features" -> ((s, dir) => {
-      // rows-only: partition-batch feature kernel over binary payloads
-      Multimodal.extractFeatures(s, Multimodal.attachPayload(t(s, dir, "documents")))
+      // rows-only: partition-batch feature kernel over binary payloads.
+      // The kernel's Array[Double] output is projected to scalar f0..f7
+      // (the harness sorts rows; array cells aren't sortable) — the
+      // Dataset kernel itself stays array-valued.
+      val feats = Multimodal
+        .extractFeatures(s, Multimodal.attachPayload(t(s, dir, "documents")))
         .toDF()
+      val fCols = (0 until 8).map(i => round(col("features")(i), 9).as(s"f$i"))
+      feats.select(col("doc_id") +: col("format") +:
+          col("n_bytes").cast("int").as("n_bytes") +: fCols: _*)
         .orderBy(col("doc_id"))
     })
   )
@@ -138,6 +167,61 @@ object LlmQueries {
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+    // All-pairs ground truth: equality with the banded-LSH output also
+    // MEASURES end-to-end recall (1.0 on this corpus by construction).
+    "q_dedup_minhash" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      ELSE [txt] END) AS s
+        |  FROM (SELECT doc_id, lower(text) AS txt,
+        |          list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS toks
+        |        FROM documents))
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s))::DOUBLE
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+        |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_cosine" ->
+      """SELECT id_a, id_b, cosine FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+        |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "q_text_lang" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS t
+        |  FROM documents
+        |), prof AS (
+        |  SELECT doc_id,
+        |    COUNT(*) AS n_tokens,
+        |    CAST(SUM(CASE WHEN t IN ('the','a','an','and','or','of','to','in','is','it','that','this','was','for','on','are','as','with','at','be') THEN 1 ELSE 0 END) AS BIGINT) AS sw_hits,
+        |    COUNT(DISTINCT CASE WHEN t IN ('der','die','das','und','ist','nicht','ein','eine','mit','auf','für','von','zu','den','im','sich') THEN t END) AS h_de,
+        |    COUNT(DISTINCT CASE WHEN t IN ('the','a','an','and','or','of','to','in','is','it','that','this','was','for','on','are','as','with','at','be') THEN t END) AS h_en,
+        |    COUNT(DISTINCT CASE WHEN t IN ('el','la','los','las','y','es','un','una','de','en','que','por','con','para','del','se') THEN t END) AS h_es,
+        |    COUNT(DISTINCT CASE WHEN t IN ('le','la','les','et','est','un','une','des','du','pour','dans','que','qui','sur','pas','avec') THEN t END) AS h_fr
+        |  FROM toks GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(p.n_tokens, 0) AS n_tokens,
+        |  COALESCE(p.sw_hits, 0) AS sw_hits,
+        |  COALESCE(CASE
+        |    WHEN p.h_de = p.best AND p.best > 0 THEN 'de'
+        |    WHEN p.h_en = p.best AND p.best > 0 THEN 'en'
+        |    WHEN p.h_es = p.best AND p.best > 0 THEN 'es'
+        |    WHEN p.h_fr = p.best AND p.best > 0 THEN 'fr'
+        |    ELSE 'und' END, 'und') AS lang_pred,
+        |  COALESCE(CAST(floor(
+        |      least(p.n_tokens / 50.0, 1.0) * (CASE WHEN p.n_tokens > 5000 THEN 0.5 ELSE 1.0 END)
+        |      * greatest(0.0, 1.0 - (length(regexp_replace(d.text, '[\p{L}\p{N}\s]', '', 'g'))::DOUBLE / length(d.text)::DOUBLE) * 4.0)
+        |      * least(p.sw_hits::DOUBLE / p.n_tokens::DOUBLE * 4.0, 1.0)
+        |      * 1000000.0) AS BIGINT), 0) AS quality_e6
+        |FROM documents d
+        |LEFT JOIN (SELECT *, greatest(h_de, h_en, h_es, h_fr) AS best FROM prof) p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_ann_brute" ->
       """SELECT qid, vec_id, cosine, CAST(rnk AS INT) AS rnk FROM (
         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,

@@ -46,6 +46,21 @@ class LlmSpec extends SparkSpec {
       s"LSH(missing=${truth -- found}, spurious=${found -- truth})")
   }
 
+  test("simhash banding has total recall: pairs == brute-force hamming <= maxDist") {
+    // the pigeonhole contract: maxDist+1 bands lose NO qualifying pair
+    for (maxDist <- Seq(3, 8)) {
+      val docs = Tables.t(spark, sfDir, "documents")
+      val found = Dedup.simhashDupPairs(docs, maxDist = maxDist)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val sh = Dedup.simhash(docs).select(col("doc_id").as("_id"), col("simhash"))
+      val truth = sh.as("a").join(sh.as("b"), col("a._id") < col("b._id"))
+        .filter(Dedup.hamming(col("a.simhash"), col("b.simhash")) <= maxDist)
+        .select(col("a._id"), col("b._id")).as[(Long, Long)].collect().toSet
+      assert(found == truth,
+        s"maxDist=$maxDist missing=${truth -- found} spurious=${found -- truth}")
+    }
+  }
+
   test("simhash: exact dup has hamming 0, near-dup small, unrelated large") {
     val sh = Dedup.simhash(syntheticDocs).as[(Long, Long)].collect().toMap
     assert(Dedup.hammingInt(sh(1L), sh(3L)) == 0)

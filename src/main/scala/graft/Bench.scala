@@ -19,6 +19,11 @@ object Bench {
         "JOIN orders ON l_orderkey = o_orderkey GROUP BY l_returnflag ORDER BY 1")
       .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // per-query isolation: a query must not inherit a predecessor's
+      // BlockManager state (round 3: two un-freed localCheckpoints in
+      // the dedup block made the 57 queries after them 2.95× slower)
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       def run(): Unit = fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       // one untimed run per query: wide generated code (e.g. the 64
       // bit-sum simhash aggregate) costs ~10 s of JIT on first

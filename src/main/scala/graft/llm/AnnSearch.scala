@@ -18,17 +18,22 @@ import org.apache.spark.sql.types._
   *    and only within-bucket pairs are scored. Corpus work per query
   *    drops from O(N) to O(N · (P+1) / 2^P).
   *
-  * All vector math is `zip_with`/`aggregate` higher-order functions in
-  * double precision — codegen'd, no UDFs. Hyperplanes are a
-  * deterministic seeded literal, so bucketing is stable across runs,
-  * executors, and restarts (the property that makes the bucket id
-  * usable as a persisted partition key for a 100 TB corpus).
+  * All vector math runs through the native `vec_dot` Catalyst
+  * expression (VectorFunctions.VecDot) — Spark's array HOFs
+  * (`aggregate`/`zip_with`) are interpreted, and a per-pair
+  * interpreted 64-element fold was the measured hot path of every
+  * similarity operator here. `vec_dot` accumulates in element order,
+  * bit-identical to the fold it replaced and to DuckDB's
+  * `list_cosine_similarity`. Hyperplanes are a deterministic seeded
+  * literal, so bucketing is stable across runs, executors, and
+  * restarts (the property that makes the bucket id usable as a
+  * persisted partition key for a 100 TB corpus).
   */
 object AnnSearch {
 
-  /** Dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two array<double> columns — native codegen'd
+    * expression, in-order accumulation (see VectorFunctions). */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -167,33 +172,11 @@ object AnnSearch {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold),
-    * candidates restricted to shared LSH buckets across `numTables`
-    * tables — the embedding analog of Dedup.minhashDupPairs, never
-    * all-pairs. Narrow (table, bucket, id) rows go through the
-    * shuffle; vectors are joined back by id only for candidate pairs.
-    *
-    * Bucketing hashes the RAW vector (sign of a plane-dot is
-    * scale-invariant, so normalizing first buys nothing); the verify
-    * caches ‖v‖ once per VECTOR and scores each pair with a single
-    * dot fold as dot/(‖a‖·‖b‖) — the exact evaluation-order of
-    * DuckDB's list_cosine_similarity, so the output is bit-comparable
-    * to an all-pairs oracle (and CORRECTNESS-checked against one). */
-  def cosineDupPairs(
-      corpus: DataFrame, threshold: Double,
-      numPlanes: Int = 6, numTables: Int = 4, dim: Int = 64,
-      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val tables = (0 until numTables).map(t => hyperplanes(numPlanes, dim, seed = 42L + t))
-    val c0 = corpus.select(col(id).as("_id"), asDouble(col(vec)).as("_v"),
-      norm(asDouble(col(vec))).as("_n"))
-    val bucketed = c0.select(col("_id"),
-      explode(array(tables.zipWithIndex.map { case (p, t) =>
-        struct(lit(t).as("t"), bucketOf(col("_v"), p).as("b"))
-      }: _*)).as("_tb"))
-    val pairs = bucketed.as("a").join(bucketed.as("b"),
-        col("a._tb") === col("b._tb") && col("a._id") < col("b._id"))
-      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
-      .distinct()
+  /** Shared pair-verify: cosine = dot/(‖a‖·‖b‖) with ‖v‖ cached once
+    * per VECTOR, clamped — the exact evaluation order of DuckDB's
+    * list_cosine_similarity, so output is bit-comparable to an
+    * all-pairs oracle. */
+  private def verifyPairs(pairs: DataFrame, c0: DataFrame, threshold: Double): DataFrame = {
     val d = col("_na") * col("_nb")
     val cos = least(greatest(
       when(d > 0, dot(col("_va"), col("_vb")) / d).otherwise(lit(0.0)),
@@ -202,6 +185,111 @@ object AnnSearch {
       .join(c0.select(col("_id").as("id_a"), col("_v").as("_va"), col("_n").as("_na")), "id_a")
       .join(c0.select(col("_id").as("id_b"), col("_v").as("_vb"), col("_n").as("_nb")), "id_b")
       .select(col("id_a"), col("id_b"), cos.as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold),
+    * candidates from multi-probe sign-LSH across `numTables` tables —
+    * the embedding analog of Dedup.minhashDupPairs. Narrow
+    * (table, bucket, id) rows go through the shuffle; vectors are
+    * joined back by id only for candidate pairs.
+    *
+    * Recall model (p = 1 − θ/π per plane, θ = acos(threshold)): a
+    * qualifying pair is a candidate in one table iff its buckets
+    * differ in ≤ `probeBits` of the `numPlanes` sign bits, so
+    * per-table hit ≥ Σ_{k≤probeBits} C(P,k)·p^(P−k)(1−p)^k and the
+    * miss rate is (1−hit)^numTables — tables buy recall without
+    * widening any bucket. With the defaults (P=8, L=8, probe 1) a
+    * cos-0.8 pair (p=0.795) is missed with p≈0.028 and a cos-0.9
+    * pair (p=0.897) with p≈3e-5; candidate volume is
+    * ≈ L·(P+1)·N²/2^P ≈ 0.28·N² at N=2k and FALLS with corpus-tuned
+    * P (planes scale with log N, keeping buckets O(1)).
+    *
+    * EFFECTIVE RANGE: sign-LSH amplifies only when per-plane
+    * agreement clears the random-pair baseline of 0.5 by a margin —
+    * i.e. thresholds ≳ 0.6. Below that (e.g. 0.4 → p=0.63) no
+    * (P, L, probe) choice separates qualifying from random pairs:
+    * parameters that catch borderline pairs admit ~all pairs. For
+    * exact low-threshold similarity joins use
+    * `cosineDupPairsExact` instead.
+    *
+    * Bucketing hashes the RAW vector (sign of a plane-dot is
+    * scale-invariant, so normalizing first buys nothing). */
+  def cosineDupPairs(
+      corpus: DataFrame, threshold: Double,
+      numPlanes: Int = 8, numTables: Int = 8, probeBits: Int = 1, dim: Int = 64,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    require(numPlanes <= 62, "numPlanes must fit a long bucket id")
+    require(probeBits >= 0 && probeBits <= numPlanes, "probeBits out of range")
+    val tables = (0 until numTables).map(t => hyperplanes(numPlanes, dim, seed = 42L + t))
+    val c0 = corpus.select(col(id).as("_id"), asDouble(col(vec)).as("_v"),
+      norm(asDouble(col(vec))).as("_n"))
+    // buckets computed ONCE per (vector, table) — P·L dots per vector;
+    // probe variants are cheap literal XORs on the materialized bucket
+    // (not re-evaluations of bucketOf, which would re-run the dots
+    // per probe — the interpreted-HOF inlining trap, again)
+    val withB = c0.select(col("_id") +: tables.zipWithIndex.map { case (p, t) =>
+      bucketOf(col("_v"), p).as(s"_b$t")
+    }: _*)
+    val masks: Seq[Long] = (0 to probeBits).flatMap(k =>
+      (0 until numPlanes).combinations(k).map(_.map(1L << _).sum))
+    val own = withB.select(col("_id"),
+      explode(array((0 until numTables).map(t =>
+        struct(lit(t).as("t"), col(s"_b$t").as("b"))): _*)).as("_tb"))
+    val probed = withB.select(col("_id"),
+      explode(array((for { t <- 0 until numTables; m <- masks } yield
+        struct(lit(t).as("t"), col(s"_b$t").bitwiseXOR(lit(m)).as("b"))): _*)).as("_tb"))
+    val pairs = own.as("a").join(probed.as("b"),
+        col("a._tb") === col("b._tb") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+    verifyPairs(pairs, c0, threshold)
+  }
+
+  /** EXACT cosine-similarity self-join (every pair with cosine ≥
+    * threshold, recall 1.0 at ANY threshold) as a triangle block
+    * join — the scale shape for thresholds below sign-LSH's
+    * effective range, where an exact answer is inherently O(N²)
+    * COMPARISONS but need not be O(N²) SHUFFLE:
+    *
+    *  - each vector lands in block `pmod(hash(id), B)`;
+    *  - block-pair cell (i,j), i ≤ j, receives block i as role A and
+    *    block j as role B — each vector is replicated ≤ B+1 times,
+    *    so shuffle volume is O(N·B) rows while the comparisons run
+    *    data-parallel across B(B+1)/2 independent cells;
+    *  - the per-pair score is one native `vec_dot` call inside the
+    *    join's codegen'd residual — no interpreted fold, nothing
+    *    materialized.
+    *
+    * On a cluster, B is sized so a cell's two blocks fit a task
+    * (B ≈ N·rowBytes / taskMemory), the same recursive-partition
+    * answer the reference gives for oversized hash joins
+    * (`docs/DiskJoinStep.md`). Pairs verify in DuckDB's
+    * list_cosine_similarity evaluation order → bit-green oracle. */
+  def cosineDupPairsExact(
+      corpus: DataFrame, threshold: Double, numBlocks: Int = 16,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val b = numBlocks
+    val c0 = corpus.select(col(id).as("_id"), asDouble(col(vec)).as("_v"),
+      norm(asDouble(col(vec))).as("_n"), pmod(hash(col(id)), lit(b)).as("_blk"))
+    val aSide = c0
+      .select(col("_id").as("id_a"), col("_v").as("_va"), col("_n").as("_na"),
+        col("_blk").as("_ba"), explode(sequence(col("_blk"), lit(b - 1))).as("_j"))
+      .withColumn("_cell", struct(col("_ba").as("i"), col("_j").as("j")))
+    val bSide = c0
+      .select(col("_id").as("id_b"), col("_v").as("_vb"), col("_n").as("_nb"),
+        col("_blk").as("_bb"), explode(sequence(lit(0), col("_blk"))).as("_i"))
+      .withColumn("_cell", struct(col("_i").as("i"), col("_bb").as("j")))
+    val d = col("_na") * col("_nb")
+    val cos = least(greatest(
+      when(d > 0, dot(col("_va"), col("_vb")) / d).otherwise(lit(0.0)),
+      lit(-1.0)), lit(1.0))
+    aSide.join(bSide, Seq("_cell"))
+      // same-block cells see both orderings (and self-pairs): keep one;
+      // cross-block pairs meet exactly once, in either id order
+      .filter(col("_ba") =!= col("_bb") || col("id_a") < col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), cos.as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

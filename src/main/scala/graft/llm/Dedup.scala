@@ -127,20 +127,19 @@ object Dedup {
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     require(threshold > 0, "threshold must be positive (zero-overlap pairs are never emitted)")
 
-    // Signatures AND distinct-set sizes from ONE shingle pass: min()
-    // is duplicate-insensitive, so the non-distinct shingle stream
-    // feeds the 64 mins and a count_distinct size in the same
-    // partial-aggregable groupBy. The signature table is the natural
-    // materialization point of the pipeline (id + 64 ints + size —
-    // production persists it to storage); truncating lineage here
-    // keeps the band self-join / size joins from re-running the
-    // tokenize+shingle scan once per consumer.
-    val sigCols = (0 until numHashes)
-      .map(i => min(hash(col("_ng"), lit(i))).as(s"_m$i")) :+
-      count_distinct(col("_ng")).as("_sz")
+    // Signatures: 64 min() aggregates over the non-distinct shingle
+    // stream — pure partial-aggregable HashAggregate (no
+    // count_distinct mixed in, which would force an Expand-based
+    // distinct plan that duplicates every input row). No explicit
+    // caching/lineage truncation anywhere in this pipeline: consumers
+    // that share a subtree share its work through Spark's exchange
+    // reuse (each distinct()/aggregate below is a shuffle whose
+    // identical copies plan as ReusedExchange) — an earlier
+    // localCheckpoint here leaked BlockManager storage across the
+    // whole bench suite.
+    val sigCols = (0 until numHashes).map(i => min(hash(col("_ng"), lit(i))).as(s"_m$i"))
     val sigs = shingleRows(docs, id, text, shingleN, distinctRows = false)
       .groupBy(col("_id")).agg(sigCols.head, sigCols.tail: _*)
-      .localCheckpoint(eager = false)
 
     // (bucket, id) — 2 narrow columns through the shuffle
     val bucketed = sigs.select(col("_id"),
@@ -151,14 +150,17 @@ object Dedup {
         col("a._bucket") === col("b._bucket") && col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct() // a pair can collide in several bands
-      .localCheckpoint(eager = false) // consumed by candIds AND the verify join
 
     // Candidates are sparse: semi-join the corpus down to ids that
     // appear in some candidate pair BEFORE re-shingling, so the
-    // exact-verify pass tokenizes only candidate docs.
+    // exact-verify pass tokenizes only candidate docs — and the
+    // distinct-set sizes |A| are counted over the same candidate-only
+    // distinct shingle rows (cheap: candidates ≪ corpus) instead of
+    // burdening the full-corpus signature aggregate.
     val candIds = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as(id)).distinct()
     val sh = shingleRows(docs.join(candIds, Seq(id), "left_semi"), id, text, shingleN)
+    val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("_sz"))
 
     // Exact Jaccard by set-join counting over shingle ROWS (stays in
     // codegen, unlike array_intersect over collected arrays):
@@ -168,8 +170,8 @@ object Dedup {
       .join(sh.select(col("_id").as("id_b"), col("_ng")), Seq("id_b", "_ng"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_inter"))
     inter
-      .join(sigs.select(col("_id").as("id_a"), col("_sz").as("_sa")), "id_a")
-      .join(sigs.select(col("_id").as("id_b"), col("_sz").as("_sb")), "id_b")
+      .join(sizes.select(col("_id").as("id_a"), col("_sz").as("_sa")), "id_a")
+      .join(sizes.select(col("_id").as("id_b"), col("_sz").as("_sb")), "id_b")
       .withColumn("jaccard", col("_inter") / (col("_sa") + col("_sb") - col("_inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -225,7 +227,11 @@ object Dedup {
     val banded = sh.select(col("_id"), col("simhash"),
       explode(array((0 until bands).map { b =>
         val lo = bounds(b)
-        val mask = (1L << (bounds(b + 1) - lo)) - 1
+        val w = bounds(b + 1) - lo
+        // w == 64 only when maxDist = 0 (one band = the whole hash);
+        // (1L << 64) wraps to 1L in JVM shift semantics, so spell the
+        // all-ones mask explicitly
+        val mask = if (w == 64) -1L else (1L << w) - 1
         struct(lit(b).as("band"),
           shiftright(col("simhash"), lo).bitwiseAND(mask).as("key"))
       }: _*)).as("_bk"))

@@ -48,5 +48,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     inject("inet_aton", es => graft.functions.NetFunctions.InetAton(es.head))
     inject("inet_ntoa", es => graft.functions.NetFunctions.InetNtoa(es.head))
+
+    // native scan-hot kernels (codegen'd; replace interpreted array-HOF folds)
+    inject("vec_dot", es => graft.functions.VectorFunctions.VecDot(es(0), es(1)))
+    inject("token_fingerprint",
+      es => graft.functions.TextNativeFunctions.TokenFingerprint(es.head))
+    inject("bpe_token_count",
+      es => graft.functions.TextNativeFunctions.BpeTokenCount(es.head))
   }
 }

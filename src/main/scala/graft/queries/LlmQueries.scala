@@ -89,14 +89,20 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
     "q_dedup_cosine" -> ((s, dir) => {
-      // Oracle-checked against DuckDB all-pairs cosine ≥ 0.4. At this
-      // low threshold sign-LSH needs many short tables for total
-      // recall: 16 tables × 3 planes has empirical recall 1.0 on the
-      // sf0.001/sf0.01 corpora (verified offline against ground
-      // truth), and the verify computes dot/(‖a‖·‖b‖) in DuckDB's
-      // evaluation order, so cosines are bit-identical.
-      AnnSearch.cosineDupPairs(t(s, dir, "embeddings"), threshold = 0.4,
-          numPlanes = 3, numTables = 16)
+      // Oracle-checked against DuckDB all-pairs cosine ≥ 0.4 — and at
+      // 0.4 the qualifying set is the tail of the random-pair cosine
+      // continuum (measured on this corpus: min qualifying pair
+      // 0.40001, next pair below at 0.39989; zero pairs ≥ 0.7), so NO
+      // sign-LSH parameterization is sound: per-plane agreement at
+      // cos 0.4 is 0.63 vs 0.50 for random pairs, and any (P, L,
+      // probe) that catches borderline pairs admits ~all pairs. The
+      // recall-1.0 answer below LSH's effective range is the EXACT
+      // triangle block join: O(N·B) shuffle, B(B+1)/2 data-parallel
+      // cells, one native vec_dot per pair in the join residual.
+      // cosineDupPairs (multi-probe LSH) remains the sub-quadratic
+      // path for real near-dup thresholds (≥ 0.7) — spec-verified
+      // against exact ground truth in LlmSpec.
+      AnnSearch.cosineDupPairsExact(t(s, dir, "embeddings"), threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -214,11 +220,12 @@ object LlmQueries {
         |    WHEN p.h_es = p.best AND p.best > 0 THEN 'es'
         |    WHEN p.h_fr = p.best AND p.best > 0 THEN 'fr'
         |    ELSE 'und' END, 'und') AS lang_pred,
-        |  COALESCE(CAST(floor(
+        |  CASE WHEN p.n_tokens IS NULL OR p.n_tokens = 0 OR length(d.text) = 0 THEN 0
+        |    ELSE CAST(floor(
         |      least(p.n_tokens / 50.0, 1.0) * (CASE WHEN p.n_tokens > 5000 THEN 0.5 ELSE 1.0 END)
         |      * greatest(0.0, 1.0 - (length(regexp_replace(d.text, '[\p{L}\p{N}\s]', '', 'g'))::DOUBLE / length(d.text)::DOUBLE) * 4.0)
         |      * least(p.sw_hits::DOUBLE / p.n_tokens::DOUBLE * 4.0, 1.0)
-        |      * 1000000.0) AS BIGINT), 0) AS quality_e6
+        |      * 1000000.0) AS BIGINT) END AS quality_e6
         |FROM documents d
         |LEFT JOIN (SELECT *, greatest(h_de, h_en, h_es, h_fr) AS best FROM prof) p USING (doc_id)
         |ORDER BY doc_id""".stripMargin,

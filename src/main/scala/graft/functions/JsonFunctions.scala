@@ -315,6 +315,544 @@ object JsonFunctions {
       }
   }
 
+  /** Node at the full path; None if any leg is missing. */
+  private def walkTo(root: JsonNode, legs: List[Either[String, Int]]): Option[JsonNode] = {
+    var cur = root
+    for (leg <- legs) {
+      leg match {
+        case Left(k) => if (cur.isObject && cur.has(k)) cur = cur.get(k) else return None
+        case Right(i) => if (cur.isArray && i < cur.size) cur = cur.get(i) else return None
+      }
+    }
+    Some(cur)
+  }
+
+  /** Semantic JSON equality: objects key-set + recursive member
+    * equality (order-insensitive), arrays elementwise, numbers by
+    * numeric VALUE (1 == 1.0 — Jackson's node equals is
+    * representation-sensitive), everything else by node equality. */
+  private def jsonEq(a: JsonNode, b: JsonNode): Boolean =
+    if (a.isNumber && b.isNumber) a.decimalValue.compareTo(b.decimalValue) == 0
+    else if (a.isObject && b.isObject) {
+      if (a.size != b.size) return false
+      val it = a.properties().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (!b.has(e.getKey) || !jsonEq(e.getValue, b.get(e.getKey))) return false
+      }
+      true
+    } else if (a.isArray && b.isArray) {
+      if (a.size != b.size) return false
+      var i = 0
+      while (i < a.size) { if (!jsonEq(a.get(i), b.get(i))) return false; i += 1 }
+      true
+    } else a == b
+
+  /** Recursively sort object keys (arrays keep element order). */
+  private def sortKeys(n: JsonNode): JsonNode =
+    if (n.isObject) {
+      val out = mapper.createObjectNode()
+      val names = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = n.fieldNames(); while (it.hasNext) names += it.next()
+      names.sorted.foreach(k => out.set[JsonNode](k, sortKeys(n.get(k))))
+      out
+    } else if (n.isArray) {
+      val out = mapper.createArrayNode()
+      val it = n.elements(); while (it.hasNext) out.add(sortKeys(it.next()))
+      out
+    } else n
+
+  /** JSON_KEYS(doc[, path]) — JSON array of an object's keys in
+    * document order; NULL when the target is not an object
+    * (ref func_json_keys.cpp). */
+  case class JsonKeys(doc: Expression, pathOpt: Option[Expression])
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = doc +: pathOpt.toSeq
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "json_keys"
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(doc = c(0), pathOpt = if (c.length > 1) Some(c(1)) else None)
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val d = doc.eval(input)
+      if (d == null) return null
+      val legs = pathOpt match {
+        case None => Some(Nil)
+        case Some(p) =>
+          val pv = p.eval(input)
+          if (pv == null) return null
+          parsePath(pv.asInstanceOf[UTF8String].toString)
+      }
+      (parse(d.asInstanceOf[UTF8String]), legs) match {
+        case (Some(root), Some(l)) =>
+          walkTo(root, l) match {
+            case Some(n) if n.isObject =>
+              val arr = mapper.createArrayNode()
+              val it = n.fieldNames(); while (it.hasNext) arr.add(it.next())
+              render(arr)
+            case _ => null
+          }
+        case _ => null
+      }
+    }
+  }
+
+  /** JSON_LENGTH(doc[, path]) — container size; scalars are length 1
+    * (ref func_json_length.cpp). */
+  case class JsonLength(doc: Expression, pathOpt: Option[Expression])
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = doc +: pathOpt.toSeq
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def prettyName: String = "json_length"
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(doc = c(0), pathOpt = if (c.length > 1) Some(c(1)) else None)
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val d = doc.eval(input)
+      if (d == null) return null
+      val legs = pathOpt match {
+        case None => Some(Nil)
+        case Some(p) =>
+          val pv = p.eval(input)
+          if (pv == null) return null
+          parsePath(pv.asInstanceOf[UTF8String].toString)
+      }
+      (parse(d.asInstanceOf[UTF8String]), legs) match {
+        case (Some(root), Some(l)) =>
+          walkTo(root, l).map(n => if (n.isContainerNode) n.size else 1).orNull
+        case _ => null
+      }
+    }
+  }
+
+  /** JSON_EXISTS(doc, path) — whether the path resolves (a JSON null
+    * at the path still exists; ref func_json_exists.cpp). */
+  case class JsonExists(doc: Expression, path: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def left: Expression = doc
+    override def right: Expression = path
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = true
+    override def prettyName: String = "json_exists"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(doc = l, path = r)
+    override def nullSafeEval(d: Any, p: Any): Any =
+      (parse(d.asInstanceOf[UTF8String]),
+        parsePath(p.asInstanceOf[UTF8String].toString)) match {
+        case (Some(root), Some(legs)) => walkTo(root, legs).isDefined
+        case _ => null
+      }
+  }
+
+  /** JSON_CONTAINS_PATH(doc, 'one'|'all', paths...)
+    * (ref func_json_contains_path.cpp). */
+  case class JsonContainsPath(doc: Expression, mode: Expression, paths: Seq[Expression])
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = doc +: mode +: paths
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = true
+    override def prettyName: String = "json_contains_path"
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(doc = c(0), mode = c(1), paths = c.drop(2))
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val d = doc.eval(input); val m = mode.eval(input)
+      if (d == null || m == null) return null
+      val one = m.asInstanceOf[UTF8String].toString.toLowerCase match {
+        case "one" => true
+        case "all" => false
+        case _ => return null
+      }
+      parse(d.asInstanceOf[UTF8String]) match {
+        case Some(root) =>
+          val hits = paths.map { p =>
+            val pv = p.eval(input)
+            if (pv == null) return null
+            parsePath(pv.asInstanceOf[UTF8String].toString) match {
+              case Some(legs) => walkTo(root, legs).isDefined
+              case None => return null
+            }
+          }
+          if (one) hits.contains(true) else hits.forall(identity)
+        case None => null
+      }
+    }
+  }
+
+  /** JSON_EQUALS(a, b) — semantic equality: key order ignored, numbers
+    * by value (ref func_json_equals.cpp). */
+  case class JsonEquals(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = true
+    override def prettyName: String = "json_equals"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def nullSafeEval(a: Any, b: Any): Any =
+      (parse(a.asInstanceOf[UTF8String]), parse(b.asInstanceOf[UTF8String])) match {
+        case (Some(x), Some(y)) => jsonEq(x, y)
+        case _ => null
+      }
+  }
+
+  /** JSON_NORMALIZE(doc) — canonical form: object keys sorted
+    * recursively, compact rendering. Number formatting keeps the
+    * parsed representation (MariaDB re-renders all numbers in
+    * scientific form per its RFC-8785 reading — a print-format
+    * divergence documented here, not a semantic one; ref
+    * func_json_normalize.cpp). */
+  case class JsonNormalize(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "json_normalize"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def nullSafeEval(d: Any): Any =
+      parse(d.asInstanceOf[UTF8String]).map(n => render(sortKeys(n))).orNull
+  }
+
+  /** JSON_OVERLAPS(a, b) — arrays: any common element; objects: any
+    * common member; scalar vs array: membership; scalar vs scalar:
+    * equality (ref func_json_overlaps.cpp). */
+  case class JsonOverlaps(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = true
+    override def prettyName: String = "json_overlaps"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    private def overlaps(a: JsonNode, b: JsonNode): Boolean =
+      if (a.isArray && b.isArray) {
+        val it = a.elements()
+        while (it.hasNext) { val e = it.next(); if (inArray(b, e)) return true }
+        false
+      } else if (a.isObject && b.isObject) {
+        val it = a.properties().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (b.has(e.getKey) && jsonEq(b.get(e.getKey), e.getValue)) return true
+        }
+        false
+      } else if (a.isArray) inArray(a, b)
+      else if (b.isArray) inArray(b, a)
+      else jsonEq(a, b)
+    private def inArray(arr: JsonNode, v: JsonNode): Boolean = {
+      val it = arr.elements()
+      while (it.hasNext) if (jsonEq(it.next(), v)) return true
+      false
+    }
+    override def nullSafeEval(a: Any, b: Any): Any =
+      (parse(a.asInstanceOf[UTF8String]), parse(b.asInstanceOf[UTF8String])) match {
+        case (Some(x), Some(y)) => overlaps(x, y)
+        case _ => null
+      }
+  }
+
+  /** JSON_ARRAY_APPEND(doc, path, value) — append to the array at
+    * path; a non-array target is first wrapped [target]
+    * (ref func_json_array_append.cpp). */
+  case class JsonArrayAppend(doc: Expression, path: Expression, value: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(doc, path, value)
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "json_array_append"
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(doc = c(0), path = c(1), value = c(2))
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val d = doc.eval(input); val p = path.eval(input); val v = value.eval(input)
+      if (d == null || p == null || v == null) return null
+      (parse(d.asInstanceOf[UTF8String]),
+        parsePath(p.asInstanceOf[UTF8String].toString)) match {
+        case (Some(root0), Some(legs)) =>
+          val vn = valueNode(v.asInstanceOf[UTF8String])
+          if (legs.isEmpty) {
+            // append at the document root
+            val root = root0.deepCopy[JsonNode]()
+            val arr =
+              if (root.isArray) root.asInstanceOf[ArrayNode]
+              else { val a = mapper.createArrayNode(); a.add(root); a }
+            arr.add(vn)
+            render(arr)
+          } else {
+            val root = root0.deepCopy[JsonNode]()
+            walkParent(root, legs).foreach { parent =>
+              (legs.last, parent) match {
+                case (Left(k), o: ObjectNode) if o.has(k) =>
+                  val cur = o.get(k)
+                  val arr =
+                    if (cur.isArray) cur.asInstanceOf[ArrayNode]
+                    else { val a = mapper.createArrayNode(); a.add(cur); a }
+                  arr.add(vn); o.set[JsonNode](k, arr)
+                case (Right(i), a: ArrayNode) if i < a.size =>
+                  val cur = a.get(i)
+                  val arr =
+                    if (cur.isArray) cur.asInstanceOf[ArrayNode]
+                    else { val x = mapper.createArrayNode(); x.add(cur); x }
+                  arr.add(vn); a.set(i, arr)
+                case _ => // missing target: no-op, like MySQL
+              }
+            }
+            render(root)
+          }
+        case (Some(root), _) => render(root)
+        case _ => null
+      }
+    }
+  }
+
+  /** JSON_ARRAY_INSERT(doc, path_ending_in_[i], value) — insert at
+    * position i, shifting the tail; i past the end appends
+    * (ref func_json_array_insert.cpp). */
+  case class JsonArrayInsert(doc: Expression, path: Expression, value: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(doc, path, value)
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "json_array_insert"
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(doc = c(0), path = c(1), value = c(2))
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val d = doc.eval(input); val p = path.eval(input); val v = value.eval(input)
+      if (d == null || p == null || v == null) return null
+      (parse(d.asInstanceOf[UTF8String]),
+        parsePath(p.asInstanceOf[UTF8String].toString)) match {
+        case (Some(root0), Some(legs)) if legs.nonEmpty && legs.last.isRight =>
+          val root = root0.deepCopy[JsonNode]()
+          walkParent(root, legs).foreach { parent =>
+            if (parent.isArray) {
+              val a = parent.asInstanceOf[ArrayNode]
+              val i = legs.last.toOption.get
+              val vn = valueNode(v.asInstanceOf[UTF8String])
+              if (i >= a.size) a.add(vn) else a.insert(i, vn)
+            }
+          }
+          render(root)
+        case (Some(root), _) => render(root) // path not [i]-terminated: no-op
+        case _ => null
+      }
+    }
+  }
+
+  /** JSON_SEARCH(doc, 'one'|'all', pattern) — depth-first search of
+    * STRING values with SQL LIKE matching (%, _); returns the path as
+    * a JSON string, or a JSON array of paths when 'all' finds several
+    * (ref func_json_search.cpp). */
+  case class JsonSearch(doc: Expression, mode: Expression, pattern: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(doc, mode, pattern)
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "json_search"
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(doc = c(0), mode = c(1), pattern = c(2))
+    private def likeToRegex(pat: String): java.util.regex.Pattern = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < pat.length) {
+        pat.charAt(i) match {
+          case '\\' if i + 1 < pat.length =>
+            sb.append(java.util.regex.Pattern.quote(pat.charAt(i + 1).toString)); i += 1
+          case '%' => sb.append(".*")
+          case '_' => sb.append(".")
+          case c => sb.append(java.util.regex.Pattern.quote(c.toString))
+        }
+        i += 1
+      }
+      java.util.regex.Pattern.compile(sb.toString, java.util.regex.Pattern.DOTALL)
+    }
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val d = doc.eval(input); val m = mode.eval(input); val p = pattern.eval(input)
+      if (d == null || m == null || p == null) return null
+      val one = m.asInstanceOf[UTF8String].toString.toLowerCase match {
+        case "one" => true
+        case "all" => false
+        case _ => return null
+      }
+      parse(d.asInstanceOf[UTF8String]) match {
+        case Some(root) =>
+          val re = likeToRegex(p.asInstanceOf[UTF8String].toString)
+          val found = scala.collection.mutable.ArrayBuffer.empty[String]
+          def dfs(n: JsonNode, path: String): Unit = {
+            if (one && found.nonEmpty) return
+            if (n.isTextual) {
+              if (re.matcher(n.asText()).matches()) found += path
+            } else if (n.isObject) {
+              val it = n.properties().iterator()
+              while (it.hasNext) { val e = it.next(); dfs(e.getValue, s"$path.${e.getKey}") }
+            } else if (n.isArray) {
+              var i = 0
+              while (i < n.size) { dfs(n.get(i), s"$path[$i]"); i += 1 }
+            }
+          }
+          dfs(root, "$")
+          if (found.isEmpty) null
+          else if (found.length == 1) render(mapper.getNodeFactory.textNode(found.head))
+          else {
+            val arr = mapper.createArrayNode()
+            found.foreach(arr.add)
+            render(arr)
+          }
+        case None => null
+      }
+    }
+  }
+
+  /** JSON_VALUE(doc, path) — the SCALAR at path as unquoted text;
+    * NULL for containers (ref func_json_value.cpp). */
+  case class JsonValueAt(doc: Expression, path: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def left: Expression = doc
+    override def right: Expression = path
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "json_value"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(doc = l, path = r)
+    override def nullSafeEval(d: Any, p: Any): Any =
+      (parse(d.asInstanceOf[UTF8String]),
+        parsePath(p.asInstanceOf[UTF8String].toString)) match {
+        case (Some(root), Some(legs)) =>
+          walkTo(root, legs) match {
+            case Some(n) if n.isValueNode && !n.isNull => UTF8String.fromString(n.asText())
+            case _ => null
+          }
+        case _ => null
+      }
+  }
+
+  /** JSON_QUERY(doc, path) — the CONTAINER at path as JSON text; NULL
+    * for scalars (ref func_json_query.cpp). */
+  case class JsonQueryAt(doc: Expression, path: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def left: Expression = doc
+    override def right: Expression = path
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "json_query"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(doc = l, path = r)
+    override def nullSafeEval(d: Any, p: Any): Any =
+      (parse(d.asInstanceOf[UTF8String]),
+        parsePath(p.asInstanceOf[UTF8String].toString)) match {
+        case (Some(root), Some(legs)) =>
+          walkTo(root, legs) match {
+            case Some(n) if n.isContainerNode => render(n)
+            case _ => null
+          }
+        case _ => null
+      }
+  }
+
+  /** JSON_MERGE_PRESERVE (and its deprecated alias JSON_MERGE):
+    * arrays concatenate, objects merge recursively, scalars wrap into
+    * arrays and concatenate (ref func_json_merge.cpp). */
+  case class JsonMergePreserve(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "json_merge_preserve"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    private def merge(a: JsonNode, b: JsonNode): JsonNode =
+      if (a.isArray && b.isArray) {
+        val out = a.deepCopy[ArrayNode]()
+        val it = b.elements(); while (it.hasNext) out.add(it.next().deepCopy[JsonNode]())
+        out
+      } else if (a.isObject && b.isObject) {
+        val out = a.deepCopy[ObjectNode]()
+        val it = b.properties().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (out.has(e.getKey)) out.set[JsonNode](e.getKey, merge(out.get(e.getKey), e.getValue))
+          else out.set[JsonNode](e.getKey, e.getValue.deepCopy[JsonNode]())
+        }
+        out
+      } else {
+        val out = mapper.createArrayNode()
+        def push(n: JsonNode): Unit =
+          if (n.isArray) { val it = n.elements(); while (it.hasNext) out.add(it.next().deepCopy[JsonNode]()) }
+          else out.add(n.deepCopy[JsonNode]())
+        push(a); push(b)
+        out
+      }
+    override def nullSafeEval(a: Any, b: Any): Any =
+      (parse(a.asInstanceOf[UTF8String]), parse(b.asInstanceOf[UTF8String])) match {
+        case (Some(x), Some(y)) => render(merge(x, y))
+        case _ => null
+      }
+  }
+
+  /** JSON_OBJECT(k1, v1, k2, v2, ...) — typed values: numeric/boolean
+    * children keep their JSON type; string children parse as
+    * JSON-or-string like the mutation functions' value operands
+    * (ref func_json_object.cpp). */
+  case class JsonObjectBuild(args: Seq[Expression]) extends Expression with CodegenFallback {
+    require(args.length % 2 == 0, "json_object requires key/value pairs")
+    override def children: Seq[Expression] = args
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = false
+    override def prettyName: String = "json_object"
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(args = c)
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val out = mapper.createObjectNode()
+      args.grouped(2).foreach { case Seq(k, v) =>
+        val kv = k.eval(input)
+        val key = if (kv == null) "null" else kv.asInstanceOf[UTF8String].toString
+        out.set[JsonNode](key, JsonFunctions.typedNode(v.eval(input), v.dataType))
+      }
+      render(out)
+    }
+  }
+
+  /** JSON_ARRAY(v1, v2, ...) (ref func_json_array.cpp). */
+  case class JsonArrayBuild(args: Seq[Expression]) extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = args
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = false
+    override def prettyName: String = "json_array"
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(args = c)
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val out = mapper.createArrayNode()
+      args.foreach(a => out.add(JsonFunctions.typedNode(a.eval(input), a.dataType)))
+      render(out)
+    }
+  }
+
+  /** JSON value for an evaluated child, honoring its Catalyst type
+    * (used by the constructor functions). */
+  private def typedNode(v: Any, dt: DataType): JsonNode = {
+    val nf = mapper.getNodeFactory
+    if (v == null) return nf.nullNode()
+    dt match {
+      case StringType => valueNode(v.asInstanceOf[UTF8String])
+      case BooleanType => nf.booleanNode(v.asInstanceOf[Boolean])
+      case org.apache.spark.sql.types.IntegerType => nf.numberNode(v.asInstanceOf[Int])
+      case org.apache.spark.sql.types.LongType => nf.numberNode(v.asInstanceOf[Long])
+      case org.apache.spark.sql.types.ShortType => nf.numberNode(v.asInstanceOf[Short].toInt)
+      case org.apache.spark.sql.types.ByteType => nf.numberNode(v.asInstanceOf[Byte].toInt)
+      case org.apache.spark.sql.types.DoubleType => nf.numberNode(v.asInstanceOf[Double])
+      case org.apache.spark.sql.types.FloatType => nf.numberNode(v.asInstanceOf[Float].toDouble)
+      case d: org.apache.spark.sql.types.DecimalType =>
+        nf.numberNode(v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal)
+      case _ => nf.textNode(String.valueOf(v))
+    }
+  }
+
+  /** JSON_PRETTY(doc) — 2-space-indented rendering
+    * (ref func_json_format.cpp; spec-verified — pretty-printer
+    * whitespace is not portably expressible in a DuckDB oracle). */
+  case class JsonPretty(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "json_pretty"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def nullSafeEval(d: Any): Any =
+      parse(d.asInstanceOf[UTF8String]).map { n =>
+        UTF8String.fromString(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n))
+      }.orNull
+  }
+
   /** Register the family into a session's FunctionRegistry so the SQL
     * surface (`selectExpr`, `spark.sql`) can call them by MySQL name —
     * the analog of funcexp's fFuncMap registration
@@ -338,5 +876,28 @@ object JsonFunctions {
     f1("json_valid", JsonValid)
     f1("json_quote", JsonQuote)
     f1("json_unquote", JsonUnquote)
+    // round 4: the remaining func_json_* surface
+    reg.createOrReplaceTempFunction("json_keys",
+      es => JsonKeys(es.head, es.drop(1).headOption), "built-in")
+    reg.createOrReplaceTempFunction("json_length",
+      es => JsonLength(es.head, es.drop(1).headOption), "built-in")
+    f2("json_exists", JsonExists)
+    reg.createOrReplaceTempFunction("json_contains_path",
+      es => JsonContainsPath(es(0), es(1), es.drop(2)), "built-in")
+    f2("json_equals", JsonEquals)
+    f1("json_normalize", JsonNormalize)
+    f2("json_overlaps", JsonOverlaps)
+    f3("json_array_append", JsonArrayAppend)
+    f3("json_array_insert", JsonArrayInsert)
+    f3("json_search", JsonSearch)
+    f2("json_value", JsonValueAt)
+    f2("json_query", JsonQueryAt)
+    f2("json_merge_preserve", JsonMergePreserve)
+    f2("json_merge", JsonMergePreserve) // deprecated MySQL alias
+    reg.createOrReplaceTempFunction("json_object_mysql",
+      es => JsonObjectBuild(es), "built-in")
+    reg.createOrReplaceTempFunction("json_array_mysql",
+      es => JsonArrayBuild(es), "built-in")
+    f1("json_pretty", JsonPretty)
   }
 }

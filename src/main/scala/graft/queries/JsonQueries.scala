@@ -63,6 +63,49 @@ object JsonQueries {
           "json_quote(o_orderstatus) AS j_quote",
           "json_unquote(json_quote(o_orderstatus)) AS j_unquote")
         .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- round 4: the remaining func_json_* surface (keys/length/
+    // exists/contains_path/equals/normalize/overlaps/array_append/
+    // array_insert/search/value/query/merge_preserve/object/array).
+    // Docs are constructed per row so every oracle expectation is an
+    // exact string/int expression in DuckDB.
+    "q_fn_json3" -> ((s, dir) => {
+      JsonFunctions.register(s)
+      val varArr = "concat('[', repeat('7,', cast(o_orderkey % 4 AS INT)), '9]')"
+      val reordered =
+        "concat('{\"b\":{\"c\":\"', o_orderstatus, '\"},\"a\":', o_orderkey % 10, ',\"arr\":[1,2,', o_orderkey % 5, ']}')"
+      val twoStr =
+        "concat('{\"x\":\"', o_orderstatus, '\",\"y\":{\"z\":\"', o_orderstatus, '\"}}')"
+      t(s, dir, "orders").filter(col("o_orderkey") < 500)
+        .selectExpr(
+          "o_orderkey",
+          s"json_keys($sparkDoc) AS j_keys",
+          s"json_keys($sparkDoc, '$$.b') AS j_keys_b",
+          s"cast(json_length($sparkDoc) AS INT) AS j_len",
+          s"cast(json_length($varArr) AS INT) AS j_len_arr",
+          s"cast(json_length($sparkDoc, '$$.a') AS INT) AS j_len_scalar",
+          s"cast(json_exists($sparkDoc, concat('$$.arr[', o_orderkey % 10, ']')) AS INT) AS j_exists",
+          s"cast(json_contains_path($sparkDoc, 'one', '$$.z', '$$.b.c') AS INT) AS j_cpath_one",
+          s"cast(json_contains_path($sparkDoc, 'all', '$$.z', '$$.b.c') AS INT) AS j_cpath_all",
+          s"cast(json_equals($reordered, $sparkDoc) AS INT) AS j_eq",
+          "cast(json_equals('{\"n\": 1.0}', '{\"n\": 1}') AS INT) AS j_eq_num",
+          s"json_normalize($reordered) AS j_norm",
+          s"cast(json_overlaps(concat('[1,2,', o_orderkey % 5, ']'), concat('[', o_orderkey % 7, ',99]')) AS INT) AS j_overlap",
+          s"json_array_append($sparkDoc, '$$.arr', 'X') AS j_arrapp",
+          s"json_array_insert($sparkDoc, '$$.arr[1]', cast(o_orderkey % 10 AS STRING)) AS j_arrins",
+          s"json_search($sparkDoc, 'one', o_orderstatus) AS j_search_one",
+          s"json_search($twoStr, 'all', o_orderstatus) AS j_search_all",
+          s"json_search($sparkDoc, 'one', 'ZZZ_nomatch') AS j_search_none",
+          s"json_value($sparkDoc, '$$.b.c') AS j_value",
+          s"json_value($sparkDoc, '$$.a') AS j_value_num",
+          s"json_value($sparkDoc, '$$.b') AS j_value_container",
+          s"json_query($sparkDoc, '$$.b') AS j_query",
+          s"json_query($sparkDoc, '$$.a') AS j_query_scalar",
+          s"json_merge_preserve($sparkDoc, '{\"a\":5,\"arr\":[8]}') AS j_mergep",
+          "json_object_mysql('k1', o_orderstatus, 'k2', o_orderkey % 10) AS j_object",
+          "json_array_mysql(o_orderkey % 10, o_orderstatus) AS j_array")
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -93,6 +136,34 @@ object JsonQueries {
          |  CAST(json_valid('{bad' || o_orderstatus) AS INT) AS j_invalid,
          |  CAST(to_json(o_orderstatus) AS VARCHAR) AS j_quote,
          |  o_orderstatus AS j_unquote
+         |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+    "q_fn_json3" ->
+      s"""SELECT o_orderkey,
+         |  CAST(to_json(json_keys($duckDoc)) AS VARCHAR) AS j_keys,
+         |  CAST(to_json(json_keys($duckDoc, '$$.b')) AS VARCHAR) AS j_keys_b,
+         |  3 AS j_len,
+         |  CAST(json_array_length('[' || repeat('7,', o_orderkey % 4) || '9]') AS INT) AS j_len_arr,
+         |  1 AS j_len_scalar,
+         |  CASE WHEN o_orderkey % 10 <= 2 THEN 1 ELSE 0 END AS j_exists,
+         |  1 AS j_cpath_one,
+         |  0 AS j_cpath_all,
+         |  1 AS j_eq,
+         |  1 AS j_eq_num,
+         |  ('{"a":' || (o_orderkey % 10) || ',"arr":[1,2,' || (o_orderkey % 5) || '],"b":{"c":"' || o_orderstatus || '"}}') AS j_norm,
+         |  CASE WHEN o_orderkey % 7 IN (1, 2, o_orderkey % 5) THEN 1 ELSE 0 END AS j_overlap,
+         |  ('{"a":' || (o_orderkey % 10) || ',"b":{"c":"' || o_orderstatus || '"},"arr":[1,2,' || (o_orderkey % 5) || ',"X"]}') AS j_arrapp,
+         |  ('{"a":' || (o_orderkey % 10) || ',"b":{"c":"' || o_orderstatus || '"},"arr":[1,' || (o_orderkey % 10) || ',2,' || (o_orderkey % 5) || ']}') AS j_arrins,
+         |  '"$$.b.c"' AS j_search_one,
+         |  '["$$.x","$$.y.z"]' AS j_search_all,
+         |  CAST(NULL AS VARCHAR) AS j_search_none,
+         |  o_orderstatus AS j_value,
+         |  CAST(o_orderkey % 10 AS VARCHAR) AS j_value_num,
+         |  CAST(NULL AS VARCHAR) AS j_value_container,
+         |  ('{"c":"' || o_orderstatus || '"}') AS j_query,
+         |  CAST(NULL AS VARCHAR) AS j_query_scalar,
+         |  ('{"a":[' || (o_orderkey % 10) || ',5],"b":{"c":"' || o_orderstatus || '"},"arr":[1,2,' || (o_orderkey % 5) || ',8]}') AS j_mergep,
+         |  ('{"k1":"' || o_orderstatus || '","k2":' || (o_orderkey % 10) || '}') AS j_object,
+         |  ('[' || (o_orderkey % 10) || ',"' || o_orderstatus || '"]') AS j_array
          |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin
   )
 }

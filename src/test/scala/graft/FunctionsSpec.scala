@@ -82,6 +82,44 @@ class FunctionsSpec extends SparkSpec {
     assert(parsePath("$.").isEmpty)
   }
 
+  test("json round-4 surface: search/equals/overlaps/array ops/pretty edges") {
+    JsonFunctions.register(spark)
+    def j(e: String): Any = spark.sql(s"SELECT $e").collect()(0).get(0)
+    // search: 'all' with a single hit collapses to a plain path string
+    assert(j("""json_search('{"x":"hit","y":"miss"}', 'all', 'hit')""") == "\"$.x\"")
+    // search inside arrays, LIKE wildcards, no match
+    assert(j("""json_search('{"a":["p","q"]}', 'one', 'q')""") == "\"$.a[1]\"")
+    assert(j("""json_search('{"ab":"xyz"}', 'one', 'x%')""") == "\"$.ab\"")
+    assert(j("""json_search('{"ab":"xyz"}', 'one', 'x_z')""") == "\"$.ab\"")
+    assert(j("""json_search('{"a":"b"}', 'one', 'nope')""") == null)
+    // equals: representation-insensitive numbers, order-insensitive keys
+    assert(j("""json_equals('{"a":1.0,"b":[1,2]}', '{"b":[1,2],"a":1}')""") == true)
+    assert(j("""json_equals('[1,2]', '[2,1]')""") == false)
+    // overlaps: object member vs array element semantics
+    assert(j("""json_overlaps('{"a":1}', '{"a":1,"b":2}')""") == true)
+    assert(j("""json_overlaps('{"a":1}', '{"a":2}')""") == false)
+    assert(j("""json_overlaps('3', '[1,2,3]')""") == true)
+    // array_append wraps a non-array target; array_insert shifts
+    assert(j("""json_array_append('{"a":1}', '$.a', '2')""") == """{"a":[1,2]}""")
+    assert(j("""json_array_insert('{"a":[1,3]}', '$.a[1]', '2')""") == """{"a":[1,2,3]}""")
+    assert(j("""json_array_insert('{"a":[1]}', '$.a[9]', '2')""") == """{"a":[1,2]}""")
+    // merge_preserve wraps scalars into arrays
+    assert(j("""json_merge_preserve('1', '2')""") == "[1,2]")
+    assert(j("""json_merge_preserve('{"a":1}', '{"a":2}')""") == """{"a":[1,2]}""")
+    // keys/length on missing paths are NULL
+    assert(j("""json_keys('{"a":1}', '$.z')""") == null)
+    assert(j("""json_length('{"a":1}', '$.z')""") == null)
+    // value/query scalar-vs-container contract
+    assert(j("""json_value('{"a":{"b":1}}', '$.a')""") == null)
+    assert(j("""json_query('{"a":{"b":1}}', '$.a')""") == """{"b":1}""")
+    // normalize sorts keys recursively
+    assert(j("""json_normalize('{"b":{"d":1,"c":2},"a":3}')""") == """{"a":3,"b":{"c":2,"d":1}}""")
+    // pretty: jackson default 2-space style, stable
+    assert(j("""json_pretty('{"a":[1]}')""").toString.contains("\n"))
+    assert(j("""json_contains_path('{"a":{"b":1}}', 'one', '$.a.b', '$.z')""") == true)
+    assert(j("""json_contains_path('{"a":{"b":1}}', 'all', '$.a.b', '$.z')""") == false)
+  }
+
   test("group_concat: order, desc, distinct, separator, truncation, empty->null") {
     ConcatAggs.register(spark)
     Seq((1, "b", 2.0), (1, "a", 3.0), (1, "c", 1.0), (1, "a", 0.5), (2, "z", 1.0))

@@ -118,10 +118,11 @@ object MySqlFunctions {
   // ---- DATE_FORMAT / STR_TO_DATE pattern translation ----
 
   /** MySQL date-format specifiers → Java DateTimeFormatter patterns.
-    * Literal text is single-quote-escaped per Java rules. Unsupported
-    * specifiers (%X/%V locale weeks, %U/%u week-mode variants beyond
-    * the default) throw at plan time rather than silently diverging.
-    */
+    * Literal text is single-quote-escaped per Java rules. Week-mode
+    * specifiers (%U %u %V %v %X %x) are handled upstream by
+    * `dateFormat`'s segmenter (no DateTimeFormatter equivalent);
+    * anything else unknown throws at plan time rather than silently
+    * diverging. */
   def translateDatePattern(mysql: String): String = {
     val sb = new StringBuilder
     var literal = new StringBuilder
@@ -166,9 +167,91 @@ object MySqlFunctions {
     sb.toString
   }
 
-  /** MySQL DATE_FORMAT(ts, '%Y-%m-%d ...') with MySQL specifiers. */
-  def dateFormat(ts: Column, mysqlPattern: String): Column =
-    date_format(ts, translateDatePattern(mysqlPattern))
+  // ---- MySQL week modes (sql/time.cc calc_week; ref
+  // utils/dataconvert/dataconvert.cpp week-specifier handling).
+  // Mode 0: Sunday-first, range 0-53, week 1 starts at the year's
+  //         first Sunday (earlier days are week 0).
+  // Mode 1: Monday-first, range 0-53, week 1 is the first week with
+  //         4+ days in the year.
+  // Mode 2: mode 0 but range 1-53 — leading days take the PREVIOUS
+  //         year's last week number (pairs with %X week-year).
+  // Mode 3: ISO 8601 (Monday-first, 4+ days, 1-53; pairs with %x).
+
+  /** Day-of-year offset (0-based) of the year's first Sunday. */
+  private def firstSundayOffset(jan1: Column): Column =
+    (lit(7) - (dayofweek(jan1) - 1)) % 7
+
+  /** Mode-0 week number for a date with day-of-year `doy0` (0-based)
+    * in the year starting at `jan1`. */
+  private def sundayWeek(doy0: Column, jan1: Column): Column = {
+    val off = firstSundayOffset(jan1)
+    when(doy0 < off, lit(0)).otherwise(floor((doy0 - off) / 7).cast(IntegerType) + 1)
+  }
+
+  /** MySQL WEEK(d, mode) for modes 0-3. */
+  def weekMySql(d: Column, mode: Int): Column = mode match {
+    case 0 => sundayWeek(dayofyear(d) - 1, trunc(d, "year"))
+    case 2 =>
+      val w = weekMySql(d, 0)
+      // leading days inherit the final week number of the previous year
+      val prevDec31 = date_sub(trunc(d, "year"), 1)
+      when(w === 0, sundayWeek(dayofyear(prevDec31) - 1, trunc(prevDec31, "year")))
+        .otherwise(w)
+    case 1 =>
+      val jan1 = trunc(d, "year")
+      val dowMon = (dayofweek(jan1) + 5) % 7 // Monday = 0
+      val weekIndex = floor((dayofyear(d) - 1 + dowMon) / 7).cast(IntegerType)
+      weekIndex + when(dowMon <= 3, 1).otherwise(0)
+    case 3 => weekofyear(d)
+    case other => throw new IllegalArgumentException(s"week mode $other not supported")
+  }
+
+  /** ISO week-year (%x): the year of the Thursday of d's ISO week. */
+  def isoWeekYear(d: Column): Column = {
+    val isoDow = (dayofweek(d) + 5) % 7 + 1 // Monday = 1
+    year(date_add(d, (lit(4) - isoDow).cast(IntegerType)))
+  }
+
+  /** Mode-2 week-year (%X): calendar year, except leading days that
+    * inherit the previous year's week number. */
+  def sundayWeekYear(d: Column): Column =
+    when(weekMySql(d, 0) === 0, year(d) - 1).otherwise(year(d))
+
+  /** MySQL DATE_FORMAT(ts, '%Y-%m-%d ...') with MySQL specifiers.
+    * Week-mode specifiers (%U %u %V %v %X %x) have no Java
+    * DateTimeFormatter equivalent, so the pattern is segmented: plain
+    * runs go through one date_format each, week specifiers evaluate as
+    * native column arithmetic, and the pieces concat back in order —
+    * the whole expression stays codegen'd. */
+  def dateFormat(ts: Column, mysqlPattern: String): Column = {
+    val weekSpecs = "UuVvXx".toSet
+    // split into Left(plain-run) / Right(week-specifier) segments
+    val segs = scala.collection.mutable.ArrayBuffer.empty[Either[String, Char]]
+    val cur = new StringBuilder
+    var i = 0
+    while (i < mysqlPattern.length) {
+      val c = mysqlPattern.charAt(i)
+      if (c == '%' && i + 1 < mysqlPattern.length && weekSpecs(mysqlPattern.charAt(i + 1))) {
+        if (cur.nonEmpty) { segs += Left(cur.toString); cur.clear() }
+        segs += Right(mysqlPattern.charAt(i + 1))
+        i += 2
+      } else if (c == '%' && i + 1 < mysqlPattern.length) {
+        cur.append(c).append(mysqlPattern.charAt(i + 1)); i += 2
+      } else { cur.append(c); i += 1 }
+    }
+    if (cur.nonEmpty) segs += Left(cur.toString)
+    if (segs.forall(_.isLeft)) date_format(ts, translateDatePattern(mysqlPattern))
+    else concat(segs.toSeq.map {
+      case Left(plain) => date_format(ts, translateDatePattern(plain))
+      case Right('U') => lpad(weekMySql(ts, 0).cast(StringType), 2, "0")
+      case Right('u') => lpad(weekMySql(ts, 1).cast(StringType), 2, "0")
+      case Right('V') => lpad(weekMySql(ts, 2).cast(StringType), 2, "0")
+      case Right('v') => lpad(weekMySql(ts, 3).cast(StringType), 2, "0")
+      case Right('X') => lpad(sundayWeekYear(ts).cast(StringType), 4, "0")
+      case Right('x') => lpad(isoWeekYear(ts).cast(StringType), 4, "0")
+      case Right(other) => throw new IllegalArgumentException(s"unreachable: %$other")
+    }: _*)
+  }
 
   /** MySQL STR_TO_DATE(str, pattern) → timestamp. */
   def strToDate(s: Column, mysqlPattern: String): Column =

@@ -158,6 +158,48 @@ object FunctionQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ---- MySQL week modes 0-3 + week-year specifiers
+    // (sql/time.cc calc_week; ref utils/dataconvert/dataconvert.cpp).
+    // The oracle re-derives every mode from DuckDB's OWN calendar
+    // primitives (dayofweek Sunday=0, isoyear), so this cross-checks
+    // the formulas, not just their transcription. ----
+    "q_fn_week" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") < 500)
+        .select(
+          col("o_orderkey"),
+          dateFormat(col("o_orderdate"), "%x-W%v-%U%u%V %X").as("w_fmt"),
+          weekMySql(col("o_orderdate"), 0).cast("int").as("w_mode0"),
+          weekMySql(col("o_orderdate"), 1).cast("int").as("w_mode1"),
+          weekMySql(col("o_orderdate"), 2).cast("int").as("w_mode2"),
+          weekMySql(col("o_orderdate"), 3).cast("int").as("w_mode3"),
+          sundayWeekYear(col("o_orderdate")).cast("int").as("w_xyear"),
+          isoWeekYear(col("o_orderdate")).cast("int").as("w_isoyear"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- sql_mode=ORACLE variants (func_concat_oracle.cpp,
+    // func_replace_oracle.cpp, func_ltrim_oracle.cpp,
+    // func_decode_oracle.cpp — NULL/empty-string divergences) ----
+    "q_fn_oracle" -> ((s, dir) => {
+      t(s, dir, "customer").filter(col("c_custkey") < 500)
+        .select(
+          col("c_custkey"),
+          concatOracle(nullif(col("c_mktsegment"), lit("BUILDING")), lit("-"),
+            col("c_name")).as("o_concat"),
+          replaceOracle(col("c_name"), lit("Customer"), lit("Cust")).as("o_repl"),
+          replaceOracle(col("c_name"), lit(null).cast("string"), lit("Z")).as("o_repl_null"),
+          trimOracle(when(col("c_custkey") % 10 === 0, lit("   "))
+            .otherwise(concat(lit("  "), col("c_mktsegment"), lit(" ")))).as("o_trim"),
+          ltrimOracle(concat(lit("  "), col("c_mktsegment"))).as("o_ltrim"),
+          rtrimOracle(when(col("c_custkey") % 10 === 0, lit("  "))
+            .otherwise(concat(col("c_mktsegment"), lit("  ")))).as("o_rtrim"),
+          decodeOracle(nullif(col("c_mktsegment"), lit("BUILDING")),
+            lit(null).cast("string"), lit("was-building"),
+            lit("MACHINERY"), lit("mach"),
+            lit("other")).as("o_decode"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ---- control flow / null handling (func_case.cpp, func_if.cpp,
     // func_ifnull.cpp, func_coalesce.cpp, func_greatest.cpp, ...) ----
     "q_fn_ctrl" -> ((s, dir) => {
@@ -227,6 +269,47 @@ object FunctionQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_fn_week" ->
+      """SELECT o_orderkey,
+        |  (CAST(w_isoyear AS VARCHAR) || '-W' || lpad(CAST(w_mode3 AS VARCHAR), 2, '0') || '-' ||
+        |   lpad(CAST(w_mode0 AS VARCHAR), 2, '0') || lpad(CAST(w_mode1 AS VARCHAR), 2, '0') ||
+        |   lpad(CAST(w_mode2 AS VARCHAR), 2, '0') || ' ' || CAST(w_xyear AS VARCHAR)) AS w_fmt,
+        |  CAST(w_mode0 AS INT) AS w_mode0, CAST(w_mode1 AS INT) AS w_mode1,
+        |  CAST(w_mode2 AS INT) AS w_mode2, CAST(w_mode3 AS INT) AS w_mode3,
+        |  CAST(w_xyear AS INT) AS w_xyear, CAST(w_isoyear AS INT) AS w_isoyear
+        |FROM (
+        |  SELECT o_orderkey,
+        |    CASE WHEN doy0 < offs THEN 0 ELSE (doy0 - offs) // 7 + 1 END AS w_mode0,
+        |    (doy0 + dowmon) // 7 + CASE WHEN dowmon <= 3 THEN 1 ELSE 0 END AS w_mode1,
+        |    CASE WHEN doy0 < offs
+        |      THEN (CASE WHEN pdoy0 < poffs THEN 0 ELSE (pdoy0 - poffs) // 7 + 1 END)
+        |      ELSE (doy0 - offs) // 7 + 1 END AS w_mode2,
+        |    weekofyear(d) AS w_mode3,
+        |    CASE WHEN doy0 < offs THEN year(d) - 1 ELSE year(d) END AS w_xyear,
+        |    isoyear(d) AS w_isoyear
+        |  FROM (
+        |    SELECT o_orderkey, d, dayofyear(d) - 1 AS doy0,
+        |      (7 - dayofweek(date_trunc('year', d))) % 7 AS offs,
+        |      (dayofweek(date_trunc('year', d)) + 6) % 7 AS dowmon,
+        |      dayofyear(date_trunc('year', d) - 1) - 1 AS pdoy0,
+        |      (7 - dayofweek(date_trunc('year', date_trunc('year', d) - 1))) % 7 AS poffs
+        |    FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+        |          FROM orders WHERE o_orderkey < 500)))
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_fn_oracle" ->
+      """SELECT c_custkey,
+        |  concat(nullif(c_mktsegment, 'BUILDING'), '-', c_name) AS o_concat,
+        |  replace(c_name, 'Customer', 'Cust') AS o_repl,
+        |  c_name AS o_repl_null,
+        |  nullif(trim(CASE WHEN c_custkey % 10 = 0 THEN '   '
+        |    ELSE '  ' || c_mktsegment || ' ' END), '') AS o_trim,
+        |  nullif(ltrim('  ' || c_mktsegment), '') AS o_ltrim,
+        |  nullif(rtrim(CASE WHEN c_custkey % 10 = 0 THEN '  '
+        |    ELSE c_mktsegment || '  ' END), '') AS o_rtrim,
+        |  CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL THEN 'was-building'
+        |       WHEN nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM 'MACHINERY' THEN 'mach'
+        |       ELSE 'other' END AS o_decode
+        |FROM customer WHERE c_custkey < 500 ORDER BY c_custkey""".stripMargin,
     "q_fn_string" ->
       """SELECT p_partkey,
         |  p_name || '|' || p_brand AS c_concat,

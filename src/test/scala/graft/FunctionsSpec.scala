@@ -22,6 +22,30 @@ class FunctionsSpec extends SparkSpec {
     intercept[IllegalArgumentException](M.translateDatePattern("%X-%V"))
   }
 
+  test("week modes 0-3 match MySQL's documented golden values") {
+    // golden values from the MySQL WEEK()/DATE_FORMAT() documentation
+    // (modes: 0 Sunday/0-53, 1 Monday/4day/0-53, 2 Sunday/1-53, 3 ISO)
+    val cases = Seq(
+      // date, mode0, mode1, mode2, mode3(ISO), %X, %x
+      ("2008-02-20", 7, 8, 7, 8, 2008, 2008),
+      ("2000-01-01", 0, 0, 52, 52, 1999, 1999),
+      ("1997-01-01", 0, 1, 52, 1, 1996, 1997),
+      ("2008-12-31", 52, 53, 52, 1, 2008, 2009),
+      ("2008-01-06", 1, 1, 1, 1, 2008, 2008))
+    for ((d, m0, m1, m2, m3, xx, x) <- cases) {
+      val dc = to_date(lit(d))
+      assert(one(M.weekMySql(dc, 0)) == m0, s"$d mode 0")
+      assert(one(M.weekMySql(dc, 1)) == m1, s"$d mode 1")
+      assert(one(M.weekMySql(dc, 2)) == m2, s"$d mode 2")
+      assert(one(M.weekMySql(dc, 3)) == m3, s"$d mode 3")
+      assert(one(M.sundayWeekYear(dc)) == xx, s"$d %X")
+      assert(one(M.isoWeekYear(dc)) == x, s"$d %x")
+    }
+    // segmented DATE_FORMAT: week specifiers interleaved with plain runs
+    assert(one(M.dateFormat(to_date(lit("2008-12-31")), "%x-W%v (%U/%u/%V of %X) %Y")) ==
+      "2009-W01 (52/53/52 of 2008) 2008")
+  }
+
   test("period arithmetic: add/diff are inverse") {
     val df = Seq(199501, 199512, 200001, 202312).toDF("p")
     val r = df.select(col("p"), M.periodDiff(M.periodAdd(col("p"), lit(37)), col("p")))

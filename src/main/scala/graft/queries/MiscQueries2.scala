@@ -13,6 +13,32 @@ object MiscQueries2 {
   import Q._
 
   val queries: Map[String, QFn] = Map(
+    // ---- collation-aware compare/group/order (ref
+    // utils/common/collation.h; TypeMapper maps COLLATE *_ci DDL to
+    // the same collated type). seg_mixed alternates case per row, so
+    // every collated operation must merge variants: the UTF8_LCASE
+    // groupBy folds them into 5 groups, the collated '=' matches both
+    // 'BUILDING' and 'building', and dense_rank orders by collated
+    // key. Outputs are case-deterministic (min() binary
+    // representative, counts, ranks) — never the collated group key
+    // itself, whose surviving case variant is first-come. Window runs
+    // over the 5 GROUPS (post-agg), so the global sort is trivially
+    // small at any corpus scale. ----
+    "q_collation" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = t(s, dir, "customer").filter(col("c_custkey") < 500)
+        .withColumn("seg_mixed",
+          when(col("c_custkey") % 2 === 0, lower(col("c_mktsegment")))
+            .otherwise(col("c_mktsegment")))
+      c.groupBy(collate(col("seg_mixed"), "UTF8_LCASE").as("k"))
+        .agg(count(lit(1)).as("n"), min(col("seg_mixed")).as("rep"),
+          count_distinct(col("seg_mixed")).as("case_variants"))
+        .select(col("rep"), col("n"), col("case_variants"),
+          dense_rank().over(Window.orderBy(col("k"))).as("ci_rank"),
+          (col("k") === lit("building")).cast("int").as("is_building"))
+        .orderBy(col("ci_rank"))
+    }),
+
     // BIN/OCT, EXPORT_SET, MAKETIME (ref func_bin.cpp [via conv],
     // func_export_set.cpp, func_maketime.cpp)
     "q_fn_misc2" -> ((s, dir) => {
@@ -52,6 +78,18 @@ object MiscQueries2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_collation" ->
+      """SELECT rep, n, case_variants,
+        |  CAST(dense_rank() OVER (ORDER BY k) AS INT) AS ci_rank,
+        |  CAST(k = 'building' AS INT) AS is_building
+        |FROM (
+        |  SELECT lower(seg_mixed) AS k, min(seg_mixed) AS rep,
+        |    count(*) AS n, count(DISTINCT seg_mixed) AS case_variants
+        |  FROM (SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+        |               ELSE c_mktsegment END AS seg_mixed
+        |        FROM customer WHERE c_custkey < 500)
+        |  GROUP BY 1)
+        |ORDER BY ci_rank""".stripMargin,
     "q_fn_misc2" ->
       """SELECT o_orderkey,
         |  bin(o_orderkey) AS y_bin,

@@ -27,6 +27,14 @@ object TypeMapper {
   def toSparkType(sqlType: String): DataType = {
     val t = sqlType.trim
     val u = """(?i).*\bUNSIGNED\b.*""".r.matches(t)
+    // MariaDB per-column collation (utils/common/collation.h): *_ci
+    // collations map to Spark's UTF8_LCASE collated string type, so
+    // comparisons, grouping, and sorts through the whole Catalyst
+    // stack become case-insensitive without any query rewrite;
+    // *_bin / unspecified keep the UTF8_BINARY default.
+    val ciCollation = """(?i).*\bCOLLATE\s+(\w+).*""".r.findFirstMatchIn(t)
+      .exists(m => m.group(1).toLowerCase.endsWith("_ci"))
+    def str: DataType = if (ciCollation) StringType("UTF8_LCASE") else StringType
     t match {
       case DecimalRe(p, s) =>
         val prec = Option(p).map(_.toInt).getOrElse(10)
@@ -44,7 +52,7 @@ object TypeMapper {
           case "DOUBLE" | "REAL" => DoubleType
           case "BIT" | "BOOLEAN" | "BOOL" => BooleanType
           case "CHAR" | "VARCHAR" | "TEXT" | "TINYTEXT" | "MEDIUMTEXT" | "LONGTEXT" |
-               "CLOB" | "ENUM" | "SET" | "JSON" => StringType
+               "CLOB" | "ENUM" | "SET" | "JSON" => str
           case "BINARY" | "VARBINARY" | "BLOB" | "TINYBLOB" | "MEDIUMBLOB" | "LONGBLOB" =>
             BinaryType
           case "DATE" => DateType

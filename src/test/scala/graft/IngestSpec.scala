@@ -28,6 +28,21 @@ class IngestSpec extends SparkSpec {
     assert(toSparkType("JSON") == StringType)
   }
 
+  test("collation: COLLATE *_ci maps to UTF8_LCASE and compares case-insensitively") {
+    import TypeMapper.toSparkType
+    assert(toSparkType("VARCHAR(25) COLLATE utf8mb4_general_ci") == StringType("UTF8_LCASE"))
+    assert(toSparkType("CHAR(10) COLLATE latin1_swedish_ci") == StringType("UTF8_LCASE"))
+    assert(toSparkType("VARCHAR(25) COLLATE utf8mb4_bin") == StringType)
+    assert(toSparkType("TEXT") == StringType)
+    // end-to-end: a ci-typed column groups and compares case-insensitively
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq("Alpha", "ALPHA", "alpha", "Beta").toDF("s")
+      .select(col("s"), collate(col("s"), "UTF8_LCASE").as("s_ci"))
+    assert(df.filter(col("s_ci") === lit("aLpHa")).count() == 3)
+    assert(df.select(countDistinct(col("s_ci"))).as[Long].collect()(0) == 2L)
+  }
+
   test("ddl parser: columns, nullability, ignored key clauses") {
     val s = TypeMapper.parseDdl(
       """CREATE TABLE t (

@@ -68,4 +68,39 @@ class DmlSpec extends SparkSpec {
     assert(t.read().count() == 25)
     intercept[IllegalArgumentException](t.read(0))
   }
+
+  test("concurrent reader stays pinned at its version across writer commits") {
+    // The VSS contract (versioning/BRM/vss.h:167-198): a reader that
+    // opened at version N keeps seeing N's state while writers commit
+    // N+1, N+2 — here because a version's DataFrame plans against an
+    // immutable manifest file list, and CoW never mutates data files.
+    val loc = freshLoc()
+    val t = VersionedTable.create(spark, loc,
+      (1 to 200).map(i => (i.toLong, i * 1.0)).toDF("id", "bal"))
+    val v0 = t.currentVersion
+    val reader = t.read(v0) // pinned BEFORE any writer activity
+
+    // writer transaction 1: update rewrites touched files (N+1)
+    t.update(col("id") <= 50, Map("bal" -> (col("bal") * 100)))
+    // writer transaction 2: delete drops rows (N+2)
+    t.delete(col("id") > 150)
+    assert(t.currentVersion == v0 + 2)
+
+    // the pinned reader evaluates AFTER both commits: still sees v0
+    assert(reader.count() == 200)
+    assert(reader.filter(col("id") <= 50).select(sum("bal")).as[Double].head()
+      == (1 to 50).map(_ * 1.0).sum)
+    assert(reader.filter(col("id") > 150).count() == 50)
+    // a fresh reader at latest sees both commits
+    val latest = t.read()
+    assert(latest.count() == 150)
+    assert(latest.filter(col("id") <= 50).select(sum("bal")).as[Double].head()
+      == (1 to 50).map(_ * 100.0).sum)
+    // writer commits again while BOTH readers hold plans — isolation
+    // still holds for each pinned snapshot
+    t.insert(Seq((999L, 9.99)).toDF("id", "bal"))
+    assert(reader.count() == 200)
+    assert(latest.count() == 150) // pinned at v0+2, not affected by insert
+    assert(t.read().count() == 151)
+  }
 }

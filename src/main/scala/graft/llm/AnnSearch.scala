@@ -219,11 +219,18 @@ object AnnSearch {
       corpus: DataFrame, threshold: Double,
       numPlanes: Int = 8, numTables: Int = 8, probeBits: Int = 1, dim: Int = 64,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val c0 = corpus.select(col(id).as("_id"), asDouble(col(vec)).as("_v"),
+      norm(asDouble(col(vec))).as("_n"))
+    verifyPairs(lshCandidatePairs(c0, numPlanes, numTables, probeBits, dim), c0, threshold)
+  }
+
+  /** The multi-probe candidate stage of `cosineDupPairs`, exposed so
+    * specs can assert its volume stays ≪ N² (the scale contract). */
+  private def lshCandidatePairs(c0: DataFrame, numPlanes: Int, numTables: Int,
+      probeBits: Int, dim: Int): DataFrame = {
     require(numPlanes <= 62, "numPlanes must fit a long bucket id")
     require(probeBits >= 0 && probeBits <= numPlanes, "probeBits out of range")
     val tables = (0 until numTables).map(t => hyperplanes(numPlanes, dim, seed = 42L + t))
-    val c0 = corpus.select(col(id).as("_id"), asDouble(col(vec)).as("_v"),
-      norm(asDouble(col(vec))).as("_n"))
     // buckets computed ONCE per (vector, table) — P·L dots per vector;
     // probe variants are cheap literal XORs on the materialized bucket
     // (not re-evaluations of bucketOf, which would re-run the dots
@@ -239,11 +246,20 @@ object AnnSearch {
     val probed = withB.select(col("_id"),
       explode(array((for { t <- 0 until numTables; m <- masks } yield
         struct(lit(t).as("t"), col(s"_b$t").bitwiseXOR(lit(m)).as("b"))): _*)).as("_tb"))
-    val pairs = own.as("a").join(probed.as("b"),
+    own.as("a").join(probed.as("b"),
         col("a._tb") === col("b._tb") && col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct()
-    verifyPairs(pairs, c0, threshold)
+  }
+
+  /** Candidate-pair count for `cosineDupPairs`'s parameterization —
+    * the measurable sub-quadratic guarantee. */
+  def cosineCandidateCount(corpus: DataFrame,
+      numPlanes: Int = 8, numTables: Int = 8, probeBits: Int = 1, dim: Int = 64,
+      id: String = "vec_id", vec: String = "embedding"): Long = {
+    val c0 = corpus.select(col(id).as("_id"), asDouble(col(vec)).as("_v"),
+      norm(asDouble(col(vec))).as("_n"))
+    lshCandidatePairs(c0, numPlanes, numTables, probeBits, dim).count()
   }
 
   /** EXACT cosine-similarity self-join (every pair with cosine ≥

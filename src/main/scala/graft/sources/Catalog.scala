@@ -26,18 +26,43 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
   private def metaFile(table: String): Path = metaDir.resolve(s"$table.json")
   def tableLocation(table: String): String = s"$warehouse/$table"
 
-  /** CREATE TABLE from a MariaDB DDL string (or bare column list). */
-  def createTable(table: String, ddl: String): StructType = {
+  private def propsFile(table: String): Path = metaDir.resolve(s"$table.props")
+
+  /** CREATE TABLE from a MariaDB DDL string (or bare column list).
+    * `props` carries per-table storage options — the reference's
+    * per-table compression selection (`utils/compress/idbcompress.h:
+    * 285,318`, COMPRESSION=n DDL attribute) maps to
+    * `compression -> snappy|zstd|gzip|lz4|none` applied to every
+    * parquet write for the table. */
+  def createTable(table: String, ddl: String,
+      props: Map[String, String] = Map.empty): StructType = {
     val schema = TypeMapper.parseDdl(ddl)
     require(!Files.exists(metaFile(table)), s"table exists: $table")
     Files.writeString(metaFile(table), schema.json)
+    if (props.nonEmpty)
+      Files.writeString(propsFile(table),
+        props.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("\n"))
     Files.createDirectories(Paths.get(tableLocation(table)))
     schema
   }
 
+  def tableProps(table: String): Map[String, String] =
+    if (!Files.exists(propsFile(table))) Map.empty
+    else Files.readAllLines(propsFile(table)).asScala.filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+
+  /** The table's parquet codec (default: session/parquet default). */
+  def codecOf(table: String): Option[String] = tableProps(table).get("compression")
+
+  /** Apply the table's storage props to a writer. */
+  def configureWriter[T](table: String,
+      w: org.apache.spark.sql.DataFrameWriter[T]): org.apache.spark.sql.DataFrameWriter[T] =
+    codecOf(table).map(c => w.option("compression", c)).getOrElse(w)
+
   def dropTable(table: String): Unit = {
     require(Files.exists(metaFile(table)), s"no such table: $table")
     Files.delete(metaFile(table))
+    Files.deleteIfExists(propsFile(table))
     val loc = Paths.get(tableLocation(table))
     if (Files.exists(loc)) {
       Files.walk(loc).iterator().asScala.toSeq.reverse.foreach(Files.delete)
@@ -79,7 +104,8 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
     * extent-elimination analog made explicit on disk). */
   def writePartitioned(table: String, df: DataFrame, partitionCol: String,
       mode: String = "overwrite"): Unit =
-    df.write.mode(mode).partitionBy(partitionCol).parquet(tableLocation(table))
+    configureWriter(table, df.write.mode(mode).partitionBy(partitionCol))
+      .parquet(tableLocation(table))
 
   /** List partition directory names (`col=value`). */
   def partitions(table: String): Seq[String] = {

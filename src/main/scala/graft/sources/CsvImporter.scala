@@ -62,7 +62,8 @@ object CsvImporter {
     val parts = math.max(1, (inputBytes / (targetFileMB.toLong << 20)).toInt)
 
     val sized = if (good.rdd.getNumPartitions > parts * 4) good.repartition(parts) else good
-    sized.write.mode(mode).parquet(catalog.tableLocation(table))
+    catalog.configureWriter(table, sized.write.mode(mode))
+      .parquet(catalog.tableLocation(table))
 
     val loaded = raw.count() - bad
     raw.unpersist()

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.{Catalog, CsvImporter, TypeMapper}
@@ -26,6 +27,31 @@ class IngestSpec extends SparkSpec {
     assert(toSparkType("DATE") == DateType)
     assert(toSparkType("BLOB") == BinaryType)
     assert(toSparkType("JSON") == StringType)
+  }
+
+  test("per-table compression codec applies to every table write") {
+    // ref utils/compress/idbcompress.h:285,318 (COMPRESSION=n DDL attr)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_codec").toString
+    val cat = new Catalog(wh, spark)
+    cat.createTable("gz", "id BIGINT, seg VARCHAR(10)", Map("compression" -> "gzip"))
+    assert(cat.codecOf("gz").contains("gzip"))
+    assert(cat.codecOf("nope").isEmpty)
+    val df = (1 to 100).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "seg")
+    cat.writePartitioned("gz", df, "seg")
+    val files = Files.walk(java.nio.file.Paths.get(cat.tableLocation("gz")))
+      .iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    assert(files.nonEmpty && files.forall(_.endsWith(".gz.parquet")),
+      s"expected gzip parquet files, got: ${files.take(3)}")
+    assert(cat.loadPartitioned("gz").count() == 100)
+    // an uncompressed-default table is unaffected
+    cat.createTable("plain", "id BIGINT", Map("compression" -> "none"))
+    cat.configureWriter("plain", (1 to 10).map(i => i.toLong).toDF("id").write.mode("overwrite"))
+      .parquet(cat.tableLocation("plain"))
+    val plainFiles = Files.walk(java.nio.file.Paths.get(cat.tableLocation("plain")))
+      .iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    assert(plainFiles.nonEmpty && plainFiles.forall(!_.contains(".gz.")))
   }
 
   test("collation: COLLATE *_ci maps to UTF8_LCASE and compares case-insensitively") {

@@ -68,6 +68,58 @@ class LlmSpec extends SparkSpec {
     assert(Dedup.hammingInt(sh(1L), sh(4L)) > 16)
   }
 
+  /** Deterministic planted-near-dup corpus for the cosine operators:
+    * 60 seeded random base vectors, 10 of which get a small
+    * perturbation twin (cosine ≈ 0.97+); random 64-dim pairs sit
+    * near cos 0 so the planted pairs are the only ones ≥ 0.8. */
+  private def plantedVectors = {
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextGaussian())
+    val bases = (0 until 60).map(i => (i.toLong, vec()))
+    val twins = bases.take(10).map { case (i, v) =>
+      (100L + i, v.map(x => x + rnd.nextGaussian() * 0.1))
+    }
+    (bases ++ twins).toDF("vec_id", "embedding")
+  }
+
+  test("cosineDupPairsExact equals the naive all-pairs join at any block count") {
+    val emb = plantedVectors
+    def naive(th: Double) = {
+      val e = emb.select(col("vec_id").as("_id"), col("embedding").as("_v"))
+      e.as("a").join(e.as("b"), col("a._id") < col("b._id"))
+        .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+          (AnnSearch.dot(col("a._v"), col("b._v")) /
+            (sqrt(AnnSearch.dot(col("a._v"), col("a._v"))) *
+             sqrt(AnnSearch.dot(col("b._v"), col("b._v"))))).as("cosine"))
+        .filter(col("cosine") >= th)
+    }
+    for (blocks <- Seq(1, 4, 16, 128)) { // incl. blocks >> N/row-count shapes
+      val got = AnnSearch.cosineDupPairsExact(emb, threshold = 0.8, numBlocks = blocks)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val want = naive(0.8).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == want, s"blocks=$blocks missing=${want -- got} spurious=${got -- want}")
+      assert(got.size == 10) // exactly the planted twins
+    }
+  }
+
+  test("cosine LSH pairs: total recall at 0.8 on planted dups, sub-quadratic candidates") {
+    val emb = plantedVectors
+    val n = emb.count()
+    val got = AnnSearch.cosineDupPairs(emb, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = AnnSearch.cosineDupPairsExact(emb, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // hyperplanes are seed-deterministic, so this recall is a fixed
+    // fact of the operator, not a flaky sample (miss model for a
+    // cos-0.97 pair: ~(1-0.97)^8-ish per table, 8 tables)
+    assert(got == want, s"missing=${want -- got} spurious=${got -- want}")
+    // the verdict-required scale proof: candidate volume ≪ N²
+    val candidates = AnnSearch.cosineCandidateCount(emb)
+    val allPairs = n * (n - 1) / 2
+    assert(candidates < allPairs / 2,
+      s"candidates $candidates vs all-pairs $allPairs — LSH must stay sub-quadratic")
+  }
+
   test("lsh ANN reaches recall >= 0.5 vs brute force top-10") {
     val emb = Tables.t(spark, sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") < 20)

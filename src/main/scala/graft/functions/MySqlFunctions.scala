@@ -77,6 +77,72 @@ object MySqlFunctions {
     when(doy >= 1,
       date_add(make_date(year, lit(1), lit(1)), (doy - 1).cast(IntegerType)))
 
+  /** MySQL ADDTIME('HH:MM:SS','HH:MM:SS') — hours carry past 24, like
+    * MySQL TIME arithmetic (ref func_add_time.cpp). */
+  def addTime(t: Column, delta: Column): Column =
+    secToTime(timeToSec(t) + timeToSec(delta))
+
+  /** MySQL TIME_FORMAT(t, pattern) for the TIME-relevant specifiers
+    * %H %k %i %s %S %T (ref func_time_format.cpp; date specifiers in
+    * a TIME_FORMAT pattern render zeros in MySQL — unsupported here,
+    * throw at plan time instead of diverging silently). */
+  def timeFormat(t: Column, mysqlPattern: String): Column = {
+    val sec = timeToSec(t)
+    val hours = (sec / 3600).cast(LongType)
+    val mins = ((sec % 3600) / 60).cast(LongType)
+    val secs = sec % 60
+    def two(c: Column): Column = lpad(c.cast(StringType), 2, "0")
+    val segs = scala.collection.mutable.ArrayBuffer.empty[Column]
+    val lit0 = new StringBuilder
+    def flush(): Unit = if (lit0.nonEmpty) { segs += lit(lit0.toString); lit0.clear() }
+    var i = 0
+    while (i < mysqlPattern.length) {
+      val c = mysqlPattern.charAt(i)
+      if (c == '%' && i + 1 < mysqlPattern.length) {
+        flush()
+        mysqlPattern.charAt(i + 1) match {
+          case 'H' => segs += two(hours)
+          case 'k' => segs += hours.cast(StringType)
+          case 'i' => segs += two(mins)
+          case 's' | 'S' => segs += two(secs)
+          case 'T' => segs += concat(two(hours), lit(":"), two(mins), lit(":"), two(secs))
+          case '%' => lit0.append('%')
+          case other => throw new IllegalArgumentException(
+            s"unsupported TIME_FORMAT specifier %$other")
+        }
+        i += 2
+      } else { lit0.append(c); i += 1 }
+    }
+    flush()
+    concat(segs.toSeq: _*)
+  }
+
+  /** MySQL CONVERT_TZ(ts, from, to): reinterpret a naive timestamp in
+    * `from`, return the naive wall-clock in `to`
+    * (ref func_convert_tz.cpp). */
+  def convertTz(ts: Column, from: String, to: String): Column =
+    convert_timezone(lit(from), lit(to), ts.cast(TimestampNTZType))
+
+  /** MySQL GET_FORMAT(type, standard) → the format-string literal
+    * table (ref func_get_format.cpp). */
+  def getFormatPattern(dtype: String, standard: String): String =
+    (dtype.toUpperCase, standard.toUpperCase) match {
+      case ("DATE", "USA") => "%m.%d.%Y"
+      case ("DATE", "JIS") | ("DATE", "ISO") => "%Y-%m-%d"
+      case ("DATE", "EUR") => "%d.%m.%Y"
+      case ("DATE", "INTERNAL") => "%Y%m%d"
+      case ("TIME", "USA") => "%h:%i:%s %p"
+      case ("TIME", "JIS") | ("TIME", "ISO") => "%H:%i:%s"
+      case ("TIME", "EUR") => "%H.%i.%s"
+      case ("TIME", "INTERNAL") => "%H%i%s"
+      case ("DATETIME", "USA") | ("DATETIME", "EUR") => "%Y-%m-%d %H.%i.%s"
+      case ("DATETIME", "JIS") | ("DATETIME", "ISO") => "%Y-%m-%d %H:%i:%s"
+      case ("DATETIME", "INTERNAL") => "%Y%m%d%H%i%s"
+      case other => throw new IllegalArgumentException(s"GET_FORMAT$other")
+    }
+  def getFormat(dtype: String, standard: String): Column =
+    lit(getFormatPattern(dtype, standard))
+
   // ---- numeric ----
 
   /** MySQL TRUNCATE(x, d): truncate toward zero at d decimal places

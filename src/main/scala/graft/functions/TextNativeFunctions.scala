@@ -14,10 +14,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * instead: one static-call into a tight JVM loop per row, no
   * closure dispatch, no shuffle.
   *
-  * Both kernels reproduce the Column formulations bit-for-bit:
-  *  - tokenization splits on the explicit ASCII whitespace class
-  *    `[ \t\n\f\r]` (== Java regex `\s`), skipping empties —
-  *    identical to `TextAnalysis.tokens`;
+  * Both kernels reproduce the Column formulations they replaced
+  * bit-for-bit:
+  *  - the fingerprint tokenizer splits on Java regex `\s` -- the
+  *    split of the original `split(text, "\\s+")` fold (see
+  *    TextKernels);
   *  - token hashes are Spark's own `xxhash64` (XXH64, seed 42), so
   *    `TokenFingerprint` equals the previous
   *    `aggregate(transform(tokens, xxhash64), rotl5-xor)` fold.
@@ -38,31 +39,13 @@ object TextNativeFunctions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 
     override def nullSafeEval(input: Any): Any =
-      TokenFingerprint.fp(input.asInstanceOf[UTF8String].toString)
+      TextKernels.fp(input.asInstanceOf[UTF8String].toString)
 
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val cls = TextNativeFunctions.getClass.getName.stripSuffix("$") + "$TokenFingerprint"
-      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.fp($c.toString());")
-    }
-  }
-
-  object TokenFingerprint {
-    private val Ws = Pattern.compile("[ \t\n\f\r]+")
-
-    def fp(s: String): Long = {
-      val parts = Ws.split(s)
-      var acc = 0L
-      var i = 0
-      while (i < parts.length) {
-        val t = parts(i)
-        if (t.nonEmpty) {
-          val h = XXH64.hashUTF8String(UTF8String.fromString(t), 42L)
-          acc = java.lang.Long.rotateLeft(acc, 5) ^ h
-        }
-        i += 1
-      }
-      acc
-    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      // TOP-LEVEL kernel object: generated Java can only reach static
+      // forwarders on top-level mirror classes (see VectorFunctions)
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = graft.functions.TextKernels.fp($c.toString());")
   }
 
   /** BPE-ish subword segment count: splits on whitespace AND at
@@ -76,27 +59,48 @@ object TextNativeFunctions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 
     override def nullSafeEval(input: Any): Any =
-      BpeTokenCount.count(input.asInstanceOf[UTF8String].toString)
+      TextKernels.bpeCount(input.asInstanceOf[UTF8String].toString)
 
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val cls = TextNativeFunctions.getClass.getName.stripSuffix("$") + "$BpeTokenCount"
-      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.count($c.toString());")
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = graft.functions.TextKernels.bpeCount($c.toString());")
+  }
+}
+
+/** Top-level (static-forwarder-visible) text kernels shared by the
+  * expressions' interpreted eval and their generated code. The
+  * fingerprint tokenizer deliberately matches Java regex `\s`
+  * (including U+000B) — the exact split the Column-level
+  * `aggregate(transform(split(text, "\\s+"), ...))` fold it replaced
+  * used, keeping fingerprints bit-stable across rounds. */
+object TextKernels {
+  private val Ws = Pattern.compile("\\s+")
+  private val Boundary = Pattern.compile("(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])")
+
+  def fp(s: String): Long = {
+    val parts = Ws.split(s)
+    var acc = 0L
+    var i = 0
+    while (i < parts.length) {
+      val t = parts(i)
+      if (t.nonEmpty) {
+        val h = XXH64.hashUTF8String(UTF8String.fromString(t), 42L)
+        acc = java.lang.Long.rotateLeft(acc, 5) ^ h
+      }
+      i += 1
     }
+    acc
   }
 
-  object BpeTokenCount {
-    private val Boundary = Pattern.compile("(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])")
-
-    def count(s: String): Int = {
-      val parts = Boundary.split(s)
-      var n = 0
-      var i = 0
-      while (i < parts.length) {
-        val t = parts(i)
-        if (t.nonEmpty && t != " ") n += 1
-        i += 1
-      }
-      n
+  def bpeCount(s: String): Int = {
+    val parts = Boundary.split(s)
+    var n = 0
+    var i = 0
+    while (i < parts.length) {
+      val t = parts(i)
+      if (t.nonEmpty && t != " ") n += 1
+      i += 1
     }
+    n
   }
 }

@@ -35,10 +35,16 @@ object VectorFunctions {
       copy(left = l, right = r)
 
     override def nullSafeEval(a: Any, b: Any): Any =
-      VecDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      VecDotKernel.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val cls = VectorFunctions.getClass.getName.stripSuffix("$") + "$VecDot"
+      // NOTE: the kernel must be a TOP-LEVEL object — Scala emits the
+      // static forwarders generated Java code can call only on
+      // top-level mirror classes; a nested object's method is
+      // invisible to Janino and the whole stage silently falls back
+      // to the interpreter (the exact regression this expression
+      // exists to fix).
+      val cls = "graft.functions.VecDotKernel"
       val d = ctx.freshName("vecDot")
       nullSafeCodeGen(ctx, ev, (a, b) => {
         s"""
@@ -48,22 +54,23 @@ object VectorFunctions {
       })
     }
   }
+}
 
-  object VecDot {
-    /** Shared by interpreted eval and generated code. Sequential
-      * accumulation order is part of the contract — do not reorder
-      * (no pairwise/Kahan summation) or oracle bit-equality breaks. */
-    def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
-      val n = a.numElements()
-      if (n != b.numElements()) return null
-      var acc = 0.0
-      var i = 0
-      while (i < n) {
-        if (a.isNullAt(i) || b.isNullAt(i)) return null
-        acc += a.getDouble(i) * b.getDouble(i)
-        i += 1
-      }
-      acc
+/** Top-level (static-forwarder-visible) kernel shared by VecDot's
+  * interpreted eval and generated code. Sequential accumulation order
+  * is part of the contract — do not reorder (no pairwise/Kahan
+  * summation) or oracle bit-equality breaks. */
+object VecDotKernel {
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
     }
+    acc
   }
 }

@@ -39,6 +39,29 @@ object MiscQueries2 {
         .orderBy(col("ci_rank"))
     }),
 
+    // ---- TIME-string arithmetic + tz + format-table functions (ref
+    // func_add_time.cpp, func_time_format.cpp, func_convert_tz.cpp,
+    // func_get_format.cpp) ----
+    "q_fn_time2" -> ((s, dir) => {
+      val t1 = MySqlFunctions.secToTime(col("o_orderkey") % 86400)
+      t(s, dir, "orders").filter(col("o_orderkey") < 500)
+        .select(
+          col("o_orderkey"),
+          t1.as("a_time"),
+          MySqlFunctions.addTime(t1, lit("01:30:00")).as("a_add"),
+          MySqlFunctions.addTime(lit("23:00:00"), t1).as("a_carry"),
+          MySqlFunctions.timeFormat(t1, "%H:%i").as("a_tf"),
+          MySqlFunctions.timeFormat(t1, "h=%k s=%s (%T)").as("a_tf2"),
+          MySqlFunctions.convertTz(
+            concat(col("o_orderdate").cast("date").cast("string"), lit(" 12:00:00"))
+              .cast("timestamp_ntz"),
+            "America/New_York", "UTC").as("a_ctz"),
+          MySqlFunctions.getFormat("DATE", "ISO").as("a_gf"),
+          MySqlFunctions.dateFormat(col("o_orderdate"),
+            MySqlFunctions.getFormatPattern("DATE", "EUR")).as("a_gf_eur"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // BIN/OCT, EXPORT_SET, MAKETIME (ref func_bin.cpp [via conv],
     // func_export_set.cpp, func_maketime.cpp)
     "q_fn_misc2" -> ((s, dir) => {
@@ -78,6 +101,19 @@ object MiscQueries2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_fn_time2" ->
+      """SELECT o_orderkey,
+        |  printf('%02d:%02d:%02d', sec // 3600, (sec % 3600) // 60, sec % 60) AS a_time,
+        |  printf('%02d:%02d:%02d', (sec + 5400) // 3600, ((sec + 5400) % 3600) // 60, (sec + 5400) % 60) AS a_add,
+        |  printf('%02d:%02d:%02d', (sec + 82800) // 3600, ((sec + 82800) % 3600) // 60, (sec + 82800) % 60) AS a_carry,
+        |  printf('%02d:%02d', sec // 3600, (sec % 3600) // 60) AS a_tf,
+        |  printf('h=%d s=%02d (%02d:%02d:%02d)', sec // 3600, sec % 60, sec // 3600, (sec % 3600) // 60, sec % 60) AS a_tf2,
+        |  timezone('UTC', timezone('America/New_York',
+        |    CAST(CAST(o_orderdate AS DATE) || ' 12:00:00' AS TIMESTAMP))) AS a_ctz,
+        |  '%Y-%m-%d' AS a_gf,
+        |  strftime(CAST(o_orderdate AS DATE), '%d.%m.%Y') AS a_gf_eur
+        |FROM (SELECT *, o_orderkey % 86400 AS sec FROM orders WHERE o_orderkey < 500)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_collation" ->
       """SELECT rep, n, case_variants,
         |  CAST(dense_rank() OVER (ORDER BY k) AS INT) AS ci_rank,

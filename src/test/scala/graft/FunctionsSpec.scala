@@ -106,6 +106,33 @@ class FunctionsSpec extends SparkSpec {
     assert(parsePath("$.").isEmpty)
   }
 
+  test("native kernels compile under codegen (no interpreter fallback)") {
+    // Regression: the kernels originally lived as NESTED objects, whose
+    // methods get no static forwarders — Janino failed to compile every
+    // generated call and each stage silently fell back to the
+    // interpreter. fallback=false turns that silent regression into a
+    // test failure.
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = spark.range(100).selectExpr(
+          "cast(id as string) as s",
+          "array(cast(id as double), 2.0d, 3.0d) as v")
+        .selectExpr("vec_dot(v, v) as d", "token_fingerprint(s) as f",
+          "bpe_token_count(s) as b")
+      assert(df.collect().length == 100)
+      // multiple vec_dot calls in ONE projection (fresh-name regression)
+      val multi = spark.range(10).selectExpr("array(cast(id as double), 1.0d) as v")
+        .selectExpr("vec_dot(v, v) + vec_dot(v, v) as d2")
+      assert(multi.collect().length == 10)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("json round-4 surface: search/equals/overlaps/array ops/pretty edges") {
     JsonFunctions.register(spark)
     def j(e: String): Any = spark.sql(s"SELECT $e").collect()(0).get(0)

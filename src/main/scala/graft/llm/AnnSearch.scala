@@ -45,12 +45,20 @@ object AnnSearch {
     least(greatest(when(d > 0, dot(a, b) / d).otherwise(lit(0.0)), lit(-1.0)), lit(1.0))
   }
 
-  private def asDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
+  /** float[] → double[] via native array Cast (codegen'd) — NOT a
+    * `transform` HOF: projection collapse would inline an interpreted
+    * transform into every downstream plane-dot position, re-running
+    * it P·L times per vector. */
+  private def asDouble(v: Column): Column = v.cast(ArrayType(DoubleType))
 
   /** Unit-normalize, so downstream cosine is a single dot fold per
     * pair instead of dot + two norms (a 3× cut on the pair-verify
     * hot path; the normalize cost is paid once per VECTOR, the dot
-    * cost once per PAIR). Zero vectors stay zero. */
+    * cost once per PAIR). Zero vectors stay zero. The division is the
+    * one remaining per-element HOF on a vector path; it runs once per
+    * vector inside a projection whose output is immediately shuffled
+    * (never inlined into per-pair code), so the interpreted cost is
+    * O(N·dim), not O(pairs·dim). */
   private def normalized(v: Column): Column = {
     val n = norm(v)
     when(n > 0, transform(v, x => x / n)).otherwise(v)

@@ -44,11 +44,14 @@ object TextAnalysis {
     when(total > 0, clean / total).otherwise(lit(0.0))
   }
 
-  /** Mean token length in characters. */
+  /** Mean token length in characters. Token lengths sum to exactly
+    * the non-whitespace character count, so the numerator is one
+    * native regexp_replace+length instead of an interpreted
+    * `aggregate` fold over the token array. */
   def meanTokenLen(text: Column): Column = {
     val ts = tokens(text)
     when(size(ts) > 0,
-      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) / size(ts))
+      length(regexp_replace(text, "[ \\t\\n\\f\\r]", "")).cast(DoubleType) / size(ts))
       .otherwise(lit(0.0))
   }
 

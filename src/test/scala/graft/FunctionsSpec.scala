@@ -110,27 +110,24 @@ class FunctionsSpec extends SparkSpec {
     // Regression: the kernels originally lived as NESTED objects, whose
     // methods get no static forwarders — Janino failed to compile every
     // generated call and each stage silently fell back to the
-    // interpreter. fallback=false turns that silent regression into a
-    // test failure.
-    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
-    spark.conf.set("spark.sql.codegen.fallback", "false")
-    try {
-      val df = spark.range(100).selectExpr(
-          "cast(id as string) as s",
-          "array(cast(id as double), 2.0d, 3.0d) as v")
-        .selectExpr("vec_dot(v, v) as d", "token_fingerprint(s) as f",
-          "bpe_token_count(s) as b")
-      assert(df.collect().length == 100)
-      // multiple vec_dot calls in ONE projection (fresh-name regression)
-      val multi = spark.range(10).selectExpr("array(cast(id as double), 1.0d) as v")
-        .selectExpr("vec_dot(v, v) + vec_dot(v, v) as d2")
-      assert(multi.collect().length == 10)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
-        case None => spark.conf.unset("spark.sql.codegen.fallback")
-      }
-    }
+    // interpreter (spark.sql.codegen.fallback=false does NOT surface
+    // this; the executor just logs an ERROR). CodegenProbe re-compiles
+    // the actual generated source and throws on failure.
+    import org.apache.spark.sql.execution.CodegenProbe
+    val df = spark.range(100).selectExpr(
+        "id",
+        "cast(id as string) as s",
+        "array(cast(id as double), 2.0d, 3.0d) as v")
+      .selectExpr("vec_dot(v, v) as d", "token_fingerprint(s) as f",
+        "bpe_token_count(s) as b",
+        "inet_ntoa(id * 16909060L) as ip", "inet_aton('10.1.2.3') as aton")
+    assert(CodegenProbe.compileWholeStage(df) >= 1)
+    assert(df.collect().length == 100)
+    // multiple vec_dot calls in ONE projection (fresh-name regression)
+    val multi = spark.range(10).selectExpr("array(cast(id as double), 1.0d) as v")
+      .selectExpr("vec_dot(v, v) + vec_dot(v, v) as d2")
+    assert(CodegenProbe.compileWholeStage(multi) >= 1)
+    assert(multi.collect().length == 10)
   }
 
   test("json round-4 surface: search/equals/overlaps/array ops/pretty edges") {
@@ -210,27 +207,18 @@ class FunctionsSpec extends SparkSpec {
   }
 
   test("inet_aton/inet_ntoa: parse edges and real whole-stage codegen") {
-    import graft.functions.NetFunctions.InetAton
-    assert(InetAton.parse("192.168.1.9") == 0xC0A80109L)
-    assert(InetAton.parse("1.2") == (1L << 24 | 2))     // MySQL short form
-    assert(InetAton.parse("256.1.1.1") == null)
-    assert(InetAton.parse("1..2.3") == null)
-    assert(InetAton.parse("a.b.c.d") == null)
-    // fail hard if the generated code doesn't compile (no silent
-    // interpreted fallback)
-    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
-    spark.conf.set("spark.sql.codegen.fallback", "false")
-    try {
-      val r = spark.sql(
-        """SELECT inet_ntoa(inet_aton('10.20.30.40')) AS rt,
-          |       inet_aton('0.0.1.0') AS v, inet_aton('bogus') AS bad,
-          |       inet_ntoa(4294967296) AS oob""".stripMargin).collect()(0)
-      assert(r.getString(0) == "10.20.30.40")
-      assert(r.getLong(1) == 256L)
-      assert(r.isNullAt(2) && r.isNullAt(3))
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
-      case None => spark.conf.unset("spark.sql.codegen.fallback")
-    }
+    import graft.functions.NetKernels
+    assert(NetKernels.inetAton("192.168.1.9") == 0xC0A80109L)
+    assert(NetKernels.inetAton("1.2") == (1L << 24 | 2)) // MySQL short form
+    assert(NetKernels.inetAton("256.1.1.1") == null)
+    assert(NetKernels.inetAton("1..2.3") == null)
+    assert(NetKernels.inetAton("a.b.c.d") == null)
+    val r = spark.sql(
+      """SELECT inet_ntoa(inet_aton('10.20.30.40')) AS rt,
+        |       inet_aton('0.0.1.0') AS v, inet_aton('bogus') AS bad,
+        |       inet_ntoa(4294967296) AS oob""".stripMargin).collect()(0)
+    assert(r.getString(0) == "10.20.30.40")
+    assert(r.getLong(1) == 256L)
+    assert(r.isNullAt(2) && r.isNullAt(3))
   }
 }

@@ -48,6 +48,28 @@ object TextNativeFunctions {
         c => s"${ev.value} = graft.functions.TextKernels.fp($c.toString());")
   }
 
+  /** 64-bit SimHash of a document in ONE pass (ref the simhash
+    * literature via `llm/Dedup.scala` scaladoc): lowercase, tokenize
+    * on the ASCII whitespace class, xxhash64 each token (seed 42 —
+    * Spark's own), accumulate 64 signed bit counters, pack sign bits.
+    * Bit-identical to the explode → 64 bit-sum aggregate formulation
+    * it replaces, but with NO shuffle and NO 64-column aggregate:
+    * a per-row scalar inside whole-stage codegen. Token-less or NULL
+    * docs hash to 0 (callers coalesce NULL → 0). */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "simhash64"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+    override def nullSafeEval(input: Any): Any =
+      TextKernels.simhash(input.asInstanceOf[UTF8String].toString)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = graft.functions.TextKernels.simhash($c.toString());")
+  }
+
   /** BPE-ish subword segment count: splits on whitespace AND at
     * letter/digit ↔ other boundaries (a byte-pair pre-tokenizer's
     * initial segmentation), counting non-empty, non-space segments —
@@ -102,5 +124,39 @@ object TextKernels {
       i += 1
     }
     n
+  }
+
+  /** The explicit ASCII whitespace class of `TextAnalysis.tokens`
+    * (deliberately narrower than `\s`: no U+000B, matching RE2). */
+  private val AsciiWs = Pattern.compile("[ \t\n\f\r]+")
+
+  def simhash(s: String): Long = {
+    // lowercase via String.toLowerCase — the same call Spark's
+    // lower()/UTF8String.toLowerCase makes for non-ASCII content
+    val parts = AsciiWs.split(s.toLowerCase)
+    val cnt = new Array[Int](64)
+    var any = false
+    var i = 0
+    while (i < parts.length) {
+      val t = parts(i)
+      if (t.nonEmpty) {
+        any = true
+        val h = XXH64.hashUTF8String(UTF8String.fromString(t), 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) cnt(j) += 1 else cnt(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) return 0L
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (cnt(j) > 0) out |= 1L << j
+      j += 1
+    }
+    out
   }
 }

@@ -179,28 +179,20 @@ object Dedup {
 
   // ---- SimHash ----
 
-  /** 64-bit SimHash per document. Implemented as explode → 64
-    * partial-aggregable bit-sums → pack: the map-side-combine shape,
-    * not a per-row 64×tokens expression tree (which would blow up
-    * codegen) and not a UDF.
+  /** 64-bit SimHash per document, as the native `simhash64` kernel
+    * (TextNativeFunctions.SimHash64): one tight per-row loop inside
+    * whole-stage codegen — NO explode, NO shuffle, NO 64-column
+    * aggregate. Bit-identical to the earlier explode → 64
+    * partial-aggregable bit-sum formulation (same tokenizer, same
+    * xxhash64 seed, same sign rule), which this replaced after the
+    * bit-sum aggregate showed up as the dominant cost of
+    * q_dedup_simhash; the kernel also frees the groupBy exchange.
     *
-    * Returns (id, simhash: long). Empty docs get simhash 0.
+    * Returns (id, simhash: long). Empty/NULL docs get simhash 0.
     */
-  def simhash(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
-    val tok = docs.select(col(id).as("_id"),
-      explode_outer(TextAnalysis.tokens(lower(col(text)))).as("_t"))
-      .select(col("_id"), xxhash64(col("_t")).as("_h"))
-    // sum over tokens of (2*bit_j - 1); bit j set iff sum > 0
-    val bitSums = (0 until 64).map { j =>
-      sum(when(col("_h").isNull, 0)
-        .otherwise(shiftright(col("_h"), j).bitwiseAND(1) * 2 - 1)).as(s"_b$j")
-    }
-    val packed = (0 until 64).map { j =>
-      when(col(s"_b$j") > 0, lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
-    tok.groupBy(col("_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("_id").as(id), packed.as("simhash"))
-  }
+  def simhash(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+    docs.select(col(id).as(id),
+      coalesce(call_function("simhash64", col(text)), lit(0L)).as("simhash"))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

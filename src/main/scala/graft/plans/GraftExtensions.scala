@@ -55,5 +55,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => graft.functions.TextNativeFunctions.TokenFingerprint(es.head))
     inject("bpe_token_count",
       es => graft.functions.TextNativeFunctions.BpeTokenCount(es.head))
+    inject("simhash64",
+      es => graft.functions.TextNativeFunctions.SimHash64(es.head))
   }
 }

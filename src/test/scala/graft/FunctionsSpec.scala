@@ -119,7 +119,7 @@ class FunctionsSpec extends SparkSpec {
         "cast(id as string) as s",
         "array(cast(id as double), 2.0d, 3.0d) as v")
       .selectExpr("vec_dot(v, v) as d", "token_fingerprint(s) as f",
-        "bpe_token_count(s) as b",
+        "bpe_token_count(s) as b", "simhash64(s) as sh",
         "inet_ntoa(id * 16909060L) as ip", "inet_aton('10.1.2.3') as aton")
     assert(CodegenProbe.compileWholeStage(df) >= 1)
     assert(df.collect().length == 100)

@@ -61,6 +61,26 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("simhash kernel equals the explode + 64-bit-sum aggregate formulation") {
+    // the kernel replaced this shape for performance; the bit pattern
+    // is a compatibility contract (persisted simhashes must not shift)
+    val docs = Tables.t(spark, sfDir, "documents").filter(col("doc_id") < 300)
+    val kernel = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    val tok = docs.select(col("doc_id").as("_id"),
+        explode_outer(TextAnalysis.tokens(lower(col("text")))).as("_t"))
+      .select(col("_id"), xxhash64(col("_t")).as("_h"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(col("_h").isNull, 0)
+        .otherwise(shiftright(col("_h"), j).bitwiseAND(1) * 2 - 1)).as(s"_b$j")
+    }
+    val packed = (0 until 64).map { j =>
+      when(col(s"_b$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    val agg = tok.groupBy(col("_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("_id"), packed).as[(Long, Long)].collect().toMap
+    assert(kernel == agg)
+  }
+
   test("simhash: exact dup has hamming 0, near-dup small, unrelated large") {
     val sh = Dedup.simhash(syntheticDocs).as[(Long, Long)].collect().toMap
     assert(Dedup.hammingInt(sh(1L), sh(3L)) == 0)

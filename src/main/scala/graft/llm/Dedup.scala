@@ -177,6 +177,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EXACT n-gram Jaccard similarity self-join (every pair with
+    * jaccard ≥ threshold, recall 1.0 at ANY threshold) — the
+    * set-similarity-join complement of `minhashDupPairs`, for
+    * thresholds below banded LSH's effective range (low-j pairs
+    * collide in no band with useful probability).
+    *
+    * NOT all-pairs: candidate pairs materialize only for documents
+    * sharing at least one shingle — the shuffle is the shingle
+    * co-occurrence join (Σ per-shingle df²), sub-quadratic whenever
+    * shingles are discriminative. At 100 TB the standard next lever
+    * is prefix filtering (only the rarest ⌈(1−t)·|A|⌉+1 shingles of
+    * each doc need to join — unimplemented, documented); stop-shingle
+    * removal bounds the worst case the way the reference bounds
+    * skewed hash joins. */
+  def jaccardDupPairs(
+      docs: DataFrame, threshold: Double,
+      id: String = "doc_id", text: String = "text", shingleN: Int = 3): DataFrame = {
+    require(threshold > 0, "threshold must be positive (zero-overlap pairs are never emitted)")
+    val sh = shingleRows(docs, id, text, shingleN)
+    val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("_sz"))
+    val inter = sh.select(col("_id").as("id_a"), col("_ng"))
+      .join(sh.select(col("_id").as("id_b"), col("_ng")), Seq("_ng"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_inter"))
+    inter
+      .join(sizes.select(col("_id").as("id_a"), col("_sz").as("_sa")), "id_a")
+      .join(sizes.select(col("_id").as("id_b"), col("_sz").as("_sb")), "id_b")
+      .withColumn("jaccard", col("_inter") / (col("_sa") + col("_sb") - col("_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash per document, as the native `simhash64` kernel

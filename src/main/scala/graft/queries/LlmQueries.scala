@@ -82,6 +82,15 @@ object LlmQueries {
       Dedup.minhashDupPairs(t(s, dir, "documents"), threshold = 0.6)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_dedup_jaccard" -> ((s, dir) => {
+      // EXACT set-similarity join (recall 1.0 by construction) at a
+      // threshold below banded LSH's effective range — deterministic
+      // oracle equality, no LSH probabilism to pin (contrast
+      // q_dedup_minhash, whose oracle additionally proves LSH recall
+      // on this corpus).
+      Dedup.jaccardDupPairs(t(s, dir, "documents"), threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_dedup_simhash" -> ((s, dir) => {
       // rows-only: xxhash64-based simhash isn't DuckDB-expressible;
       // LlmSpec asserts output == brute-force hamming≤maxDist pairs
@@ -191,6 +200,22 @@ object LlmQueries {
         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
         |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      ELSE [txt] END) AS s
+        |  FROM (SELECT doc_id, lower(text) AS txt,
+        |          list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS toks
+        |        FROM documents))
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s))::DOUBLE
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_cosine" ->
       """SELECT id_a, id_b, cosine FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -4,7 +4,7 @@ import java.util.regex.Pattern
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native scan-hot text kernels. The Column-level formulations
@@ -70,6 +70,29 @@ object TextNativeFunctions {
         c => s"${ev.value} = graft.functions.TextKernels.simhash($c.toString());")
   }
 
+  /** 64-int MinHash signature of a document in ONE pass: lowercase,
+    * tokenize, form word n-grams (whole-text fallback below n
+    * tokens — the `shingleRows` contract), and for each gram take
+    * Spark's `hash(gram, i)` for i in 0..63, keeping minima.
+    * Bit-identical to `Dedup.minhashSignatures`'s 64-min aggregate
+    * (LlmSpec proves equality), but each gram pays ONE Murmur3 byte
+    * hash + 64 int mixes instead of 64 byte hashes, and no shingle
+    * explode/shuffle exists at all. */
+  case class MinHash64(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, "minhash64 n-gram width must be >= 1")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "minhash64"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+    override def nullSafeEval(input: Any): Any =
+      TextKernels.minhash(input.asInstanceOf[UTF8String].toString, n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = graft.functions.TextKernels.minhash($c.toString(), $n);")
+  }
+
   /** BPE-ish subword segment count: splits on whitespace AND at
     * letter/digit ↔ other boundaries (a byte-pair pre-tokenizer's
     * initial segmentation), counting non-empty, non-space segments —
@@ -129,6 +152,48 @@ object TextKernels {
   /** The explicit ASCII whitespace class of `TextAnalysis.tokens`
     * (deliberately narrower than `\s`: no U+000B, matching RE2). */
   private val AsciiWs = Pattern.compile("[ \t\n\f\r]+")
+
+  /** MinHash signature: min over grams of Spark's `hash(gram, i)`.
+    * That expression folds Murmur3 over its children in order with
+    * seed 42 — hashInt(i, hashBytes(gram, 42)) — so ONE byte hash per
+    * gram feeds all 64 lanes. Tokens/grams per `Dedup.shingleRows`:
+    * lowercase, ASCII-ws split, n-gram join by space, whole-lowered-
+    * text fallback when tokens < n. */
+  def minhash(s: String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.unsafe.hash.Murmur3_x86_32
+    val lowered = s.toLowerCase
+    val parts0 = AsciiWs.split(lowered)
+    // drop the leading empty token a leading separator produces
+    var nTok = 0
+    var k = 0
+    while (k < parts0.length) { if (parts0(k).nonEmpty) nTok += 1; k += 1 }
+    val toks = new Array[String](nTok)
+    k = 0; var m = 0
+    while (k < parts0.length) { if (parts0(k).nonEmpty) { toks(m) = parts0(k); m += 1 }; k += 1 }
+    val sig = Array.fill(64)(Int.MaxValue)
+    def addGram(g: String): Unit = {
+      val u = UTF8String.fromString(g)
+      val h1 = Murmur3_x86_32.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42)
+      var i = 0
+      while (i < 64) {
+        val h = Murmur3_x86_32.hashInt(i, h1)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    if (nTok >= n) {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + n <= nTok) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        addGram(sb.toString)
+        i += 1
+      }
+    } else addGram(lowered)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
 
   def simhash(s: String): Long = {
     // lowercase via String.toLowerCase — the same call Spark's

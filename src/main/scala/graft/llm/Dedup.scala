@@ -127,23 +127,24 @@ object Dedup {
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     require(threshold > 0, "threshold must be positive (zero-overlap pairs are never emitted)")
 
-    // Signatures: 64 min() aggregates over the non-distinct shingle
-    // stream — pure partial-aggregable HashAggregate (no
-    // count_distinct mixed in, which would force an Expand-based
-    // distinct plan that duplicates every input row). No explicit
-    // caching/lineage truncation anywhere in this pipeline: consumers
-    // that share a subtree share its work through Spark's exchange
-    // reuse (each distinct()/aggregate below is a shuffle whose
-    // identical copies plan as ReusedExchange) — an earlier
-    // localCheckpoint here leaked BlockManager storage across the
-    // whole bench suite.
-    val sigCols = (0 until numHashes).map(i => min(hash(col("_ng"), lit(i))).as(s"_m$i"))
-    val sigs = shingleRows(docs, id, text, shingleN, distinctRows = false)
-      .groupBy(col("_id")).agg(sigCols.head, sigCols.tail: _*)
+    // Signatures: the native one-pass minhash64 kernel — no shingle
+    // explode, no shuffle, no 64-min aggregate; bit-identical to
+    // minhashSignatures (LlmSpec proves it). No explicit caching or
+    // lineage truncation anywhere in this pipeline: consumers that
+    // share a subtree share its work through Spark's exchange reuse —
+    // an earlier localCheckpoint here leaked BlockManager storage
+    // across the whole bench suite.
+    require(numHashes == 64, "the minhash64 kernel signature is fixed at 64 hashes")
+    val sigs = docs.select(col(id).as("_id"),
+      call_function("minhash64", col(text), lit(shingleN)).as("_sig"))
 
-    // (bucket, id) — 2 narrow columns through the shuffle
+    // (bucket, id) — 2 narrow columns through the shuffle; same band
+    // hash inputs as lshBucketCols, read from the signature array
     val bucketed = sigs.select(col("_id"),
-      explode(array(lshBucketCols(bands, rowsPerBand): _*)).as("_bucket"))
+      explode(array((0 until bands).map { b =>
+        hash(lit(b) +: (0 until rowsPerBand).map(r =>
+          col("_sig").getItem(b * rowsPerBand + r)): _*)
+      }: _*)).as("_bucket"))
 
     val pairs = bucketed.as("a")
       .join(bucketed.as("b"),

@@ -57,5 +57,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => graft.functions.TextNativeFunctions.BpeTokenCount(es.head))
     inject("simhash64",
       es => graft.functions.TextNativeFunctions.SimHash64(es.head))
+    inject("minhash64", es => graft.functions.TextNativeFunctions.MinHash64(es.head,
+      es.lift(1).map(_.eval(null).asInstanceOf[Int]).getOrElse(3)))
   }
 }

@@ -61,6 +61,19 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("minhash kernel equals the 64-min aggregate over shingle rows") {
+    // bit-compatibility contract: persisted signatures and band
+    // buckets must not shift across the kernel rewrite
+    val docs = Tables.t(spark, sfDir, "documents").filter(col("doc_id") < 300)
+    val kernel = docs.select(col("doc_id"),
+        call_function("minhash64", col("text"), lit(3)).as("_sig"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val agg = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 64, shingleN = 3)
+      .collect().map(r => r.getLong(0) -> (1 to 64).map(i => r.getInt(i))).toMap
+    assert(kernel.keySet == agg.keySet)
+    kernel.foreach { case (id, sig) => assert(sig == agg(id), s"doc $id") }
+  }
+
   test("simhash kernel equals the explode + 64-bit-sum aggregate formulation") {
     // the kernel replaced this shape for performance; the bit pattern
     // is a compatibility contract (persisted simhashes must not shift)

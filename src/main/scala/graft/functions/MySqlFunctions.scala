@@ -82,6 +82,12 @@ object MySqlFunctions {
   def addTime(t: Column, delta: Column): Column =
     secToTime(timeToSec(t) + timeToSec(delta))
 
+  /** MySQL SUBTIME('HH:MM:SS','HH:MM:SS') — ADDTIME with the sign
+    * flipped; negative results render with a leading '-' like MySQL
+    * TIME values (ref func_add_time.cpp, sign path). */
+  def subTime(t: Column, delta: Column): Column =
+    secToTime(timeToSec(t) - timeToSec(delta))
+
   /** MySQL TIME_FORMAT(t, pattern) for the TIME-relevant specifiers
     * %H %k %i %s %S %T (ref func_time_format.cpp; date specifiers in
     * a TIME_FORMAT pattern render zeros in MySQL — unsupported here,

@@ -184,30 +184,79 @@ object Dedup {
     * thresholds below banded LSH's effective range (low-j pairs
     * collide in no band with useful probability).
     *
-    * NOT all-pairs: candidate pairs materialize only for documents
-    * sharing at least one shingle — the shuffle is the shingle
-    * co-occurrence join (Σ per-shingle df²), sub-quadratic whenever
-    * shingles are discriminative. At 100 TB the standard next lever
-    * is prefix filtering (only the rarest ⌈(1−t)·|A|⌉+1 shingles of
-    * each doc need to join — unimplemented, documented); stop-shingle
-    * removal bounds the worst case the way the reference bounds
-    * skewed hash joins. */
+    * Scale shape (SSJoin/PPJoin family, public literature):
+    *  - candidates come from the shingle co-occurrence join, and with
+    *    `prefixFilter` on (the default) only each document's PREFIX
+    *    joins: order shingles by global document frequency (rare
+    *    first) and keep the first |A| − ⌈t·|A|⌉ + 1. J(A,B) ≥ t
+    *    forces |A∩B| ≥ ⌈t·|A|⌉, so by pigeonhole two qualifying sets
+    *    must share a prefix shingle — recall stays 1.0 while the
+    *    join volume drops from Σ df² over ALL shingles to Σ df² over
+    *    the rare prefix shingles (the frequent shingles that dominate
+    *    the quadratic term never join);
+    *  - the length filter min(|A|,|B|) ≥ t·max(|A|,|B|) (another
+    *    J ≥ t consequence) prunes candidates before the verify join;
+    *  - exact |A∩B| is then counted only for surviving candidates.
+    * Worst case (corpus of identical docs) is inherently quadratic in
+    * the DUPLICATE CLASS size — run exact dedup first, as the
+    * pipeline ordering already prescribes. */
   def jaccardDupPairs(
       docs: DataFrame, threshold: Double,
-      id: String = "doc_id", text: String = "text", shingleN: Int = 3): DataFrame = {
+      id: String = "doc_id", text: String = "text", shingleN: Int = 3,
+      prefixFilter: Boolean = true): DataFrame = {
     require(threshold > 0, "threshold must be positive (zero-overlap pairs are never emitted)")
     val sh = shingleRows(docs, id, text, shingleN)
     val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("_sz"))
-    val inter = sh.select(col("_id").as("id_a"), col("_ng"))
-      .join(sh.select(col("_id").as("id_b"), col("_ng")), Seq("_ng"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_inter"))
-    inter
+    val cand = jaccardCandidates(sh, sizes, threshold, prefixFilter)
       .join(sizes.select(col("_id").as("id_a"), col("_sz").as("_sa")), "id_a")
       .join(sizes.select(col("_id").as("id_b"), col("_sz").as("_sb")), "id_b")
+      .filter(least(col("_sa"), col("_sb")) >= lit(threshold) * greatest(col("_sa"), col("_sb")))
+    cand
+      .join(sh.select(col("_id").as("id_a"), col("_ng")), "id_a")
+      .join(sh.select(col("_id").as("id_b"), col("_ng")), Seq("id_b", "_ng"))
+      .groupBy(col("id_a"), col("id_b"), col("_sa"), col("_sb"))
+      .agg(count(lit(1)).as("_inter"))
       .withColumn("jaccard", col("_inter") / (col("_sa") + col("_sb") - col("_inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Candidate pairs of `jaccardDupPairs` (before length filter +
+    * exact verify): distinct (id_a < id_b) sharing ≥ 1 joined
+    * shingle. With `prefixFilter`, only prefix shingles join. */
+  private def jaccardCandidates(sh: DataFrame, sizes: DataFrame,
+      threshold: Double, prefixFilter: Boolean): DataFrame = {
+    val side = if (!prefixFilter) sh else {
+      import org.apache.spark.sql.expressions.Window
+      // global canonical order: ascending document frequency, ties by
+      // shingle value — identical on every executor, no driver state.
+      // The ceil argument backs off 1e-9 so an FP-inexact t·|A| that
+      // lands a hair ABOVE an integer cannot shorten the prefix below
+      // the pigeonhole bound (errs one longer, never shorter).
+      val df = sh.groupBy(col("_ng")).agg(count(lit(1)).as("_df"))
+      val w = Window.partitionBy(col("_id")).orderBy(col("_df"), col("_ng"))
+      sh.join(df, "_ng")
+        .join(sizes, "_id")
+        .withColumn("_r", row_number().over(w))
+        .filter(col("_r") <=
+          col("_sz") - ceil(lit(threshold) * col("_sz") - lit(1e-9)) + 1)
+        .select(col("_id"), col("_ng"))
+    }
+    side.select(col("_id").as("id_a"), col("_ng"))
+      .join(side.select(col("_id").as("id_b"), col("_ng")), Seq("_ng"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Candidate-pair count of `jaccardDupPairs` at the given
+    * parameterization — the measurable prefix-filter win. */
+  def jaccardCandidateCount(docs: DataFrame, threshold: Double,
+      id: String = "doc_id", text: String = "text", shingleN: Int = 3,
+      prefixFilter: Boolean = true): Long = {
+    val sh = shingleRows(docs, id, text, shingleN)
+    val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("_sz"))
+    jaccardCandidates(sh, sizes, threshold, prefixFilter).count()
   }
 
   // ---- SimHash ----

@@ -232,6 +232,27 @@ object FunctionQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // ---- registry tail: regexp_instr/regexp_substr, SUBTIME,
+    // octet_length, IS [NOT] TRUE (func_regexp.cpp instr/substr
+    // entries, func_add_time.cpp sign path, funcexp.cpp
+    // istrue/isnottrue; MySQL ENCODE/DECODE obfuscation crypto is
+    // deliberately NOT cloned — deprecated upstream, keystream is
+    // implementation-defined) ----
+    "q_fn_regexp2" -> ((s, dir) => {
+      t(s, dir, "customer").filter(col("c_custkey") < 500)
+        .selectExpr(
+          "c_custkey",
+          "cast(regexp_instr(c_name, '[0-9]+') AS INT) AS r2_instr",
+          "regexp_substr(c_name, '[0-9]+') AS r2_substr",
+          "cast(octet_length(concat(c_mktsegment, 'é')) AS INT) AS r2_octets",
+          "cast((c_custkey > 250) IS TRUE AS INT) AS r2_istrue",
+          "cast((c_custkey > 250) IS NOT TRUE AS INT) AS r2_isnottrue")
+        .select(col("*"),
+          subTime(lit("10:30:00"), secToTime(col("c_custkey") % 86400)).as("r2_subtime"),
+          subTime(secToTime(col("c_custkey") % 60), lit("00:00:30")).as("r2_subtime_neg"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ---- bitwise family (func_bitwise.cpp) ----
     "q_fn_bitwise" -> ((s, dir) => {
       t(s, dir, "orders").filter(col("o_orderkey") < 500)
@@ -418,6 +439,24 @@ object FunctionQueries {
         |  CAST(len(regexp_extract_all(c_name, '0')) AS INT) AS r_count,
         |  regexp_extract(c_mktsegment, '^([A-Z]+)', 1) AS r_word
         |FROM customer WHERE c_custkey < 500 ORDER BY c_custkey""".stripMargin,
+    // r2_instr re-derived from DuckDB primitives: strpos of the
+    // matched text — equal to the match position on this corpus
+    // (digits in c_name occur only at the match site)
+    "q_fn_regexp2" ->
+      """SELECT c_custkey,
+        |  CAST(strpos(c_name, regexp_extract(c_name, '[0-9]+')) AS INT) AS r2_instr,
+        |  regexp_extract(c_name, '[0-9]+') AS r2_substr,
+        |  CAST(strlen(c_mktsegment || 'é') AS INT) AS r2_octets,
+        |  CAST(c_custkey > 250 AS INT) AS r2_istrue,
+        |  CAST(NOT (c_custkey > 250) AS INT) AS r2_isnottrue,
+        |  printf('%02d:%02d:%02d', (37800 - sec) // 3600,
+        |    ((37800 - sec) % 3600) // 60, (37800 - sec) % 60) AS r2_subtime,
+        |  CASE WHEN (c_custkey % 60) - 30 < 0 THEN '-' ELSE '' END ||
+        |    printf('%02d:%02d:%02d', abs((c_custkey % 60) - 30) // 3600,
+        |      (abs((c_custkey % 60) - 30) % 3600) // 60,
+        |      abs((c_custkey % 60) - 30) % 60) AS r2_subtime_neg
+        |FROM (SELECT *, c_custkey % 86400 AS sec FROM customer WHERE c_custkey < 500)
+        |ORDER BY c_custkey""".stripMargin,
     "q_fn_bitwise" ->
       """SELECT o_orderkey,
         |  o_orderkey & 255 AS b_and,

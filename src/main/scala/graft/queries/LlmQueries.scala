@@ -87,7 +87,9 @@ object LlmQueries {
       // threshold below banded LSH's effective range — deterministic
       // oracle equality, no LSH probabilism to pin (contrast
       // q_dedup_minhash, whose oracle additionally proves LSH recall
-      // on this corpus).
+      // on this corpus). Candidates come from the df-ordered PREFIX
+      // join + length filter (SSJoin prefix principle — exactness
+      // proven in LlmSpec, candidate reduction measured there too).
       Dedup.jaccardDupPairs(t(s, dir, "documents"), threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),

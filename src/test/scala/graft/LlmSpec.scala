@@ -46,6 +46,25 @@ class LlmSpec extends SparkSpec {
       s"LSH(missing=${truth -- found}, spurious=${found -- truth})")
   }
 
+  test("jaccard prefix filter: identical pairs, strictly fewer candidates") {
+    // prefix filtering is exact by the pigeonhole argument — same
+    // output as the unfiltered co-occurrence join at every threshold
+    val docs = Tables.t(spark, sfDir, "documents").filter(col("doc_id") < 300)
+    for (th <- Seq(0.3, 0.5, 0.8)) {
+      val pref = Dedup.jaccardDupPairs(docs, th)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val naive = Dedup.jaccardDupPairs(docs, th, prefixFilter = false)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pref == naive,
+        s"t=$th missing=${naive -- pref} spurious=${pref -- naive}")
+    }
+    // the scale contract: prefix candidates ≪ full co-occurrence
+    val candPref = Dedup.jaccardCandidateCount(docs, 0.5)
+    val candFull = Dedup.jaccardCandidateCount(docs, 0.5, prefixFilter = false)
+    assert(candPref < candFull / 2,
+      s"prefix candidates $candPref vs full $candFull — filter must bite")
+  }
+
   test("simhash banding has total recall: pairs == brute-force hamming <= maxDist") {
     // the pigeonhole contract: maxDist+1 bands lose NO qualifying pair
     for (maxDist <- Seq(3, 8)) {

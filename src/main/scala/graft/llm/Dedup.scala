@@ -98,6 +98,26 @@ object Dedup {
       hash(lit(b) +: (0 until rowsPerBand).map(r => col(s"_m${b * rowsPerBand + r}")): _*)
     }
 
+  /** Exploded (id, band-bucket) rows of the minhash64 signature — the
+    * LSH candidate key, shared by the batch self-join dedup and the
+    * streaming stream-vs-corpus probe. The signature kernel runs ONCE
+    * per document (its own projection; CollapseProject does not inline
+    * non-cheap expressions into the 16 band hashes). `keep` columns
+    * ride along for consumers that need them (streaming carries ts +
+    * text; the batch path keeps the rows narrow with keep = Nil). */
+  def minhashBandBuckets(docs: DataFrame, id: String = "doc_id", text: String = "text",
+      bands: Int = 16, shingleN: Int = 3, keep: Seq[String] = Nil): DataFrame = {
+    val rowsPerBand = 64 / bands
+    require(bands * rowsPerBand == 64, "bands must divide the 64-hash signature")
+    val sigs = docs.select(col(id).as("_id") +: keep.map(col) :+
+      call_function("minhash64", col(text), lit(shingleN)).as("_sig"): _*)
+    sigs.select(col("_id") +: keep.map(col) :+
+      explode(array((0 until bands).map { b =>
+        hash(lit(b) +: (0 until rowsPerBand).map(r =>
+          col("_sig").getItem(b * rowsPerBand + r)): _*)
+      }: _*)).as("_bucket"): _*)
+  }
+
   /** Exact Jaccard over two shingle arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast(DoubleType)
@@ -135,16 +155,7 @@ object Dedup {
     // an earlier localCheckpoint here leaked BlockManager storage
     // across the whole bench suite.
     require(numHashes == 64, "the minhash64 kernel signature is fixed at 64 hashes")
-    val sigs = docs.select(col(id).as("_id"),
-      call_function("minhash64", col(text), lit(shingleN)).as("_sig"))
-
-    // (bucket, id) — 2 narrow columns through the shuffle; same band
-    // hash inputs as lshBucketCols, read from the signature array
-    val bucketed = sigs.select(col("_id"),
-      explode(array((0 until bands).map { b =>
-        hash(lit(b) +: (0 until rowsPerBand).map(r =>
-          col("_sig").getItem(b * rowsPerBand + r)): _*)
-      }: _*)).as("_bucket"))
+    val bucketed = minhashBandBuckets(docs, id, text, bands, shingleN)
 
     val pairs = bucketed.as("a")
       .join(bucketed.as("b"),

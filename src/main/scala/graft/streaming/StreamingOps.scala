@@ -69,6 +69,51 @@ object StreamingOps {
       }
   }
 
+  final case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+  /** Streaming EXACT dedup with bounded state: the first occurrence
+    * of each content hash within the watermark horizon passes; later
+    * copies are dropped. State is the hash set pruned at the
+    * watermark — memory is (horizon × arrival rate), NOT corpus
+    * size, so the operator runs forever at 100 TB. Cross-horizon
+    * duplicates are the batch `Dedup.exactDedup` compaction pass's
+    * job (the same split the reference makes between DML-time checks
+    * and offline jobs). */
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour",
+      text: String = "text"): DataFrame =
+    docs.withColumn("content_hash", md5(col(text)))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Incremental near-dup: probe each incoming document against a
+    * STATIC reference corpus via minhash64 band buckets — the
+    * stream-static join, so the historical corpus is never rescanned
+    * or held in streaming state; per micro-batch only the matching
+    * band buckets are touched (bucket/partition the corpus by
+    * `_bucket` on disk and the probe prunes to matching partitions).
+    * Candidates are verified by exact n-gram Jaccard computed per
+    * candidate pair (sparse by the LSH contract; the array-HOF
+    * verify is per-CANDIDATE, not per-corpus-row). A pair colliding
+    * in several bands is collapsed within the watermark horizon. */
+  def nearDupVsCorpus(stream: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.6, watermark: String = "1 hour",
+      id: String = "doc_id", text: String = "text",
+      bands: Int = 16, shingleN: Int = 3): DataFrame = {
+    import graft.llm.Dedup
+    val s = Dedup.minhashBandBuckets(stream.withWatermark("ts", watermark),
+        id, text, bands, shingleN, keep = Seq("ts", text))
+      .select(col("_id").as("stream_id"), col("ts"), col(text).as("_stext"), col("_bucket"))
+    val c = Dedup.minhashBandBuckets(corpus, id, text, bands, shingleN, keep = Seq(text))
+      .select(col("_id").as("corpus_id"), col(text).as("_ctext"), col("_bucket"))
+    s.join(c, "_bucket")
+      .withColumn("jaccard",
+        Dedup.jaccard(Dedup.shingles(col("_stext"), shingleN),
+          Dedup.shingles(col("_ctext"), shingleN)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("stream_id"), col("ts"), col("corpus_id"), col("jaccard"))
+      .dropDuplicatesWithinWatermark("stream_id", "corpus_id")
+  }
+
   /** Incremental-batch ingest: drain available input into parquet and
     * stop (AvailableNow), checkpointed for exactly-once resume. */
   def ingest(events: DataFrame, path: String, checkpoint: String): Unit =

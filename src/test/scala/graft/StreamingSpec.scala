@@ -51,6 +51,45 @@ class StreamingSpec extends SparkSpec {
     assert(sess(7L).first_ts < sess(7L).last_ts)
   }
 
+  test("streaming exact dedup keeps first occurrence within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.Doc]
+    val q = StreamingOps.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("sdedup").outputMode(OutputMode.Append).start()
+    def doc(id: Long, minute: Int, text: String) =
+      StreamingOps.Doc(id, Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00"), text)
+    input.addData(doc(1, 0, "alpha beta"), doc(2, 1, "gamma delta"), doc(3, 2, "alpha beta"))
+    q.processAllAvailable()
+    input.addData(doc(4, 3, "alpha beta"), doc(5, 4, "epsilon zeta")) // dup across batches
+    q.processAllAvailable()
+    val ids = spark.sql("SELECT doc_id FROM sdedup").as[Long].collect().toSet
+    q.stop()
+    assert(ids == Set(1L, 2L, 5L))
+  }
+
+  test("streaming near-dup probe against a static corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+      "into the deep green forest while the hunter waits quietly near the old bridge"
+    val corpus = Seq((100L, base),
+      (101L, "columnar engines scan parquet row groups with vectorized readers at scale " +
+        "and prune partitions using min max statistics from the file footers"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[StreamingOps.Doc]
+    val q = StreamingOps.nearDupVsCorpus(input.toDF(), corpus)
+      .writeStream.format("memory").queryName("sneardup").outputMode(OutputMode.Append).start()
+    input.addData(
+      StreamingOps.Doc(1, Timestamp.valueOf("2026-01-01 10:00:00"),
+        base.replace("quietly", "loudly")), // near-dup of corpus 100
+      StreamingOps.Doc(2, Timestamp.valueOf("2026-01-01 10:01:00"),
+        "totally unrelated text about cooking pasta with tomato sauce and fresh basil leaves"))
+    q.processAllAvailable()
+    val pairs = spark.sql("SELECT stream_id, corpus_id FROM sneardup")
+      .as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(pairs == Set((1L, 100L)))
+  }
+
   test("AvailableNow ingest drains the stream into parquet exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val out = Files.createTempDirectory("graft_stream_out").toString

@@ -143,13 +143,9 @@ object AnnSearch {
       corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, dim: Int = 64,
       id: String = "vec_id", vec: String = "embedding",
-      qid: String = "qid", qvec: String = "qvec"): DataFrame = {
-    val rng = new scala.util.Random(7L)
-    val centroids: Array[Array[Double]] = Array.fill(nlist) {
-      val v = Array.fill(dim)(rng.nextDouble() * 2 - 1)
-      val n = math.sqrt(v.map(x => x * x).sum)
-      v.map(_ / n)
-    }
+      qid: String = "qid", qvec: String = "qvec",
+      centroids0: Option[Array[Array[Double]]] = None): DataFrame = {
+    val centroids = centroids0.getOrElse(seededCentroids(nlist, dim))
     // One (vector, centroid) ROW per candidate cell — a single dot
     // fold per row feeding a codegen'd max_by/rank, instead of an
     // argsort column whose lambda re-evaluates the normalized vector
@@ -178,6 +174,80 @@ object AnnSearch {
       .agg(max(least(greatest(dot(col("_v"), col("_q")), lit(-1.0)), lit(1.0))).as("cosine"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic seeded unit-norm centroid init (shared by ivfTopK
+    * and the trainer). */
+  def seededCentroids(nlist: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nlist) {
+      val v = Array.fill(dim)(rng.nextDouble() * 2 - 1)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+  }
+
+  /** Spherical k-means (Lloyd) centroid trainer for `ivfTopK` — the
+    * offline job the IVF scaladoc promises. Each iteration is ONE
+    * distributed pass: assign every vector to its max-cosine centroid
+    * (the explode + max_by codegen row pipeline, same shape as the
+    * search-time assignment), then component-wise mean + renormalize.
+    * Only the (nlist × dim) centroid table is collected per iteration
+    * — the same metadata-size driver exception as ANALYZE stats; the
+    * corpus itself never leaves the executors, so the trainer scales
+    * to any corpus the assignment pass scales to. Assignment ties
+    * break toward the lower cell id, so training is deterministic for
+    * a given corpus regardless of partitioning. Empty cells retain
+    * their previous centroid (the standard Lloyd dead-cell rule). */
+  def trainIvfCentroids(corpus: DataFrame, nlist: Int = 16, iters: Int = 5,
+      dim: Int = 64, id: String = "vec_id", vec: String = "embedding",
+      seed: Long = 7L): Array[Array[Double]] = {
+    val c = corpus.select(col(id).as("_id"), normalized(asDouble(col(vec))).as("_v"))
+    var centroids = seededCentroids(nlist, dim, seed)
+    for (_ <- 0 until iters) {
+      val stats = assignCells(c, centroids)
+        .select(col("_cell"), posexplode(col("_v")).as(Seq("_p", "_x")))
+        .groupBy(col("_cell"), col("_p"))
+        .agg(sum(col("_x")).as("_s"), count(lit(1)).as("_n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      stats.groupBy(_.getInt(0)).foreach { case (cell, rows) =>
+        val v = new Array[Double](dim)
+        rows.foreach(r => v(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n > 0) next(cell) = v.map(_ / n)
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** One assignment pass: (_id, _v) → (_id, _v, _cell) by max cosine,
+    * ties toward the lower cell id. */
+  private def assignCells(c: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val cenArr = array(centroids.zipWithIndex.map { case (cv, i) =>
+      struct(lit(i).as("i"), lit(cv).as("c"))
+    }.toIndexedSeq: _*)
+    c.select(col("_id"), col("_v"), explode(cenArr).as("_ce"))
+      .select(col("_id"), col("_v"),
+        col("_ce.i").as("_celli"), dot(col("_v"), col("_ce.c")).as("_cd"))
+      .groupBy(col("_id"))
+      .agg(max_by(col("_celli"), struct(col("_cd"), -col("_celli"))).as("_cell"),
+        first(col("_v")).as("_v"))
+  }
+
+  /** Mean max-cosine of the corpus to its assigned centroid — the
+    * spherical k-means objective (non-decreasing under Lloyd steps). */
+  def meanAssignCosine(corpus: DataFrame, centroids: Array[Array[Double]],
+      id: String = "vec_id", vec: String = "embedding"): Double = {
+    val c = corpus.select(col(id).as("_id"), normalized(asDouble(col(vec))).as("_v"))
+    val cenArr = array(centroids.zipWithIndex.map { case (cv, i) =>
+      struct(lit(i).as("i"), lit(cv).as("c"))
+    }.toIndexedSeq: _*)
+    c.select(col("_id"), col("_v"), explode(cenArr).as("_ce"))
+      .select(col("_id"), dot(col("_v"), col("_ce.c")).as("_cd"))
+      .groupBy(col("_id")).agg(max(col("_cd")).as("_m"))
+      .agg(avg(col("_m"))).head().getDouble(0)
   }
 
   /** Shared pair-verify: cosine = dot/(‖a‖·‖b‖) with ‖v‖ cached once

@@ -18,7 +18,12 @@ object Bench {
     spark.sql("SELECT l_returnflag, count(*), sum(l_quantity) FROM lineitem " +
         "JOIN orders ON l_orderkey = o_orderkey GROUP BY l_returnflag ORDER BY 1")
       .write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated query filter for targeted measurement
+    // (unset = the full driver-contract run)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       // per-query isolation: a query must not inherit a predecessor's
       // BlockManager state (round 3: two un-freed localCheckpoints in
       // the dedup block made the 57 queries after them 2.95× slower)

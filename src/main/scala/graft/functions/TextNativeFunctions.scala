@@ -93,6 +93,29 @@ object TextNativeFunctions {
         c => s"${ev.value} = graft.functions.TextKernels.minhash($c.toString(), $n);")
   }
 
+  /** Distinct word n-gram shingle SET of a document in ONE pass —
+    * the set `Dedup.shingleRows` defines (lowercase, ASCII-ws
+    * tokenize, space-joined n-grams, whole-lowered-text fallback
+    * below n tokens), without the posexplode → lead-window → union
+    * pipeline: no shuffle, no per-consumer recompute; `explode` it
+    * for row consumers. NULL text → NULL (a NULL shingle never
+    * equi-joins, so row consumers are output-identical). */
+  case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, "shingle_set n-gram width must be >= 1")
+    override def dataType: DataType = ArrayType(org.apache.spark.sql.types.StringType,
+      containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "shingle_set"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+    override def nullSafeEval(input: Any): Any =
+      TextKernels.shingleSet(input.asInstanceOf[UTF8String].toString, n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = graft.functions.TextKernels.shingleSet($c.toString(), $n);")
+  }
+
   /** BPE-ish subword segment count: splits on whitespace AND at
     * letter/digit ↔ other boundaries (a byte-pair pre-tokenizer's
     * initial segmentation), counting non-empty, non-space segments —
@@ -193,6 +216,36 @@ object TextKernels {
       }
     } else addGram(lowered)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  /** Distinct shingles, insertion-ordered (deterministic; consumers
+    * treat it as a set). Same tokens/grams/fallback as `minhash`. */
+  def shingleSet(s: String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val lowered = s.toLowerCase
+    val parts0 = AsciiWs.split(lowered)
+    var nTok = 0
+    var k = 0
+    while (k < parts0.length) { if (parts0(k).nonEmpty) nTok += 1; k += 1 }
+    val toks = new Array[String](nTok)
+    k = 0; var m = 0
+    while (k < parts0.length) { if (parts0(k).nonEmpty) { toks(m) = parts0(k); m += 1 }; k += 1 }
+    val set = new java.util.LinkedHashSet[String]
+    if (nTok >= n) {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + n <= nTok) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        set.add(sb.toString)
+        i += 1
+      }
+    } else set.add(lowered)
+    val out = new Array[AnyRef](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   def simhash(s: String): Long = {

@@ -49,16 +49,30 @@ object Dedup {
       .otherwise(array(lower(text)))
   }
 
-  /** Distinct word-n-gram shingles as ROWS (_id, _ng) — the
-    * whole-stage-codegen formulation: posexplode tokens, form n-grams
-    * with window lead() over (doc, position), distinct. Array
-    * higher-order functions are interpreted in Spark, and profiling
-    * showed the array-based shingler dominating the pipeline (7.7 s
-    * of an 8.8 s run at sf0.1); this row pipeline keeps every
-    * operator codegen'd and scales as two narrow shuffles. Docs
-    * shorter than n tokens contribute one whole-text shingle. */
+  /** Distinct word-n-gram shingles as ROWS (_id, _ng), via the native
+    * one-pass `shingle_set` kernel + explode: the whole shingler is a
+    * per-row scalar inside whole-stage codegen — NO window, NO union,
+    * NO shuffle, and re-evaluation by multiple consumers in one plan
+    * costs a scan, not a pipeline. (History: an array-HOF shingler
+    * was ~7.7 s of an 8.8 s run at sf0.1; its posexplode→lead-window
+    * replacement fixed that but cost two shuffles per consumer —
+    * measured 6 posexplode subtrees in the jaccard-join plan.)
+    * Docs shorter than n tokens contribute one whole-text shingle;
+    * NULL text explodes to no rows (a NULL shingle never equi-joins,
+    * so consumers are output-identical — LlmSpec proves set equality
+    * with the window formulation). `distinctRows` is kept for API
+    * compatibility: the kernel's set is always distinct. */
   def shingleRows(docs: DataFrame, id: String = "doc_id", text: String = "text",
-      n: Int = 3, distinctRows: Boolean = true): DataFrame = {
+      n: Int = 3, distinctRows: Boolean = true): DataFrame =
+    docs.select(col(id).as("_id"),
+      explode(call_function("shingle_set", col(text), lit(n))).as("_ng"))
+
+  /** The pre-kernel row formulation (posexplode tokens → n-grams via
+    * lead() windows → union of short-doc fallbacks → distinct) — kept
+    * as the independent reference implementation the kernel is
+    * spec-checked against. */
+  private[graft] def shingleRowsWindowed(docs: DataFrame, id: String, text: String,
+      n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(id).as("_id"),
       posexplode(TextAnalysis.tokens(lower(col(text)))).as(Seq("_p", "_w")))
@@ -69,12 +83,11 @@ object Dedup {
       .withColumn("_ng", concat_ws(" ", col("_w") +: leads: _*))
       .filter(col("_lastw").isNotNull) // windows that run off the end
       .select(col("_id"), col("_ng"))
-    val short = docs.select(col(id).as("_id"), lower(col(text)).as("_ng"))
-      .join(grams.select("_id").distinct(), Seq("_id"), "left_anti")
-    val all = grams.union(short)
-    // distinct costs a shuffle; skip it for duplicate-insensitive
-    // consumers (min-hash signatures)
-    if (distinctRows) all.distinct() else all
+    val short = docs
+      .filter(!coalesce(size(TextAnalysis.tokens(lower(col(text)))) >= n, lit(false)))
+      .filter(col(text).isNotNull)
+      .select(col(id).as("_id"), lower(col(text)).as("_ng"))
+    grams.union(short).distinct()
   }
 
   /** MinHash signature as an AGGREGATION over shingle rows:
@@ -90,6 +103,29 @@ object Dedup {
     shingleRows(docs, id, text, shingleN, distinctRows = false)
       .groupBy(col("_id")).agg(sigCols.head, sigCols.tail: _*)
   }
+
+  /** Analytic P(miss) of banded MinHash-LSH for a pair at exact
+    * Jaccard j: a band of r rows agrees with probability j^r, so the
+    * pair collides in NO band with probability (1 − j^r)^b. This is
+    * the number that makes oracle-equality checks honest: they are
+    * corpus-pinned, and re-parameterizations must keep
+    * minhashMissProb(threshold) small (ADVICE r3). */
+  def minhashMissProb(j: Double, bands: Int, rowsPerBand: Int): Double =
+    math.pow(1 - math.pow(j, rowsPerBand), bands)
+
+  /** Smallest band count b (dividing numHashes) whose analytic miss
+    * probability at Jaccard = threshold is ≤ maxMiss — the
+    * derive-bands-from-threshold knob: more bands buy recall at the
+    * cost of wider candidate sets. Throws if no divisor reaches the
+    * target (threshold below banded LSH's effective range — use
+    * `jaccardDupPairs` there instead). */
+  def bandsForRecall(threshold: Double, numHashes: Int = 64,
+      maxMiss: Double = 0.01): Int =
+    (1 to numHashes).find(b => numHashes % b == 0 &&
+        minhashMissProb(threshold, b, numHashes / b) <= maxMiss)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no $numHashes-hash banding reaches miss ≤ $maxMiss at j = $threshold; " +
+          "use the exact jaccardDupPairs join for thresholds below LSH's range"))
 
   /** LSH band bucket columns over a signature row: bucket b hashes
     * (b, _m{bR}.._m{bR+R-1}) — all static children, evaluated once. */
@@ -216,18 +252,24 @@ object Dedup {
       id: String = "doc_id", text: String = "text", shingleN: Int = 3,
       prefixFilter: Boolean = true): DataFrame = {
     require(threshold > 0, "threshold must be positive (zero-overlap pairs are never emitted)")
-    val sh = shingleRows(docs, id, text, shingleN)
-    val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("_sz"))
-    val cand = jaccardCandidates(sh, sizes, threshold, prefixFilter)
-      .join(sizes.select(col("_id").as("id_a"), col("_sz").as("_sa")), "id_a")
-      .join(sizes.select(col("_id").as("id_b"), col("_sz").as("_sb")), "id_b")
-      .filter(least(col("_sa"), col("_sb")) >= lit(threshold) * greatest(col("_sa"), col("_sb")))
+    // Verify joins the per-doc shingle ARRAYS (one kernel call per
+    // doc, docs-count rows — broadcast-size) onto the candidate
+    // pairs and intersects per pair: Σ_cand(|A|+|B|) element work,
+    // NO exploded-row shuffle (the row-join alternative materializes
+    // Σ_cand|A| rows — measured 5× this plan's cost). Assumes a
+    // document's shingle set fits a row comfortably — true for
+    // documents, the operator's domain.
+    val sets = docs.select(col(id).as("_id"),
+      call_function("shingle_set", col(text), lit(shingleN)).as("_set"))
+    val cand = jaccardCandidates(docs, id, text, shingleN, threshold, prefixFilter)
+      .join(sets.select(col("_id").as("id_a"), col("_set").as("_seta")), "id_a")
+      .join(sets.select(col("_id").as("id_b"), col("_set").as("_setb")), "id_b")
+      .filter(least(size(col("_seta")), size(col("_setb"))) >=
+        lit(threshold) * greatest(size(col("_seta")), size(col("_setb"))))
     cand
-      .join(sh.select(col("_id").as("id_a"), col("_ng")), "id_a")
-      .join(sh.select(col("_id").as("id_b"), col("_ng")), Seq("id_b", "_ng"))
-      .groupBy(col("id_a"), col("id_b"), col("_sa"), col("_sb"))
-      .agg(count(lit(1)).as("_inter"))
-      .withColumn("jaccard", col("_inter") / (col("_sa") + col("_sb") - col("_inter")))
+      .withColumn("_inter", size(array_intersect(col("_seta"), col("_setb"))))
+      .withColumn("jaccard",
+        col("_inter") / (size(col("_seta")) + size(col("_setb")) - col("_inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -235,19 +277,24 @@ object Dedup {
   /** Candidate pairs of `jaccardDupPairs` (before length filter +
     * exact verify): distinct (id_a < id_b) sharing ≥ 1 joined
     * shingle. With `prefixFilter`, only prefix shingles join. */
-  private def jaccardCandidates(sh: DataFrame, sizes: DataFrame,
-      threshold: Double, prefixFilter: Boolean): DataFrame = {
+  private def jaccardCandidates(docs: DataFrame, id: String, text: String,
+      shingleN: Int, threshold: Double, prefixFilter: Boolean): DataFrame = {
+    val sh = shingleRows(docs, id, text, shingleN)
     val side = if (!prefixFilter) sh else {
       import org.apache.spark.sql.expressions.Window
       // global canonical order: ascending document frequency, ties by
       // shingle value — identical on every executor, no driver state.
+      // _sz rides along from the kernel's array size (no extra window
+      // or join); _df is a window count by _ng; rank needs the one
+      // sort by (_id → _df, _ng). Two exchanges total.
       // The ceil argument backs off 1e-9 so an FP-inexact t·|A| that
       // lands a hair ABOVE an integer cannot shorten the prefix below
       // the pigeonhole bound (errs one longer, never shorter).
-      val df = sh.groupBy(col("_ng")).agg(count(lit(1)).as("_df"))
       val w = Window.partitionBy(col("_id")).orderBy(col("_df"), col("_ng"))
-      sh.join(df, "_ng")
-        .join(sizes, "_id")
+      docs.select(col(id).as("_id"),
+          call_function("shingle_set", col(text), lit(shingleN)).as("_set"))
+        .select(col("_id"), size(col("_set")).as("_sz"), explode(col("_set")).as("_ng"))
+        .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("_ng"))))
         .withColumn("_r", row_number().over(w))
         .filter(col("_r") <=
           col("_sz") - ceil(lit(threshold) * col("_sz") - lit(1e-9)) + 1)
@@ -264,11 +311,8 @@ object Dedup {
     * parameterization — the measurable prefix-filter win. */
   def jaccardCandidateCount(docs: DataFrame, threshold: Double,
       id: String = "doc_id", text: String = "text", shingleN: Int = 3,
-      prefixFilter: Boolean = true): Long = {
-    val sh = shingleRows(docs, id, text, shingleN)
-    val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("_sz"))
-    jaccardCandidates(sh, sizes, threshold, prefixFilter).count()
-  }
+      prefixFilter: Boolean = true): Long =
+    jaccardCandidates(docs, id, text, shingleN, threshold, prefixFilter).count()
 
   // ---- SimHash ----
 

@@ -35,9 +35,10 @@ object MiscQueries {
     // ref dbcon/execplan/pseudocolumn.h:39-51, pseudocc.cpp) — on
     // Spark the file-metadata struct plays this role.
     "q_pseudocols" -> ((s, dir) => {
+      // no data column projected: count(1) per file needs only the
+      // constant-per-file metadata struct, so ReadSchema stays empty
       s.read.parquet(s"$dir/lineitem.parquet")
-        .select(regexp_extract(col("_metadata.file_path"), "[^/]+$", 0).as("fname"),
-          col("l_orderkey"))
+        .select(regexp_extract(col("_metadata.file_path"), "[^/]+$", 0).as("fname"))
         .groupBy(col("fname")).agg(count(lit(1)).as("n"))
         .orderBy(col("fname"))
     }),

@@ -46,6 +46,17 @@ class LlmSpec extends SparkSpec {
       s"LSH(missing=${truth -- found}, spurious=${found -- truth})")
   }
 
+  test("analytic LSH recall model: default banding is sound at 0.6+, derivation matches") {
+    // the default 16 bands × 4 rows: a j = 0.75 pair (the corpus's
+    // weakest qualifying pair class) is missed with p < 0.003
+    assert(Dedup.minhashMissProb(0.75, 16, 4) < 0.003)
+    // derive-from-threshold picks a banding whose miss bound holds
+    val b = Dedup.bandsForRecall(0.6, maxMiss = 0.01)
+    assert(Dedup.minhashMissProb(0.6, b, 64 / b) <= 0.01)
+    // and refuses thresholds below LSH's effective range
+    intercept[IllegalArgumentException](Dedup.bandsForRecall(0.05, maxMiss = 1e-6))
+  }
+
   test("jaccard prefix filter: identical pairs, strictly fewer candidates") {
     // prefix filtering is exact by the pigeonhole argument — same
     // output as the unfiltered co-occurrence join at every threshold
@@ -78,6 +89,20 @@ class LlmSpec extends SparkSpec {
       assert(found == truth,
         s"maxDist=$maxDist missing=${truth -- found} spurious=${found -- truth}")
     }
+  }
+
+  test("shingle_set kernel equals the windowed row formulation") {
+    val docs = Tables.t(spark, sfDir, "documents").filter(col("doc_id") < 300)
+    val kernel = Dedup.shingleRows(docs).as[(Long, String)].collect().toSet
+    val windowed = Dedup.shingleRowsWindowed(docs, "doc_id", "text", 3)
+      .as[(Long, String)].collect().toSet
+    assert(kernel == windowed)
+    // edges: short-doc whole-text fallback (lowercased), empty text
+    val edge = Seq((1L, "Two WORDS"), (2L, ""), (3L, "a b c b a b c"))
+      .toDF("doc_id", "text")
+    val k2 = Dedup.shingleRows(edge).as[(Long, String)].collect().toSet
+    assert(k2 == Set((1L, "two words"), (2L, ""),
+      (3L, "a b c"), (3L, "b c b"), (3L, "c b a"), (3L, "b a b")))
   }
 
   test("minhash kernel equals the 64-min aggregate over shingle rows") {

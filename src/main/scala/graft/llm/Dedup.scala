@@ -165,11 +165,12 @@ object Dedup {
     * n-gram Jaccard ≥ `threshold`. Returns (id_a, id_b, jaccard)
     * with id_a < id_b.
     *
-    * Plan shape: shingle/sign scan → explode bands (small rows) →
-    * shuffle on bucket → within-bucket pairs → join shingles back by
-    * id (twice) → verify. The only quadratic term is within-bucket,
-    * which banding keeps small; a degenerate bucket (e.g. millions of
-    * empty docs) should be excluded upstream by an exact-dedup pass.
+    * Plan shape: sign scan → explode bands (small rows) → shuffle on
+    * bucket → within-bucket pairs → join shingle ARRAYS back by id →
+    * per-pair intersect verify. The only quadratic term is
+    * within-bucket, which banding keeps small; a degenerate bucket
+    * (e.g. millions of empty docs) should be excluded upstream by an
+    * exact-dedup pass.
     */
   def minhashDupPairs(
       docs: DataFrame,
@@ -199,28 +200,19 @@ object Dedup {
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct() // a pair can collide in several bands
 
-    // Candidates are sparse: semi-join the corpus down to ids that
-    // appear in some candidate pair BEFORE re-shingling, so the
-    // exact-verify pass tokenizes only candidate docs — and the
-    // distinct-set sizes |A| are counted over the same candidate-only
-    // distinct shingle rows (cheap: candidates ≪ corpus) instead of
-    // burdening the full-corpus signature aggregate.
-    val candIds = pairs
-      .select(explode(array(col("id_a"), col("id_b"))).as(id)).distinct()
-    val sh = shingleRows(docs.join(candIds, Seq(id), "left_semi"), id, text, shingleN)
-    val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("_sz"))
-
-    // Exact Jaccard by set-join counting over shingle ROWS (stays in
-    // codegen, unlike array_intersect over collected arrays):
-    // |A∩B| = matching (id_b, shingle) rows; |A∪B| = |A|+|B|−|A∩B|.
-    val inter = pairs
-      .join(sh.select(col("_id").as("id_a"), col("_ng")), "id_a")
-      .join(sh.select(col("_id").as("id_b"), col("_ng")), Seq("id_b", "_ng"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_inter"))
-    inter
-      .join(sizes.select(col("_id").as("id_a"), col("_sz").as("_sa")), "id_a")
-      .join(sizes.select(col("_id").as("id_b"), col("_sz").as("_sb")), "id_b")
-      .withColumn("jaccard", col("_inter") / (col("_sa") + col("_sb") - col("_inter")))
+    // Exact verify: join each pair's shingle ARRAYS (one shingle_set
+    // kernel call per doc, docs-count narrow rows) and intersect per
+    // pair — Σ_pairs(|A|+|B|) element work, no exploded-row shuffle.
+    // Same shape as jaccardDupPairs' verify.
+    val sets = docs.select(col(id).as("_id"),
+      call_function("shingle_set", col(text), lit(shingleN)).as("_set"))
+    val inter = size(array_intersect(col("_seta"), col("_setb")))
+    pairs
+      .join(sets.select(col("_id").as("id_a"), col("_set").as("_seta")), "id_a")
+      .join(sets.select(col("_id").as("id_b"), col("_set").as("_setb")), "id_b")
+      .withColumn("_inter", inter)
+      .withColumn("jaccard",
+        col("_inter") / (size(col("_seta")) + size(col("_setb")) - col("_inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -107,8 +107,8 @@ object StreamingOps {
       .select(col("_id").as("corpus_id"), col(text).as("_ctext"), col("_bucket"))
     s.join(c, "_bucket")
       .withColumn("jaccard",
-        Dedup.jaccard(Dedup.shingles(col("_stext"), shingleN),
-          Dedup.shingles(col("_ctext"), shingleN)))
+        Dedup.jaccard(call_function("shingle_set", col("_stext"), lit(shingleN)),
+          call_function("shingle_set", col("_ctext"), lit(shingleN))))
       .filter(col("jaccard") >= threshold)
       .select(col("stream_id"), col("ts"), col("corpus_id"), col("jaccard"))
       .dropDuplicatesWithinWatermark("stream_id", "corpus_id")

@@ -178,7 +178,7 @@ object LlmQueries {
         |  CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','was','for','on','are','as','with','at','be'], x))) AS BIGINT) AS n_stopwords,
         |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_token_len
         |FROM (SELECT doc_id, text,
-        |        list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS toks
+        |        list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0) AS toks
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
@@ -194,7 +194,7 @@ object LlmQueries {
         |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
         |      ELSE [txt] END) AS s
         |  FROM (SELECT doc_id, lower(text) AS txt,
-        |          list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS toks
+        |          list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0) AS toks
         |        FROM documents))
         |SELECT id_a, id_b, jaccard FROM (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -210,7 +210,7 @@ object LlmQueries {
         |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
         |      ELSE [txt] END) AS s
         |  FROM (SELECT doc_id, lower(text) AS txt,
-        |          list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS toks
+        |          list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0) AS toks
         |        FROM documents))
         |SELECT id_a, id_b, jaccard FROM (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -227,7 +227,7 @@ object LlmQueries {
     "q_text_lang" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS t
+        |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0)) AS t
         |  FROM documents
         |), prof AS (
         |  SELECT doc_id,
@@ -250,7 +250,7 @@ object LlmQueries {
         |  CASE WHEN p.n_tokens IS NULL OR p.n_tokens = 0 OR length(d.text) = 0 THEN 0
         |    ELSE CAST(floor(
         |      least(p.n_tokens / 50.0, 1.0) * (CASE WHEN p.n_tokens > 5000 THEN 0.5 ELSE 1.0 END)
-        |      * greatest(0.0, 1.0 - (length(regexp_replace(d.text, '[\p{L}\p{N}\s]', '', 'g'))::DOUBLE / length(d.text)::DOUBLE) * 4.0)
+        |      * greatest(0.0, 1.0 - (length(regexp_replace(d.text, '[\p{L}\p{N} \t\n\f\r]', '', 'g'))::DOUBLE / length(d.text)::DOUBLE) * 4.0)
         |      * least(p.sw_hits::DOUBLE / p.n_tokens::DOUBLE * 4.0, 1.0)
         |      * 1000000.0) AS BIGINT) END AS quality_e6
         |FROM documents d

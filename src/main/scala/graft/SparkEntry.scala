@@ -29,7 +29,8 @@ object SparkEntry {
     (MiscQueries2.queries, MiscQueries2.oracle),
     (AsOfQueries.queries, AsOfQueries.oracle),
     (RangeQueries.queries, RangeQueries.oracle),
-    (SketchQueries.queries, SketchQueries.oracle)
+    (SketchQueries.queries, SketchQueries.oracle),
+    (PipelineQueries.queries, PipelineQueries.oracle)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

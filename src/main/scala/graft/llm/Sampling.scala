@@ -1,0 +1,59 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling — the TABLESAMPLE analog a
+  * training-data pipeline actually wants: samples must be
+  * REPRODUCIBLE (rerunning the pipeline yields the same subset,
+  * regardless of partitioning or cluster size), so membership is a
+  * pure function of the row key, never of RNG state or task order.
+  *
+  * Mechanism: compare a fixed-width prefix of md5(key) against a
+  * threshold. The digest prefix is uniform on [0, 16^8), so
+  * P(keep) = fraction to within 2^-32; membership is decided
+  * per-row inside the scan (codegen'd, pushdown-friendly, no
+  * shuffle). Different `salt`s give independent samples — the
+  * train/validation split knob.
+  */
+object Sampling {
+
+  /** Hex-prefix threshold for `fraction`: keep iff
+    * substr(md5(key),1,8) < threshold. */
+  def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
+    f"${math.round(fraction * 4294967296.0).min(4294967295L)}%08x"
+  }
+
+  /** Membership predicate: deterministic `fraction`-sample on `key`. */
+  def sampleHash(key: Column, fraction: Double, salt: String = ""): Column =
+    substring(md5(concat(key.cast("string"), lit(salt))), 1, 8) <
+      lit(hexThreshold(fraction))
+
+  /** Uniform deterministic sample of `fraction` of `df` keyed on
+    * `keyCol`. One codegen'd filter on the scan — no shuffle, no
+    * state, safe at any scale. */
+  def uniformSample(df: DataFrame, keyCol: String, fraction: Double,
+      salt: String = ""): DataFrame =
+    df.filter(sampleHash(col(keyCol), fraction, salt))
+
+  /** Stratified deterministic sample: EXACTLY ceil(fraction · |stratum|)
+    * rows per stratum (uniform sampling leaves stratum sizes
+    * binomially distributed; quota work wants them pinned). Rows are
+    * ranked inside each stratum by md5(key) — a deterministic
+    * pseudo-random order — and the top quota kept. One shuffle
+    * (window by stratum); skewed strata rely on the same AQE
+    * machinery as any other window. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+      fraction: Double, salt: String = ""): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
+    val digest = md5(concat(col(keyCol).cast("string"), lit(salt)))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(digest, col(keyCol))
+    val cw = Window.partitionBy(col(stratumCol))
+    df.withColumn("_rn", row_number().over(w))
+      .withColumn("_cnt", count(lit(1)).over(cw))
+      .filter(col("_rn") <= ceil(lit(fraction) * col("_cnt")).cast("long"))
+      .drop("_rn", "_cnt")
+  }
+}

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Packing, Sampling}
+
+/** Training-data pipeline composition operators: dup-pair CLUSTER
+  * resolution (connected components → canonical docs), sequence
+  * packing (concat-and-chunk token layout), and deterministic
+  * sampling. All integer/string arithmetic — every entry is
+  * hash-compared against a DuckDB oracle (components via recursive
+  * CTE transitive closure; packing via a global window prefix sum —
+  * single-node DuckDB can afford the formulation our distributed
+  * two-phase scan exists to avoid; sampling via identical md5
+  * threshold/order semantics).
+  */
+object PipelineQueries {
+  import Q._
+
+  /** Shared DuckDB fragment: word-3-gram shingle sets per doc (same
+    * tokenizer class as the Spark `shingle_set` kernel). */
+  private val shingleCte =
+    """sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) >= 3
+      |      THEN list_transform(range(1, len(toks) - 1),
+      |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |      ELSE [txt] END) AS s
+      |  FROM (SELECT doc_id, lower(text) AS txt,
+      |          list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0) AS toks
+      |        FROM documents))""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "q_dedup_clusters" -> ((s, dir) => {
+      // pairs → components: the banded-LSH pair set at threshold 0.6
+      // equals all-pairs truth on this corpus (q_dedup_minhash proves
+      // it), so the component structure matches the oracle's
+      // transitive closure exactly.
+      val pairs = Dedup.minhashDupPairs(t(s, dir, "documents"), threshold = 0.6)
+      Dedup.dupClusters(pairs)
+        .select(col("_id").as("doc_id"), col("_comp").as("cluster_id"))
+        .withColumn("cluster_sz",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .orderBy(col("doc_id"))
+    }),
+    "q_dedup_resolve" -> ((s, dir) => {
+      // end-to-end near-dedup: corpus minus every clustered doc except
+      // each cluster's minimum id
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashDupPairs(docs, threshold = 0.6)
+      Dedup.nearDedup(docs, pairs)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_pack_sequences" -> ((s, dir) => {
+      Packing.packSequences(t(s, dir, "documents"), budget = 512L)
+        .orderBy(col("doc_id"))
+    }),
+    "q_sample_uniform" -> ((s, dir) => {
+      Sampling.uniformSample(t(s, dir, "documents"), "doc_id", fraction = 0.1)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_sample_strat" -> ((s, dir) => {
+      // exactly ceil(0.25·|stratum|) docs per source (0.25 is exact in
+      // binary, so ceil(0.25·n) can't straddle an FP boundary between
+      // engines)
+      Sampling.stratifiedSample(t(s, dir, "documents"), "source", "doc_id",
+          fraction = 0.25)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |pr AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      len(list_intersect(a.s, b.s))::DOUBLE
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+        |  WHERE jaccard >= 0.6),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+        |          UNION ALL SELECT id_b, id_a FROM pr),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (
+        |  SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+        |  FROM reach GROUP BY src)
+        |SELECT doc_id, cluster_id,
+        |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_sz
+        |FROM comp ORDER BY doc_id""".stripMargin,
+    "q_dedup_resolve" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |pr AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      len(list_intersect(a.s, b.s))::DOUBLE
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+        |  WHERE jaccard >= 0.6),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+        |          UNION ALL SELECT id_b, id_a FROM pr),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (
+        |  SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+        |  FROM reach GROUP BY src)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        |WHERE c.doc_id IS NULL OR c.doc_id = c.cluster_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+        |  FROM tok WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens,
+        |  (cum - n_tokens) // 512 AS pack_id,
+        |  (cum - n_tokens) % 512 AS pack_off,
+        |  ((cum - 1) // 512) - ((cum - n_tokens) // 512) + 1 AS n_packs
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_sample_uniform" ->
+      s"""SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5(doc_id::VARCHAR), 1, 8) < '${Sampling.hexThreshold(0.1)}'
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_strat" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS cnt
+        |  FROM documents) t
+        |WHERE rn <= CAST(ceil(0.25 * cnt) AS BIGINT)
+        |ORDER BY source, doc_id""".stripMargin
+  )
+}

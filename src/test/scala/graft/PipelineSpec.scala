@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Packing, Sampling}
+
+/** Invariant proofs for the pipeline-composition operators: dup-pair
+  * cluster resolution (transitive closure, canonical selection),
+  * sequence packing (distributed two-phase scan ≡ single-window
+  * reference; budget invariants), and deterministic sampling
+  * (reproducibility, threshold monotonicity, exact stratum quotas). */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dupClusters resolves transitive components beyond direct pairs") {
+    // chain 1-2, 2-3 (1 and 3 never paired) + island 7-9 + path 10-11-12-13
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (10L, 11L), (11L, 12L), (12L, 13L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+  }
+
+  test("nearDedup keeps each cluster minimum and all unpaired docs") {
+    val docs = (1L to 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((2L, 4L), (4L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.nearDedup(docs, pairs).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 5L, 7L, 8L)) // 4 and 6 fold into 2
+  }
+
+  test("packSequences two-phase scan matches the single-window reference") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val fast = Packing.packSequences(docs, budget = 512L)
+    val ref = Packing.packSequencesGlobalWindow(docs, budget = 512L)
+    assert(fast.exceptAll(ref).isEmpty && ref.exceptAll(fast).isEmpty)
+  }
+
+  test("packSequences invariants: offsets in budget, spans consistent") {
+    val out = Packing.packSequences(Tables.t(spark, sfDir, "documents"), budget = 256L)
+    val bad = out.filter(
+      col("pack_off") < 0 || col("pack_off") >= 256 || col("n_tokens") <= 0 ||
+        col("n_packs") =!= (col("pack_off") + col("n_tokens") + lit(255L)).divide(lit(256L)).cast("long"))
+    assert(bad.isEmpty)
+    // packs are dense: consecutive docs in id order abut exactly
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+    val gaps = out
+      .withColumn("_nextStart", lead(col("pack_id") * 256 + col("pack_off"), 1).over(w))
+      .filter(col("_nextStart").isNotNull &&
+        col("_nextStart") =!= col("pack_id") * 256 + col("pack_off") + col("n_tokens"))
+    assert(gaps.isEmpty)
+  }
+
+  test("uniformSample is reproducible and monotone in fraction") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val s1 = Sampling.uniformSample(docs, "doc_id", 0.1).select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.uniformSample(docs, "doc_id", 0.1).select("doc_id").as[Long].collect().toSet
+    val s3 = Sampling.uniformSample(docs, "doc_id", 0.3).select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2)                       // rerun ⇒ identical subset
+    assert(s1.subsetOf(s3))                // threshold monotone ⇒ nested samples
+    val n = docs.count().toDouble
+    assert(math.abs(s3.size / n - 0.3) < 0.15) // coarse uniformity at sf0.001
+  }
+
+  test("different salts give (near-)independent samples") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val a = Sampling.uniformSample(docs, "doc_id", 0.5, salt = "train")
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.uniformSample(docs, "doc_id", 0.5, salt = "valid")
+      .select("doc_id").as[Long].collect().toSet
+    val n = docs.count().toDouble
+    // P(in both) ≈ 0.25 for independent halves; binary-split would be 0 or 0.5
+    val overlap = a.intersect(b).size / n
+    assert(overlap > 0.1 && overlap < 0.4)
+  }
+
+  test("stratifiedSample pins exactly ceil(f·n) rows per stratum") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val expected = docs.groupBy("source").agg(ceil(count(lit(1)) * 0.25).cast("long").as("want"))
+    val got = Sampling.stratifiedSample(docs, "source", "doc_id", 0.25)
+      .groupBy("source").agg(count(lit(1)).as("have"))
+    assert(expected.join(got, "source").filter(col("want") =!= col("have")).isEmpty)
+  }
+}

@@ -333,48 +333,61 @@ object Dedup {
     *
     * Scale shape: each round is ONE partial-aggregable shuffle
     * (groupBy over |E|+|V| rows keyed by vertex) — never all-pairs,
-    * no driver-side graph state. The self-loop union makes each round
-    * consume the previous labels exactly ONCE, so unpersisted lineage
-    * grows linearly in rounds (no 2^k subtree duplication) and the
-    * loop needs NO caching — zero BlockManager residue (the round-3
-    * leak lesson). A billion-edge deployment would persist each
-    * round's labels and unpersist the previous inside the loop, and
-    * for webgraph-diameter inputs switch to the two-phase
+    * no driver-side graph state. The loop persists the flow table
+    * once and each round's labels, unpersisting the previous round as
+    * soon as the convergence action materializes the next — so round
+    * k costs one join over cached inputs (O(k) total work, not the
+    * O(k²) of re-deriving every prior round from scratch), and peak
+    * BlockManager residency is edges + two label generations. Every
+    * persist is released before returning — zero residue survives the
+    * call (the round-3 leak lesson); the returned frame re-derives
+    * its linear lineage once at final consumption. For
+    * webgraph-diameter inputs switch to the two-phase
     * large-star/small-star contraction (public literature: Kiveris et
     * al., "Connected Components in MapReduce and Beyond"), which
     * converges in O(log n) rounds with the same per-round shuffle. */
   def dupClusters(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
-    // The loop's per-round convergence actions would re-evaluate the
-    // (often expensive) pair pipeline each round — cache it for the
-    // loop's duration and free it before returning: the returned
-    // lineage re-derives pairs once at final consumption, where
-    // exchange reuse collapses the per-round subtree copies, and no
-    // BlockManager state survives the call (round-3 leak lesson).
+    // Cache the (often expensive) pair pipeline and the flow table
+    // for the loop's duration so convergence actions never re-derive
+    // them; free everything before returning.
     val p = pairs.persist()
+    val e = p.select(col("id_a").as("_u"), col("id_b").as("_v"))
+    val edges = e.union(e.select(col("_v").as("_u"), col("_u").as("_v")))
+    val verts = edges.select(col("_u")).distinct()
+    // label flows u → v along every edge, plus v → v so a vertex
+    // keeps its own label (and `labels` is consumed exactly once)
+    val flows = edges.union(verts.select(col("_u"), col("_u").as("_v"))).persist()
+    var cachedPrev: DataFrame = null
     try {
-      val e = p.select(col("id_a").as("_u"), col("id_b").as("_v"))
-      val edges = e.union(e.select(col("_v").as("_u"), col("_u").as("_v")))
-      val verts = edges.select(col("_u")).distinct()
-      // label flows u → v along every edge, plus v → v so a vertex
-      // keeps its own label (and `labels` is consumed exactly once)
-      val flows = edges.union(verts.select(col("_u"), col("_u").as("_v")))
       var labels = verts.select(col("_u").as("_id"), col("_u").as("_comp"))
       def checksum(l: DataFrame): Option[java.math.BigDecimal] =
         Option(l.agg(sum(col("_comp").cast(DecimalType(38, 0)))).first().getDecimal(0))
-      var prev = checksum(labels)
+      // no initial checksum action: round 0 strictly decreases the label
+      // sum whenever any edge exists, so it can never be the fixpoint
+      // confirmation (and None ≠ Some keeps the comparison safe)
+      var prev: Option[java.math.BigDecimal] = None
       var round = 0
       var converged = false
       while (!converged && round < maxRounds) {
         labels = flows.join(labels, col("_u") === col("_id"))
           .groupBy(col("_v")).agg(min(col("_comp")).as("_comp"))
           .select(col("_v").as("_id"), col("_comp"))
-        val cur = checksum(labels)
+          .persist()
+        val cur = checksum(labels) // materializes `labels` from cached inputs
+        if (cachedPrev ne null) cachedPrev.unpersist(blocking = false)
+        cachedPrev = labels
         converged = cur == prev
         prev = cur
         round += 1
       }
       labels
-    } finally p.unpersist(blocking = false)
+    } finally {
+      // release loop caches; the returned lineage (linear chain of
+      // per-round joins) recomputes once when the caller consumes it
+      if (cachedPrev ne null) cachedPrev.unpersist(blocking = false)
+      flows.unpersist(blocking = false)
+      p.unpersist(blocking = false)
+    }
   }
 
   /** Near-dedup'd corpus view: every clustered doc except the cluster

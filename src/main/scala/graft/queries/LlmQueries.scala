@@ -1,7 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.llm.{AnnSearch, Dedup, Multimodal, TextAnalysis}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import graft.llm.{AnnSearch, Dedup, Multimodal, Quantize, TextAnalysis}
 
 /** The LLM-training-data pipeline suite over the driver-provided
   * `documents` and `embeddings` tables: text analysis, exact and
@@ -117,6 +118,23 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_quantize" -> ((s, dir) => {
+      // int8 symmetric quantization, oracle-checked bit-for-bit: the
+      // scale and ⌊x/scale + ½⌋ arithmetic is the same IEEE double
+      // sequence in DuckDB. Audit columns (first 8 codes + code sum +
+      // squared norm) are scalars — the harness can't sort arrays —
+      // and the integer folds run through the native vec_dot kernel,
+      // not an interpreted aggregate HOF.
+      val ones = lit(Array.fill(64)(1.0))
+      val qd = col("q").cast(ArrayType(DoubleType))
+      val qCols = (0 until 8).map(i => col("q").getItem(i).as(s"q$i"))
+      Quantize.quantized(t(s, dir, "embeddings"))
+        .select(col("vec_id") +: col("scale") +: qCols :+
+          call_function("vec_dot", qd, ones).cast("bigint").as("qsum") :+
+          call_function("vec_dot", qd, qd).cast("bigint").as("qnorm2"): _*)
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- similarity search ----
     "q_ann_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -143,6 +161,22 @@ object LlmQueries {
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       graft.llm.AnnSearch.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 6)
+        .select(col("qid"), col("vec_id"), col("cosine"), col("rank").cast("int").as("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    "q_ann_pq" -> ((s, dir) => {
+      // rows-only: PQ-encode (8 subspaces × 16 centroids — 8 codes/
+      // vector, 32× smaller than float32) then ADC-shortlist + exact
+      // re-rank. Seeded codebooks here: pqTrain is the offline job
+      // (same contract as ivfTopK's centroids); QuantizeSpec proves
+      // training lifts recall and the pipeline's recall floor.
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cb = Quantize.seededCodebooks(m = 8, ksub = 16, dsub = 8)
+      Quantize.pqRerankTopK(Quantize.pqEncode(emb, cb), cb, emb, queries,
+          k = 10, shortlist = 50)
         .select(col("qid"), col("vec_id"), col("cosine"), col("rank").cast("int").as("rnk"))
         .orderBy(col("qid"), col("rnk"))
     }),
@@ -256,6 +290,23 @@ object LlmQueries {
         |FROM documents d
         |LEFT JOIN (SELECT *, greatest(h_de, h_en, h_es, h_fr) AS best FROM prof) p USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q_quantize" ->
+      """WITH qz AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale
+        |  FROM embeddings),
+        |qq AS (
+        |  SELECT vec_id, scale,
+        |    CASE WHEN scale > 0
+        |      THEN list_transform(v, x -> CAST(least(greatest(floor(x / scale + 0.5), -127.0), 127.0) AS INT))
+        |      ELSE list_transform(v, x -> 0) END AS q
+        |  FROM qz)
+        |SELECT vec_id, scale,
+        |  q[1] AS q0, q[2] AS q1, q[3] AS q2, q[4] AS q3,
+        |  q[5] AS q4, q[6] AS q5, q[7] AS q6, q[8] AS q7,
+        |  CAST(list_sum(q) AS BIGINT) AS qsum,
+        |  CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qnorm2
+        |FROM qq ORDER BY vec_id""".stripMargin,
     "q_ann_brute" ->
       """SELECT qid, vec_id, cosine, CAST(rnk AS INT) AS rnk FROM (
         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,

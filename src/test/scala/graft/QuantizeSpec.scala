@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{AnnSearch, Quantize}
+
+/** Embedding-quantization contracts: element-wise reconstruction
+  * error bounded by scale/2, codes inside int8 range, and top-k
+  * recall of the dequantized corpus vs exact float search. */
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Tables.t(spark, sfDir, "embeddings")
+
+  test("int8 round-trip: codes in range, |x - q·scale| <= scale/2") {
+    val q = Quantize.quantized(emb)
+    val joined = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .join(q, "vec_id")
+      .select(col("vec_id"), col("scale"),
+        posexplode(arrays_zip(col("v"), col("q"))).as(Seq("_p", "_z")))
+      .select(col("vec_id"), col("scale"),
+        col("_z.v").as("x"), col("_z.q").as("c"))
+    assert(joined.filter(col("c") < -127 || col("c") > 127).isEmpty)
+    // half-step bound, with an ulp of slack for the biased ⌊x+½⌋ tie
+    val bad = joined.filter(
+      abs(col("x") - col("c").cast("double") * col("scale")) >
+        col("scale") * 0.5 + lit(1e-12))
+    assert(bad.isEmpty)
+    // the max-magnitude element quantizes to exactly ±127 (no clamp slack)
+    val extremes = joined.groupBy(col("vec_id"))
+      .agg(max(abs(col("c"))).as("maxc"), max(col("scale")).as("s"))
+      .filter(col("s") > 0)
+    assert(extremes.filter(col("maxc") =!= 127).isEmpty)
+  }
+
+  test("dequantized top-k keeps high recall vs exact float search") {
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = AnnSearch.bruteForceTopK(emb, queries, k = 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Quantize.quantizedTopK(Quantize.quantized(emb), queries, k = 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall below 0.9")
+  }
+
+  test("pq: codes well-formed, encoding deterministic") {
+    val cb = Quantize.seededCodebooks(m = 8, ksub = 16, dsub = 8)
+    val enc = Quantize.pqEncode(emb, cb)
+    assert(enc.count() == emb.count())
+    val bad = enc.filter(size(col("codes")) =!= 8 ||
+      exists(col("codes"), c => c < 0 || c >= 16))
+    assert(bad.isEmpty)
+    val a = enc.orderBy("vec_id").collect().toSeq
+    val b = Quantize.pqEncode(emb, cb).orderBy("vec_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("pq training lifts ADC shortlist containment of the true top-10") {
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = AnnSearch.bruteForceTopK(emb, queries, k = 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    def containment(cb: Array[Array[Array[Double]]]): Double = {
+      val short = Quantize.pqAdcTopK(Quantize.pqEncode(emb, cb), cb, queries, k = 50)
+        .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+      exact.count(short.contains).toDouble / exact.size
+    }
+    val seeded = containment(Quantize.seededCodebooks(m = 8, ksub = 16, dsub = 8))
+    val trained = containment(Quantize.pqTrain(emb, m = 8, ksub = 16, iters = 5))
+    // measured on this corpus: seeded ≈ 0.58-0.66, trained ≈ 0.66+;
+    // floors leave slack for the sf0.001 CI corpus
+    assert(seeded >= 0.3, s"seeded containment $seeded")
+    assert(trained >= 0.5, s"trained containment $trained")
+  }
+
+  test("pq rerank returns exact cosines for its shortlist, ranked") {
+    val cb = Quantize.seededCodebooks(m = 8, ksub = 16, dsub = 8)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val got = Quantize.pqRerankTopK(Quantize.pqEncode(emb, cb), cb, emb, queries,
+      k = 5, shortlist = 20)
+    // each query yields exactly k ranked rows, rank dense from 1
+    val counts = got.groupBy("qid").agg(count(lit(1)).as("n"),
+      min("rank").as("lo"), max("rank").as("hi"))
+    assert(counts.filter(col("n") =!= 5 || col("lo") =!= 1 || col("hi") =!= 5).isEmpty)
+    // cosines match a direct exact computation for those (qid, vec_id)
+    val direct = AnnSearch.bruteForceTopK(emb, queries, k = emb.count().toInt)
+      .select(col("qid"), col("vec_id"), col("cosine").as("want"))
+    val mismatch = got.join(direct, Seq("qid", "vec_id"))
+      .filter(col("cosine") =!= col("want"))
+    assert(mismatch.isEmpty)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.ZOrder
+
+/** Z-order layout contract: the per-file footer spans a scan prunes
+  * with must be tight on EVERY z dimension — measured as the number
+  * of files a mid-range predicate overlaps, vs an unsorted layout
+  * (nothing prunes) and a single-column sort (only its own column
+  * prunes). */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val orders = Tables.t(spark, sfDir, "orders")
+    .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-layout-$name-").resolve("t").toString
+
+  test("z-order prunes on both dimensions; single-col sort only on its own") {
+    val nFiles = 16
+    // probe: a 10%-wide band in the middle of each column's domain
+    def band(c: String): (Double, Double) = {
+      val r = orders.agg(min(col(c)).cast("double"), max(col(c)).cast("double")).first()
+      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+      (lo + 0.45 * (hi - lo), lo + 0.55 * (hi - lo))
+    }
+    val (cklo, ckhi2) = band("o_custkey")
+    val (tplo, tphi) = band("o_totalprice")
+
+    val zPath = tmp("z")
+    ZOrder.writeZOrdered(orders, zPath, Seq("o_custkey", "o_totalprice"), nFiles)
+    val zDf = spark.read.parquet(zPath)
+
+    val flatPath = tmp("flat")
+    orders.repartition(nFiles).write.mode("overwrite").parquet(flatPath)
+    val flatDf = spark.read.parquet(flatPath)
+
+    val sortPath = tmp("sort")
+    orders.repartitionByRange(nFiles, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(sortPath)
+    val sortDf = spark.read.parquet(sortPath)
+
+    // roundtrip: same rows
+    assert(zDf.exceptAll(orders).isEmpty && orders.exceptAll(zDf).isEmpty)
+
+    val zCk = ZOrder.filesOverlapping(zDf, "o_custkey", cklo, ckhi2)
+    val zTp = ZOrder.filesOverlapping(zDf, "o_totalprice", tplo, tphi)
+    val flatCk = ZOrder.filesOverlapping(flatDf, "o_custkey", cklo, ckhi2)
+    val flatTp = ZOrder.filesOverlapping(flatDf, "o_totalprice", tplo, tphi)
+    val sortCk = ZOrder.filesOverlapping(sortDf, "o_custkey", cklo, ckhi2)
+    val sortTp = ZOrder.filesOverlapping(sortDf, "o_totalprice", tplo, tphi)
+
+    info(s"files overlapped of $nFiles — z: ck=$zCk tp=$zTp; flat: ck=$flatCk tp=$flatTp; " +
+      s"sort(ck): ck=$sortCk tp=$sortTp")
+    // unsorted layout: random placement ⇒ every/nearly every file overlaps
+    assert(flatCk >= nFiles - 1 && flatTp >= nFiles - 1)
+    // z-order prunes on BOTH dimensions (16 files = a 4-bit Z prefix
+    // = 2 bits per dimension: a 10% band can straddle quarter-grid
+    // cells, so the bound is ~3/4, tightening with file count)
+    assert(zCk < flatCk && zCk <= nFiles * 3 / 4, s"z custkey overlap $zCk")
+    assert(zTp < flatTp && zTp <= nFiles * 3 / 4, s"z totalprice overlap $zTp")
+    // single-column sort: excellent on its own column, blind on the other
+    assert(sortCk <= 3)
+    assert(zTp < sortTp, s"z tp=$zTp not better than sort-by-ck tp=$sortTp")
+  }
+
+  test("interleave places bits correctly") {
+    // rank pairs (x, y) with known morton codes at 2 bits:
+    // (0,0)->0, (1,0)->1, (0,1)->2, (1,1)->3, (2,0)->4, (3,3)->15
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 0L), (3L, 3L))
+      .toDF("x", "y")
+    val got = df.select(ZOrder.interleave(Seq(col("x"), col("y")), bits = 2).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(0L, 1L, 2L, 3L, 4L, 15L))
+  }
+}

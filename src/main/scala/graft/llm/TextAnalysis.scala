@@ -159,6 +159,40 @@ object TextAnalysis {
         coalesce(lenScore * punctScore * swScore, lit(0.0)).as("quality"))
   }
 
+  /** Repetition profile — the within-document repetition signals of
+    * published corpus-filtering rules (repeated lines / repeated
+    * n-grams mark templated or spam text): per doc,
+    *  - n_lines / n_distinct_lines (newline-split, empties dropped),
+    *  - n_2grams / n_distinct_2grams (whitespace tokens),
+    *  - top_2gram_count (occurrences of the most frequent 2-gram).
+    * The line and distinct counts are per-row array expressions (no
+    * shuffle); the top-2-gram count is the explode → two-level
+    * partial-aggregable groupBy row pipeline — the mode-per-document
+    * aggregation a per-row HOF can't express without quadratic array
+    * scans. All-integer output → engine-exact oracle. */
+  def repetitionProfile(docs: org.apache.spark.sql.DataFrame,
+      id: String = "doc_id", text: String = "text"): org.apache.spark.sql.DataFrame = {
+    val lines = filter(split(col(text), "\n"), l => length(l) > 0)
+    val ts = tokens(col(text))
+    val grams = docs.select(col(id).as("_id"), tokens(col(text)).as("_ts"))
+      .filter(size(col("_ts")) >= 2)
+      .select(col("_id"), explode(transform(sequence(lit(0), size(col("_ts")) - 2),
+        i => concat_ws(" ", col("_ts").getItem(i), col("_ts").getItem(i + 1)))).as("_g"))
+    val top = grams.groupBy(col("_id"), col("_g")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("_id")).agg(max(col("_c")).as("top_2gram_count"))
+    docs.select(col(id),
+        size(lines).cast("long").as("n_lines"),
+        size(array_distinct(lines)).cast("long").as("n_distinct_lines"),
+        greatest(lit(0L), size(ts).cast("long") - 1).as("n_2grams"),
+        when(size(ts) >= 2, size(array_distinct(transform(sequence(lit(0), size(ts) - 2),
+          i => concat_ws(" ", ts.getItem(i), ts.getItem(i + 1))))).cast("long"))
+          .otherwise(lit(0L)).as("n_distinct_2grams"))
+      .join(top, col(id) === top("_id"), "left")
+      .select(col(id), col("n_lines"), col("n_distinct_lines"),
+        col("n_2grams"), col("n_distinct_2grams"),
+        coalesce(col("top_2gram_count"), lit(0L)).as("top_2gram_count"))
+  }
+
   /** Rotate-xor rolling-hash fingerprint over token xxhashes —
     * order-sensitive (unlike a bag-of-words hash), 64-bit, stable
     * across runs and partitionings. Evaluated as a native codegen

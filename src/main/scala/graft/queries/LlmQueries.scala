@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
-import graft.llm.{AnnSearch, Dedup, Multimodal, Quantize, TextAnalysis}
+import graft.llm.{AnnSearch, Chunking, Dedup, Multimodal, Quantize, TextAnalysis}
 
 /** The LLM-training-data pipeline suite over the driver-provided
   * `documents` and `embeddings` tables: text analysis, exact and
@@ -67,6 +67,18 @@ object LlmQueries {
           TextAnalysis.fingerprint(col("text")).as("fingerprint"),
           TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
         .orderBy(col("doc_id"))
+    }),
+
+    "q_text_repetition" -> ((s, dir) => {
+      // all-integer within-doc repetition signals → engine-exact oracle
+      TextAnalysis.repetitionProfile(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_chunk" -> ((s, dir) => {
+      // 64-token chunks, 16-token overlap (stride 48); per-row explode,
+      // no shuffle — the oracle replays the same slice arithmetic
+      Chunking.chunk(t(s, dir, "documents"), chunkTokens = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
     // ---- dedup ----
@@ -290,6 +302,45 @@ object LlmQueries {
         |FROM documents d
         |LEFT JOIN (SELECT *, greatest(h_de, h_en, h_es, h_fr) AS best FROM prof) p USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q_text_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)), x -> length(x) > 0) AS lines,
+        |    list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS grams
+        |  FROM tok WHERE len(toks) >= 2),
+        |tg AS (
+        |  SELECT doc_id, MAX(c) AS top_c FROM (
+        |    SELECT doc_id, g2, COUNT(*) AS c
+        |    FROM (SELECT doc_id, unnest(grams) AS g2 FROM g)
+        |    GROUP BY doc_id, g2)
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(t.lines) AS BIGINT) AS n_lines,
+        |  CAST(len(list_distinct(t.lines)) AS BIGINT) AS n_distinct_lines,
+        |  CAST(greatest(0, len(t.toks) - 1) AS BIGINT) AS n_2grams,
+        |  CAST(CASE WHEN len(t.toks) >= 2 THEN len(list_distinct(g.grams)) ELSE 0 END AS BIGINT)
+        |    AS n_distinct_2grams,
+        |  CAST(COALESCE(tg.top_c, 0) AS BIGINT) AS top_2gram_count
+        |FROM tok t LEFT JOIN g USING (doc_id) LEFT JOIN tg USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+    "q_chunk" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM tok WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(range(0, 1 + CAST(ceil(greatest(0, n - 64) / 48.0) AS BIGINT))) AS ci
+        |  FROM t2)
+        |SELECT doc_id, ci AS chunk_idx, ci * 48 AS start_tok,
+        |  least(64, n - ci * 48) AS n_tok,
+        |  array_to_string(toks[ci * 48 + 1 : ci * 48 + 64], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_quantize" ->
       """WITH qz AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

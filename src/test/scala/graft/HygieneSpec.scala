@@ -76,6 +76,50 @@ class HygieneSpec extends SparkSpec {
     assert(got == Seq((2, 1, 0), (0, 0, 2)))
   }
 
+  test("chunk covers every token exactly once per stride window") {
+    import graft.llm.Chunking
+    val docs = Seq(
+      (1L, (1 to 150).map(i => s"w$i").mkString(" ")), // 150 toks → 3 chunks at 64/16
+      (2L, "short doc"),                               // 2 toks → 1 chunk
+      (3L, "")                                         // 0 toks → no chunks
+    ).toDF("doc_id", "text")
+    val got = Chunking.chunk(docs, chunkTokens = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "start_tok", "n_tok")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 64L), (1L, 1L, 48L, 64L), (1L, 2L, 96L, 54L),
+      (2L, 0L, 0L, 2L)))
+    // chunk text is the token slice re-joined
+    val t0 = Chunking.chunk(docs, 64, 16).filter(col("doc_id") === 1 && col("chunk_idx") === 2)
+      .select("chunk_text").as[String].head()
+    assert(t0 == (97 to 150).map(i => s"w$i").mkString(" "))
+    // no overlap: chunks partition the tokens
+    val dense = Chunking.chunk(docs, chunkTokens = 64)
+      .groupBy("doc_id").agg(sum("n_tok").as("s"))
+    val want = docs.select(col("doc_id"),
+      size(graft.llm.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+    assert(dense.join(want, "doc_id").filter(col("s") =!= col("n")).isEmpty)
+  }
+
+  test("repetitionProfile counts duplicate lines and 2-grams") {
+    val docs = Seq(
+      (1L, "a b a b a"),           // 2-grams: ab ba ab ba → 4 total, 2 distinct, top 2
+      (2L, "x\ny\nx\n"),           // lines x y x → 3 lines, 2 distinct
+      (3L, "solo"),                // 1 token → no 2-grams
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.repetitionProfile(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 1L, 4L, 2L, 2L),
+      (2L, 3L, 2L, 2L, 2L, 1L),
+      (3L, 1L, 1L, 0L, 0L, 0L),
+      (4L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("mixtureSample applies per-stratum rates, deterministically nested") {
     val docs = Tables.t(spark, sfDir, "documents")
     val w1 = Map("src0" -> 0.8, "src1" -> 0.2)

@@ -207,6 +207,82 @@ object Quantize {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF ∘ PQ: coarse cells prune WHICH vectors are scored (a query
+    * touches ~nprobe/nlist of the corpus), PQ codes shrink WHAT a
+    * score costs (m one-byte table lookups) — composed exactly like
+    * the reference's extent elimination composes with its column
+    * scans. The persisted layout this models at 100 TB: codes
+    * partitioned by cell id, centroids + codebooks as metadata;
+    * a query reads nprobe partitions of 1-byte-per-subspace codes.
+    * Plan: cell-restricted ADC via one extra equi-join key — the
+    * (qid × probed-cell) table is broadcast-sized, candidate rows
+    * stay (vec_id, sub, code) narrow. Exact re-rank on the
+    * `shortlist` ids closes the loop (touches float vectors for
+    * shortlist · |queries| rows only). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      nprobe: Int = 4, shortlist: Int = 50, dim: Int = 64,
+      id: String = "vec_id", vec: String = "embedding",
+      qid: String = "qid", qvec: String = "qvec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = codebooks.length
+    val cenArr = array(centroids.zipWithIndex.map { case (cv, i) =>
+      struct(lit(i).as("i"), lit(cv).as("c"))
+    }.toIndexedSeq: _*)
+    val unit = {
+      val v = col(vec).cast(ArrayType(DoubleType))
+      val n = sqrt(call_function("vec_dot", v, v))
+      when(n > 0, transform(v, x => x / n)).otherwise(v)
+    }
+    // corpus: max-cosine cell per vector (explode + max_by row
+    // pipeline), then PQ codes — the persisted (cell, codes) layout
+    val cells = corpus.select(col(id).as("vec_id"), unit.as("_u"))
+      .select(col("vec_id"), col("_u"), explode(cenArr).as("_ce"))
+      .select(col("vec_id"), col("_u"),
+        col("_ce.i").as("_celli"), call_function("vec_dot", col("_u"), col("_ce.c")).as("_cd"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("_celli"), struct(col("_cd"), -col("_celli"))).as("_cell"))
+    val encoded = pqEncode(corpus, codebooks, dim, id, vec)
+      .join(cells, "vec_id")
+    val corpusRows = encoded.select(col("vec_id"), col("_cell"),
+      posexplode(col("codes")).as(Seq("_sub", "_code")))
+    // queries: nprobe closest cells + the ADC lookup table
+    val qUnit = {
+      val v = col(qvec).cast(ArrayType(DoubleType))
+      val n = sqrt(call_function("vec_dot", v, v))
+      when(n > 0, transform(v, x => x / n)).otherwise(v)
+    }
+    val qw = Window.partitionBy(col("qid")).orderBy(col("_cd").desc, col("_celli"))
+    val probes = queries.select(col(qid).as("qid"), qUnit.as("_q"))
+      .select(col("qid"), explode(cenArr).as("_ce"), col("_q"))
+      .select(col("qid"), col("_ce.i").as("_celli"),
+        call_function("vec_dot", col("_q"), col("_ce.c")).as("_cd"))
+      .withColumn("_cr", row_number().over(qw)).filter(col("_cr") <= nprobe)
+      .select(col("qid"), col("_celli").as("_cell"))
+    val lut = subRows(queries, dim, m, qid, qvec)
+      .withColumnRenamed("_id", "qid")
+      .join(broadcast(
+          queries.sparkSession.range(1).select(explode(codebookArr(codebooks)).as("_cb"))
+            .select(col("_cb.s").as("_sub"), col("_cb.i").as("_code"), col("_cb.c").as("_c"))),
+        Seq("_sub"))
+      .select(col("qid"), col("_sub"), col("_code"),
+        call_function("vec_dot", col("_sv"), col("_c")).as("_qdot"))
+    val cand = corpusRows.join(broadcast(probes), Seq("_cell"))
+      .join(broadcast(lut), Seq("qid", "_sub", "_code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("_qdot")).as("score"))
+    val sw = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    val short = cand.withColumn("_sr", row_number().over(sw)).filter(col("_sr") <= shortlist)
+      .select(col("qid"), col("vec_id"))
+    // exact re-rank of the shortlist
+    val c = corpus.select(col(id).as("vec_id"), col(vec).cast(ArrayType(DoubleType)).as("_v"))
+    val q = queries.select(col(qid).as("qid"), col(qvec).cast(ArrayType(DoubleType)).as("_q"))
+    val scored = short.join(c, "vec_id").join(broadcast(q), "qid")
+      .select(col("qid"), col("vec_id"), AnnSearch.cosine(col("_v"), col("_q")).as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** ADC shortlist → exact re-rank: PQ scores pick `shortlist`
     * candidates per query from the codes alone; only those ids join
     * back to the FLOAT corpus for exact cosine — the standard

@@ -74,6 +74,25 @@ class QuantizeSpec extends SparkSpec {
     assert(trained >= 0.5, s"trained containment $trained")
   }
 
+  test("ivf-pq: reasonable recall with cell pruning, exact rerank cosines") {
+    val cb = Quantize.seededCodebooks(m = 8, ksub = 16, dsub = 8)
+    val cen = AnnSearch.seededCentroids(nlist = 8, dim = 64)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = AnnSearch.bruteForceTopK(emb, queries, k = 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val got = Quantize.ivfPqTopK(emb, queries, k = 10, cen, cb,
+      nprobe = 6, shortlist = 50)
+    val ids = got.select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(ids).size.toDouble / exact.size
+    assert(recall >= 0.3, s"ivf-pq recall $recall") // 6/8 cells probed + PQ distortion
+    // rerank cosines are exact
+    val direct = AnnSearch.bruteForceTopK(emb, queries, k = emb.count().toInt)
+      .select(col("qid"), col("vec_id"), col("cosine").as("want"))
+    assert(got.join(direct, Seq("qid", "vec_id"))
+      .filter(col("cosine") =!= col("want")).isEmpty)
+  }
+
   test("pq rerank returns exact cosines for its shortlist, ranked") {
     val cb = Quantize.seededCodebooks(m = 8, ksub = 16, dsub = 8)
     val queries = emb.filter(col("vec_id") < 3)

@@ -298,16 +298,34 @@ object Dedup {
         .withColumn("_r", row_number().over(w))
         .filter(col("_r") <=
           col("_sz") - ceil(lit(threshold) * col("_sz") - lit(1e-9)) + 1)
-        .select(col("_id"), col("_sz"), col("_ng"))
+        .select(col("_id"), col("_sz"), col("_ng"), col("_r"))
     }
-    // the J ≥ t length bound min|A|,|B| ≥ t·max|A|,|B| runs in the
-    // join residual — candidates that can't qualify are dropped
-    // BEFORE the distinct's shuffle, not after it
-    side.select(col("_id").as("id_a"), col("_sz").as("_sza"), col("_ng"))
-      .join(side.select(col("_id").as("id_b"), col("_sz").as("_szb"), col("_ng")), Seq("_ng"))
+    val noRank = if (prefixFilter) side else side.withColumn("_r", lit(1L))
+    // Join residual, BEFORE the distinct's shuffle:
+    //  - length bound: min(|A|,|B|) ≥ t·max(|A|,|B|);
+    //  - positional bound (the PPJoin refinement, public literature —
+    //    Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    //    Detection"): distinct sets share the global canonical order,
+    //    so if the colliding shingle sits at rank ra in A and rb in B,
+    //    every further common element lies after BOTH ranks and
+    //    |A∩B| ≤ 1 + min(|A|−ra, |B|−rb). J ≥ t forces
+    //    |A∩B| ≥ ⌈t/(1+t)·(|A|+|B|)⌉; rows whose bound can't reach it
+    //    never qualify THROUGH THIS COLLISION — and a qualifying
+    //    pair's first shared prefix element always passes, so recall
+    //    stays 1.0 (LlmSpec asserts equality with the unfiltered
+    //    join). The same 1e-9 backoff keeps the FP ceil conservative.
+    val overlapNeed =
+      ceil(lit(threshold / (1 + threshold)) * (col("_sza") + col("_szb")) - lit(1e-9))
+    val overlapBound =
+      lit(1L) + least(col("_sza") - col("_ra"), col("_szb") - col("_rb"))
+    noRank.select(col("_id").as("id_a"), col("_sz").as("_sza"),
+        col("_ng"), col("_r").as("_ra"))
+      .join(noRank.select(col("_id").as("id_b"), col("_sz").as("_szb"),
+        col("_ng"), col("_r").as("_rb")), Seq("_ng"))
       .filter(col("id_a") < col("id_b") &&
         least(col("_sza"), col("_szb")).cast(DoubleType) >=
-          lit(threshold) * greatest(col("_sza"), col("_szb")))
+          lit(threshold) * greatest(col("_sza"), col("_szb")) &&
+        overlapBound >= overlapNeed)
       .select(col("id_a"), col("id_b"))
       .distinct()
   }

@@ -54,10 +54,18 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
   /** The table's parquet codec (default: session/parquet default). */
   def codecOf(table: String): Option[String] = tableProps(table).get("compression")
 
+  /** The table's storage format: `format -> parquet|orc` prop
+    * (default parquet). Both are columnar with footer min/max stats
+    * and pushed filters — the engine surface is format-agnostic, the
+    * prop is the reference's per-table storage choice made explicit. */
+  def formatOf(table: String): String = tableProps(table).getOrElse("format", "parquet")
+
   /** Apply the table's storage props to a writer. */
   def configureWriter[T](table: String,
-      w: org.apache.spark.sql.DataFrameWriter[T]): org.apache.spark.sql.DataFrameWriter[T] =
-    codecOf(table).map(c => w.option("compression", c)).getOrElse(w)
+      w: org.apache.spark.sql.DataFrameWriter[T]): org.apache.spark.sql.DataFrameWriter[T] = {
+    val f = w.format(formatOf(table))
+    codecOf(table).map(c => f.option("compression", c)).getOrElse(f)
+  }
 
   def dropTable(table: String): Unit = {
     require(Files.exists(metaFile(table)), s"no such table: $table")
@@ -81,10 +89,11 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
   /** Load a table as a DataFrame (empty-but-typed when no data yet). */
   def load(table: String): DataFrame = {
     val schema = schemaOf(table)
+    val fmt = formatOf(table)
     val loc = Paths.get(tableLocation(table))
     val hasData = Files.exists(loc) &&
-      Files.list(loc).iterator().asScala.exists(_.toString.endsWith(".parquet"))
-    if (hasData) spark.read.schema(schema).parquet(tableLocation(table))
+      Files.list(loc).iterator().asScala.exists(_.toString.endsWith(s".$fmt"))
+    if (hasData) spark.read.schema(schema).format(fmt).load(tableLocation(table))
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
@@ -105,7 +114,7 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
   def writePartitioned(table: String, df: DataFrame, partitionCol: String,
       mode: String = "overwrite"): Unit =
     configureWriter(table, df.write.mode(mode).partitionBy(partitionCol))
-      .parquet(tableLocation(table))
+      .save(tableLocation(table)) // format set by configureWriter
 
   /** List partition directory names (`col=value`). */
   def partitions(table: String): Seq[String] = {
@@ -139,6 +148,7 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
       .filterNot(p => Files.exists(disabledMarker(table, p)))
       .map(p => s"${tableLocation(table)}/$p")
     require(enabled.nonEmpty, s"no enabled partitions in $table")
-    spark.read.option("basePath", tableLocation(table)).parquet(enabled: _*)
+    spark.read.option("basePath", tableLocation(table))
+      .format(formatOf(table)).load(enabled: _*)
   }
 }

@@ -63,7 +63,7 @@ object CsvImporter {
 
     val sized = if (good.rdd.getNumPartitions > parts * 4) good.repartition(parts) else good
     catalog.configureWriter(table, sized.write.mode(mode))
-      .parquet(catalog.tableLocation(table))
+      .save(catalog.tableLocation(table)) // format set by configureWriter
 
     val loaded = raw.count() - bad
     raw.unpersist()

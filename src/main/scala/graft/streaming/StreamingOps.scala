@@ -114,6 +114,34 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("stream_id", "corpus_id")
   }
 
+  /** Streaming decontamination: drop incoming documents that share
+    * ≥ `minHits` distinct shingles with a STATIC benchmark set — the
+    * ingest-time version of `llm.Decontamination`, so contaminated
+    * docs never land in the corpus at all. Same scale shape as the
+    * batch pass: the benchmark's distinct-shingle table is
+    * broadcast-joined (stream-static, no streaming state beyond the
+    * aggregation watermark); per micro-batch the per-doc hit count is
+    * a partial-aggregable groupBy. */
+  def decontaminateStream(stream: DataFrame, bench: DataFrame,
+      minHits: Long = 1, watermark: String = "1 hour",
+      id: String = "doc_id", text: String = "text",
+      shingleN: Int = 3): DataFrame = {
+    import graft.llm.Decontamination
+    val b = broadcast(Decontamination.benchShingles(bench, text, shingleN)
+      .withColumn("_hit", lit(1L)))
+    // LEFT join so zero-overlap docs keep their rows (the inner-join
+    // batch shape would drop exactly the docs we want to keep); the
+    // doc's payload rides the group keys, watermarked ts bounds the
+    // aggregation state
+    stream.withWatermark("ts", watermark)
+      .select(col(id), col("ts"), col(text),
+        explode_outer(call_function("shingle_set", col(text), lit(shingleN))).as("_ng"))
+      .join(b, Seq("_ng"), "left")
+      .groupBy(col(id), col("ts"), col(text))
+      .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
+      .filter(col("n_hits") < minHits)
+  }
+
   /** Incremental-batch ingest: drain available input into parquet and
     * stop (AvailableNow), checkpointed for exactly-once resume. */
   def ingest(events: DataFrame, path: String, checkpoint: String): Unit =

@@ -54,6 +54,27 @@ class IngestSpec extends SparkSpec {
     assert(plainFiles.nonEmpty && plainFiles.forall(!_.contains(".gz.")))
   }
 
+  test("per-table format prop: ORC roundtrip with partition ops intact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_orc").toString
+    val cat = new Catalog(wh, spark)
+    cat.createTable("o", "id BIGINT, seg VARCHAR(10)",
+      Map("format" -> "orc", "compression" -> "zstd"))
+    assert(cat.formatOf("o") == "orc" && cat.formatOf("nope") == "parquet")
+    val df = (1 to 100).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "seg")
+    cat.writePartitioned("o", df, "seg")
+    val files = Files.walk(java.nio.file.Paths.get(cat.tableLocation("o")))
+      .iterator().asScala.map(_.toString).filter(_.endsWith(".orc")).toSeq
+    assert(files.nonEmpty, "expected orc data files")
+    // roundtrip + partition pruning both read through the format prop
+    assert(cat.loadPartitioned("o").count() == 100)
+    cat.disablePartition("o", "seg=s0")
+    assert(cat.loadPartitioned("o").filter(col("seg") === "s0").count() == 0)
+    cat.enablePartition("o", "seg=s0")
+    assert(cat.loadPartitioned("o").count() == 100)
+  }
+
   test("collation: COLLATE *_ci maps to UTF8_LCASE and compares case-insensitively") {
     import TypeMapper.toSparkType
     assert(toSparkType("VARCHAR(25) COLLATE utf8mb4_general_ci") == StringType("UTF8_LCASE"))

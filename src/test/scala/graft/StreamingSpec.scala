@@ -90,6 +90,28 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((1L, 100L)))
   }
 
+  test("streaming decontamination drops overlapping docs, keeps clean ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((900L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[StreamingOps.Doc]
+    val q = StreamingOps.decontaminateStream(input.toDF(), bench, minHits = 3)
+      .writeStream.format("memory").queryName("sdecon").outputMode(OutputMode.Append).start()
+    input.addData(
+      StreamingOps.Doc(1, Timestamp.valueOf("2026-01-01 10:00:00"),
+        "the quick brown fox jumps over a sleeping cat"), // shares >= 3 shingles
+      StreamingOps.Doc(2, Timestamp.valueOf("2026-01-01 10:01:00"),
+        "totally unrelated text about cooking pasta with basil"),
+      // advance the watermark past the docs above so the append-mode
+      // aggregation emits them
+      StreamingOps.Doc(3, Timestamp.valueOf("2026-01-01 12:30:00"),
+        "late arrival far past the horizon"))
+    q.processAllAvailable()
+    val kept = spark.sql("SELECT doc_id FROM sdecon").as[Long].collect().toSet
+    q.stop()
+    assert(kept.contains(2L) && !kept.contains(1L))
+  }
+
   test("AvailableNow ingest drains the stream into parquet exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val out = Files.createTempDirectory("graft_stream_out").toString

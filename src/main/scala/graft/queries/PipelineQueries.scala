@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Packing, Sampling}
+import graft.llm.{Chunking, Decontamination, Dedup, Packing, Sampling, TextAnalysis}
 
 /** Training-data pipeline composition operators: dup-pair CLUSTER
   * resolution (connected components → canonical docs), sequence
@@ -51,6 +51,34 @@ object PipelineQueries {
       Dedup.nearDedup(docs, pairs)
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
+    }),
+    "q_pipeline_e2e" -> ((s, dir) => {
+      // The WHOLE training-data pipeline as one composed plan — the
+      // flagship composition proof: every stage is an operator from
+      // this library, and the DuckDB oracle replays the identical
+      // chain (exact dedup → LSH near-dedup + cluster resolution →
+      // benchmark decontamination → quality floor → chunking), so a
+      // hash-match certifies the stages agree not just individually
+      // but THROUGH each other's outputs. Output is the per-source
+      // audit summary a pipeline run reports.
+      val docs = t(s, dir, "documents")
+      val d1 = Dedup.exactDedup(docs)
+      val d2 = Dedup.nearDedup(d1, Dedup.minhashDupPairs(d1, threshold = 0.6))
+      val bench = docs.filter(col("doc_id") % 20 === 7)
+      val corpus = d2.filter(col("doc_id") % 20 =!= 7)
+      val d3 = Decontamination.decontaminate(corpus, bench, minHits = 5)
+      val good = TextAnalysis.profiles(d3)
+        .select(col("doc_id"), floor(col("quality") * 1e6).cast("long").as("_q6"))
+        .filter(col("_q6") >= 100000)
+        .select(col("doc_id"))
+      val d4 = d3.join(good, "doc_id")
+      Chunking.chunk(d4.select("doc_id", "text"), chunkTokens = 128)
+        .join(d4.select("doc_id", "source"), "doc_id")
+        .groupBy(col("source")).agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("n_tok")).as("sum_tokens"))
+        .orderBy(col("source"))
     }),
     "q_pack_sequences" -> ((s, dir) => {
       Packing.packSequences(t(s, dir, "documents"), budget = 512L)
@@ -116,6 +144,84 @@ object PipelineQueries {
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         |WHERE c.doc_id IS NULL OR c.doc_id = c.cluster_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q_pipeline_e2e" ->
+      """WITH RECURSIVE
+        |shall AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      ELSE [txt] END) AS s
+        |  FROM (SELECT doc_id, lower(text) AS txt,
+        |          list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0) AS toks
+        |        FROM documents)),
+        |d1 AS (
+        |  SELECT * FROM (
+        |    SELECT d.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS _rn
+        |    FROM documents d) WHERE _rn = 1),
+        |sh AS (SELECT s.* FROM shall s JOIN d1 ON s.doc_id = d1.doc_id),
+        |pr AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      len(list_intersect(a.s, b.s))::DOUBLE
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+        |  WHERE jaccard >= 0.6),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+        |          UNION ALL SELECT id_b, id_a FROM pr),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (
+        |  SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+        |  FROM reach GROUP BY src),
+        |d2 AS (SELECT d.* FROM d1 d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        |       WHERE c.doc_id IS NULL OR c.doc_id = c.cluster_id),
+        |bsh AS (SELECT DISTINCT unnest(s) AS ng FROM shall WHERE doc_id % 20 = 7),
+        |corp AS (SELECT * FROM d2 WHERE doc_id % 20 <> 7),
+        |hits AS (
+        |  SELECT cs.doc_id, COUNT(*) AS n FROM
+        |    (SELECT s.doc_id, unnest(s.s) AS ng FROM shall s
+        |     JOIN corp ON s.doc_id = corp.doc_id) cs
+        |  JOIN bsh ON cs.ng = bsh.ng GROUP BY cs.doc_id),
+        |d3 AS (SELECT corp.* FROM corp
+        |       LEFT JOIN (SELECT doc_id FROM hits WHERE n >= 5) bad
+        |         ON corp.doc_id = bad.doc_id
+        |       WHERE bad.doc_id IS NULL),
+        |toks3 AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0)) AS t
+        |  FROM d3),
+        |prof AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens,
+        |    CAST(SUM(CASE WHEN t IN ('the','a','an','and','or','of','to','in','is','it','that','this','was','for','on','are','as','with','at','be') THEN 1 ELSE 0 END) AS BIGINT) AS sw_hits
+        |  FROM toks3 GROUP BY doc_id),
+        |q AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN p.n_tokens IS NULL OR p.n_tokens = 0 OR length(d.text) = 0 THEN 0
+        |    ELSE CAST(floor(
+        |      least(p.n_tokens / 50.0, 1.0) * (CASE WHEN p.n_tokens > 5000 THEN 0.5 ELSE 1.0 END)
+        |      * greatest(0.0, 1.0 - (length(regexp_replace(d.text, '[\p{L}\p{N} \t\n\f\r]', '', 'g'))::DOUBLE / length(d.text)::DOUBLE) * 4.0)
+        |      * least(p.sw_hits::DOUBLE / p.n_tokens::DOUBLE * 4.0, 1.0)
+        |      * 1000000.0) AS BIGINT) END AS q6
+        |  FROM d3 d LEFT JOIN prof p ON d.doc_id = p.doc_id),
+        |d4 AS (SELECT d3.* FROM d3 JOIN q ON d3.doc_id = q.doc_id WHERE q.q6 >= 100000),
+        |tok4 AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> length(x) > 0) AS toks
+        |  FROM d4),
+        |t2 AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n
+        |       FROM tok4 WHERE len(toks) > 0),
+        |ch AS (
+        |  SELECT doc_id, source, n,
+        |    unnest(range(0, 1 + CAST(ceil(greatest(0, n - 128) / 128.0) AS BIGINT))) AS ci
+        |  FROM t2)
+        |SELECT source,
+        |  COUNT(DISTINCT doc_id) AS n_docs,
+        |  COUNT(*) AS n_chunks,
+        |  CAST(SUM(least(128, n - ci * 128)) AS BIGINT) AS sum_tokens
+        |FROM ch GROUP BY source ORDER BY source""".stripMargin,
     "q_pack_sequences" ->
       """WITH tok AS (
         |  SELECT doc_id,

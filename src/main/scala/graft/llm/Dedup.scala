@@ -475,7 +475,14 @@ object Dedup {
     require(maxDist >= 0 && maxDist < 32, s"maxDist must be in [0, 32), got $maxDist")
     val bands = maxDist + 1
     val bounds = (0 to bands).map(b => 64 * b / bands)
-    val sh = simhash(docs, id, text).select(col(id).as("_id"), col("simhash"))
+    // token-less docs (NULL/empty/whitespace text) all hash to 0 and
+    // would pair MUTUALLY — millions of empty docs in a real corpus
+    // is a quadratic garbage-pair blowup, and hamming between
+    // no-signal hashes means nothing. They carry no content: exclude
+    // them here; identical-empty duplicates are the exact-dedup
+    // pass's domain.
+    val sh = simhash(docs.filter(size(TextAnalysis.tokens(col(text))) > 0), id, text)
+      .select(col(id).as("_id"), col("simhash"))
     val banded = sh.select(col("_id"), col("simhash"),
       explode(array((0 until bands).map { b =>
         val lo = bounds(b)

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm._
+
+/** Degenerate-input contracts for the corpus operators: NULL text,
+  * empty text, whitespace-only text, and single-token docs — the row
+  * classes that exist in the millions at 100 TB and must neither
+  * crash a pipeline nor blow up pair generation. */
+class EdgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq[(java.lang.Long, String)](
+    (1L, null), (2L, ""), (3L, "   \t\n  "), (4L, "solo"),
+    (5L, "two words"), (6L, "two words")
+  ).toDF("doc_id", "text")
+
+  test("simhash pairing excludes token-less docs (no quadratic empty-doc blowup)") {
+    val pairs = Dedup.simhashDupPairs(docs, maxDist = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // only the real duplicate pair survives; NULL/empty/whitespace
+    // docs (all simhash 0) must NOT pair with each other
+    assert(pairs == Set((5L, 6L)))
+  }
+
+  test("minhash and jaccard joins ignore NULL text and find only real dups") {
+    assert(Dedup.minhashDupPairs(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet == Set((5L, 6L)))
+    assert(Dedup.jaccardDupPairs(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet == Set((5L, 6L)))
+  }
+
+  test("exact dedup groups degenerate rows without dropping them") {
+    // null text hashes to null (its own group); "" and whitespace are
+    // distinct contents; the two identical docs collapse
+    assert(Dedup.exactGroups(docs).count() == 5)
+    val kept = Dedup.exactDedup(docs).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("profiles, repetition, fingerprint, redact keep one row per input doc") {
+    assert(TextAnalysis.profiles(docs).count() == 6)
+    assert(TextAnalysis.repetitionProfile(docs).count() == 6)
+    assert(docs.select(TextAnalysis.fingerprint(col("text"))).count() == 6)
+    assert(docs.select(Redaction.redactText(col("text"))).count() == 6)
+    // token-less docs profile as und/zero, not NULL
+    val p = TextAnalysis.profiles(docs).filter(col("doc_id") <= 3)
+      .select("n_tokens", "lang_pred").as[(Long, String)].collect().toSeq
+    assert(p.forall(_ == (0L, "und")))
+  }
+
+  test("chunking emits no chunks for token-less docs, one per short doc") {
+    val got = Chunking.chunk(docs, chunkTokens = 8, overlap = 2)
+      .select("doc_id", "n_tok").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((4L, 1L), (5L, 2L), (6L, 2L)))
+  }
+
+  test("decontamination with a degenerate benchmark keeps the corpus intact") {
+    // NULL-text benchmark contributes no shingles → nothing removed
+    assert(Decontamination.decontaminate(docs, docs.filter(col("doc_id") === 1)).count() == 6)
+  }
+}

@@ -67,6 +67,32 @@ object Quantize {
     AnnSearch.bruteForceTopK(c, queries, k, qid = qid, qvec = qvec)
   }
 
+  // ---- random projection (dimension reduction) ----
+
+  /** Seeded sign-random projection matrix: outDim × dim entries
+    * ±1/√outDim — the Johnson–Lindenstrauss companion to the
+    * precision reducers above (quantization shrinks bits per
+    * dimension, projection shrinks dimensions; both feed the same
+    * ANN operators). Deterministic: same seed ⇒ same matrix on every
+    * executor and run. */
+  def projectionMatrix(outDim: Int, dim: Int, seed: Long = 17L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    val scale = 1.0 / math.sqrt(outDim)
+    Array.fill(outDim, dim)(if (rng.nextBoolean()) scale else -scale)
+  }
+
+  /** Replace `vec` with its `outDim`-dimensional projection — one
+    * native `vec_dot` per output dimension, codegen'd, no shuffle;
+    * runs inside the scan pipeline like any per-row transform. */
+  def randomProject(df: DataFrame, outDim: Int, dim: Int = 64,
+      id: String = "vec_id", vec: String = "embedding",
+      seed: Long = 17L): DataFrame = {
+    val m = projectionMatrix(outDim, dim, seed)
+    val v = col(vec).cast(ArrayType(DoubleType))
+    df.select(col(id),
+      array(m.map(row => call_function("vec_dot", v, lit(row))).toIndexedSeq: _*).as(vec))
+  }
+
   // ---- product quantization (PQ) ----
   //
   // The billion-vector compression tier: split each (unit-normalized)

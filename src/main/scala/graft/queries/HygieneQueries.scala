@@ -61,6 +61,17 @@ object HygieneQueries {
           md5(Redaction.redactText(col("_aug"))).as("red_md5"))
         .orderBy(col("doc_id"))
     }),
+    "q_heavy_shingles" -> ((s, dir) => {
+      // heavy-hitter shingles: the df skew audit behind the SSJoin
+      // prefix filter (frequent shingles drive the candidate
+      // quadratic term). One partial-aggregable groupBy + top-k sort;
+      // deterministic ties by shingle value.
+      t(s, dir, "documents")
+        .select(explode(call_function("shingle_set", col("text"), lit(3))).as("shingle"))
+        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("shingle"))
+        .limit(20)
+    }),
     "q_sample_mixture" -> ((s, dir) => {
       Sampling.mixtureSample(t(s, dir, "documents"), "source", "doc_id",
           weights = Map("src0" -> 0.5, "src1" -> 0.4, "src2" -> 0.3, "src3" -> 0.2),
@@ -122,6 +133,11 @@ object HygieneQueries {
         |    '$ipv4Pat', '<IP>', 'g'),
         |    '$phonePat', '<PHONE>', 'g')) AS red_md5
         |FROM aug ORDER BY doc_id""".stripMargin,
+    "q_heavy_shingles" ->
+      s"""WITH $shingleCte
+        |SELECT ng AS shingle, CAST(COUNT(*) AS BIGINT) AS df
+        |FROM (SELECT doc_id, unnest(s) AS ng FROM sh)
+        |GROUP BY ng ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
     "q_sample_mixture" ->
       s"""SELECT source, doc_id FROM documents
         |WHERE substr(md5(doc_id::VARCHAR), 1, 8) < CASE source

@@ -44,6 +44,31 @@ class QuantizeSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall below 0.9")
   }
 
+  test("random projection bounds cosine distortion, improves with outDim") {
+    // the JL contract is DISTANCE distortion (≈ 1/√outDim per pair),
+    // not top-k recall on near-random vectors whose cosine gaps are
+    // below the distortion floor
+    def meanErr(outDim: Int): Double = {
+      val p = Quantize.randomProject(emb, outDim)
+      def cosPairs(df: org.apache.spark.sql.DataFrame, out: String) =
+        df.select(col("vec_id"), col("embedding").cast("array<double>").as("_v"))
+          .as("a").join(df.select(col("vec_id"), col("embedding").cast("array<double>").as("_v")).as("b"),
+            col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+            AnnSearch.cosine(col("a._v"), col("b._v")).as(out))
+      cosPairs(emb, "c0").join(cosPairs(p, "c1"), Seq("ia", "ib"))
+        .agg(avg(abs(col("c0") - col("c1")))).head().getDouble(0)
+    }
+    val e32 = meanErr(32)
+    val e8 = meanErr(8)
+    assert(e32 <= 0.25, s"mean cosine distortion at 32 dims: $e32")
+    assert(e8 > e32, s"distortion should shrink with outDim: e8=$e8 e32=$e32")
+    // determinism: same seed ⇒ identical projection
+    val a = Quantize.randomProject(emb, outDim = 32).orderBy("vec_id").collect().toSeq
+    val b = Quantize.randomProject(emb, outDim = 32).orderBy("vec_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("pq: codes well-formed, encoding deterministic") {
     val cb = Quantize.seededCodebooks(m = 8, ksub = 16, dsub = 8)
     val enc = Quantize.pqEncode(emb, cb)

@@ -111,6 +111,57 @@ final class VersionedTable private (val location: String, spark: SparkSession) {
     commit(current.filterNot(touched.contains) ++ writeData(updated))
   }
 
+  /** MERGE (upsert): rows of `source` whose `key` matches an existing
+    * row REPLACE it; unmatched source rows are appended — one
+    * transactional version. Same copy-on-write economics as UPDATE:
+    * only files containing matched keys are rewritten; at scale the
+    * match probe is a predicate/stats-pruned scan joined against the
+    * (typically much smaller, broadcast) source. Source must have the
+    * target's schema; duplicate keys WITHIN source are rejected (the
+    * ambiguous-merge rule). */
+  def merge(source: DataFrame, key: String): Int = {
+    val dupKeys = source.groupBy(col(key)).count().filter(col("count") > 1)
+    require(dupKeys.isEmpty, s"source has duplicate values of merge key '$key'")
+    val current = filesOf(currentVersion)
+    val keys = source.select(col(key))
+    val touched = {
+      // files holding a matched key: semi-join instead of a literal
+      // IN-list, so a wide source never builds a driver-side predicate
+      read().withColumn("_f", input_file_name())
+        .join(broadcast(keys), Seq(key), "left_semi")
+        .select("_f").distinct().collect().map(_.getString(0))
+        .map(f => Paths.get(java.net.URI.create(f)).toString)
+    }.toSet
+    // rewrite touched files minus matched rows; append the source
+    val survivors =
+      if (touched.isEmpty) None
+      else {
+        val s = spark.read.parquet(touched.toSeq: _*)
+          .join(broadcast(keys), Seq(key), "left_anti")
+        if (s.isEmpty) None else Some(s)
+      }
+    val rewritten = survivors.map(writeData).getOrElse(Seq.empty)
+    commit(current.filterNot(touched.contains) ++ rewritten ++
+      writeData(source.select(read().columns.map(col).toIndexedSeq: _*)))
+  }
+
+  /** OPTIMIZE: compact the current version's files into `targetFiles`,
+    * optionally Z-ORDER clustered on `zorderCols` (the Delta-style
+    * OPTIMIZE ZORDER pairing of compaction with the multi-column
+    * layout) — data is unchanged, the layout is the result. Old
+    * versions still read their old files until `vacuum`. */
+  def optimize(targetFiles: Int, zorderCols: Seq[String] = Nil): Int = {
+    val df = read()
+    val stamp = UUID.randomUUID().toString.take(8)
+    val dir = Paths.get(location, s"data_$stamp")
+    if (zorderCols.nonEmpty)
+      graft.sources.ZOrder.writeZOrdered(df, dir.toString, zorderCols, targetFiles)
+    else df.repartition(targetFiles).write.parquet(dir.toString)
+    val files = Files.list(dir).iterator().asScala.toSeq
+      .map(_.toString).filter(_.endsWith(".parquet")).sorted
+    commit(files)
+  }
+
   /** Drop data files no longer referenced by ANY retained manifest,
     * keeping the newest `keepVersions` manifests — the analog of the
     * reference's version-buffer reclamation on transaction end. */

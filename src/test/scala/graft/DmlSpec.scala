@@ -59,6 +59,50 @@ class DmlSpec extends SparkSpec {
     assert(t.read().filter(col("id") === 2).select("v").as[Int].head() == 2 % 7)
   }
 
+  test("merge upserts: matched keys replaced, new keys appended, one version") {
+    val loc = freshLoc()
+    val t = VersionedTable.create(spark, loc,
+      (1 to 50).map(i => (i.toLong, s"name_$i", i * 10.0)).toDF("id", "name", "bal"))
+    val v0 = t.currentVersion
+    val src = Seq((10L, "renamed", 0.0), (51L, "new_51", 510.0))
+      .toDF("id", "name", "bal")
+    t.merge(src, "id")
+    assert(t.currentVersion == v0 + 1)
+    val now = t.read()
+    assert(now.count() == 51)
+    assert(now.filter(col("id") === 10).select("name").as[String].head() == "renamed")
+    assert(now.filter(col("id") === 51).select("bal").as[Double].head() == 510.0)
+    assert(now.filter(col("id") === 11).select("name").as[String].head() == "name_11")
+    // snapshot: previous version unchanged
+    assert(t.read(v0).filter(col("id") === 10).select("name").as[String].head() == "name_10")
+    // ambiguous source rejected
+    intercept[IllegalArgumentException] {
+      t.merge(Seq((1L, "a", 1.0), (1L, "b", 2.0)).toDF("id", "name", "bal"), "id")
+    }
+  }
+
+  test("optimize compacts files (optionally z-ordered), data unchanged") {
+    val loc = freshLoc()
+    val t = VersionedTable.create(spark, loc,
+      (1 to 2000).map(i => (i.toLong, (i * 37 % 1000).toLong, i * 1.5))
+        .toDF("id", "grp", "bal"),
+      initialFiles = 16)
+    val before = t.read().orderBy("id").collect().toSeq
+    def fileCount(v: Int) = t.read(v).withColumn("_f", input_file_name())
+      .select("_f").distinct().count()
+    assert(fileCount(t.currentVersion) == 16)
+    t.optimize(targetFiles = 8, zorderCols = Seq("id", "grp"))
+    assert(fileCount(t.currentVersion) == 8)
+    assert(t.read().orderBy("id").collect().toSeq == before)
+    // z-clustering: files hold tighter id ranges than the round-robin
+    // layout (where every file spans ~the whole domain); 8 files = 3
+    // z-bits, so a file straddling a z-cell boundary can still span
+    // ~half the domain — assert the average, with slack
+    val spans = graft.sources.ZOrder.fileSpans(t.read(), "id")
+    val avgSpan = spans.select(avg(col("hi") - col("lo"))).as[Double].head()
+    assert(avgSpan < 2000 * 0.75, s"avg id span per file $avgSpan not clustered")
+  }
+
   test("vacuum drops unreferenced files, latest version intact") {
     val loc = freshLoc()
     val t = VersionedTable.create(spark, loc, (1 to 50).map(i => (i, i)).toDF("id", "v"))

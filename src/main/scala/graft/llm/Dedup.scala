@@ -413,11 +413,19 @@ object Dedup {
         round += 1
       }
       // stage the converged labels (cached — this re-reads, not
-      // recomputes) and hand consumers the read-back plan
+      // recomputes) and hand consumers the read-back plan; the stage
+      // dir is session-scoped scratch, reclaimed on JVM exit (a
+      // long-lived service would stage under its job's scratch root)
       val spark = labels.sparkSession
-      val stage = java.nio.file.Files
-        .createTempDirectory("graft-dupclusters-").resolve("labels").toString
+      val root = java.nio.file.Files.createTempDirectory("graft-dupclusters-")
+      val stage = root.resolve("labels").toString
       labels.write.mode("overwrite").parquet(stage)
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(root))
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
       spark.read.parquet(stage)
     } finally {
       // release loop caches; the returned lineage (linear chain of

@@ -1,9 +1,8 @@
 package graft.dml
 
-import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
-import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -23,56 +22,97 @@ import org.apache.spark.sql.functions._
   *    so file ≈ version-buffer block.
   *  - old versions stay readable (`read(version)`) until `vacuum()` —
   *    exactly the VSS read-committed snapshot semantics.
+  *  - concurrent writers are serialized by the manifest commit:
+  *    version N+1's manifest is created with overwrite=false, so of
+  *    two writers racing to commit the same next version exactly one
+  *    wins and the loser fails with [[ConcurrentWriteException]]
+  *    (the reference serializes transactions through DBRM; here the
+  *    filesystem's create-exclusive is the arbiter — atomic on HDFS
+  *    and POSIX; object stores need their conditional-put flavor).
   *
-  * At 100 TB the rewrite cost is proportional to files-touched, not
-  * table size — the same property the reference's block-level CoW
-  * provides — and the predicate-pushed "which files match" scan reads
-  * only row-group stats for most files.
+  * All metadata and data IO goes through the Hadoop FileSystem API,
+  * so `location` may be `file:`, `hdfs:`, `s3a:`, ... — nothing here
+  * assumes the driver's local disk. At 100 TB the rewrite cost is
+  * proportional to files-touched, not table size — the same property
+  * the reference's block-level CoW provides — and the predicate-pushed
+  * "which files match" scan reads only row-group stats for most files.
   */
 final class VersionedTable private (val location: String, spark: SparkSession) {
 
-  private def logDir: Path = Paths.get(location, "_graft_log")
+  private val fs: FileSystem =
+    new HPath(location).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val loc: HPath = fs.makeQualified(new HPath(location))
+  private def logDir: HPath = new HPath(loc, "_graft_log")
 
-  private def manifests: Seq[Path] =
-    if (!Files.exists(logDir)) Seq.empty
-    else Files.list(logDir).iterator().asScala.toSeq
-      .filter(_.toString.endsWith(".manifest")).sortBy(_.toString)
+  private def readString(p: HPath): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private def manifests: Seq[HPath] =
+    if (!fs.exists(logDir)) Seq.empty
+    else fs.listStatus(logDir).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".manifest")).sortBy(_.getName)
 
   def currentVersion: Int =
     manifests.lastOption
-      .map(_.getFileName.toString.stripPrefix("v").stripSuffix(".manifest").toInt)
+      .map(_.getName.stripPrefix("v").stripSuffix(".manifest").toInt)
       .getOrElse(-1)
 
   private def filesOf(version: Int): Seq[String] = {
-    val m = logDir.resolve(f"v$version%05d.manifest")
-    require(Files.exists(m), s"no version $version at $location")
-    Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty)
+    val m = new HPath(logDir, f"v$version%05d.manifest")
+    require(fs.exists(m), s"no version $version at $location")
+    readString(m).split("\n").toSeq.filter(_.nonEmpty)
   }
 
-  private def commit(files: Seq[String]): Int = {
-    val v = currentVersion + 1
-    Files.createDirectories(logDir)
-    Files.writeString(logDir.resolve(f"v$v%05d.manifest"), files.mkString("\n"))
+  /** Publish `files` as version `base + 1`, where `base` is the
+    * version this writer OBSERVED when it computed `files` — pinning
+    * the base is what makes the concurrency check sound (re-reading
+    * currentVersion here would let a racing writer publish on top of
+    * a version whose files it never saw: a silent lost update). */
+  private def commit(files: Seq[String], base: Int): Int = {
+    val v = base + 1
+    fs.mkdirs(logDir)
+    val m = new HPath(logDir, f"v$v%05d.manifest")
+    // create-exclusive: of two writers that both read version `base`
+    // and race to publish base+1, exactly one create succeeds; the
+    // loser's data files are orphans a later vacuum() reclaims
+    val out =
+      try fs.create(m, /* overwrite = */ false)
+      catch { case e: java.io.IOException =>
+        throw new ConcurrentWriteException(
+          s"version $v at $location was committed by another writer", e)
+      }
+    try out.write(files.mkString("\n").getBytes("UTF-8")) finally out.close()
     v
   }
 
   private def writeData(df: DataFrame): Seq[String] = {
-    val stamp = UUID.randomUUID().toString.take(8)
-    val dir = Paths.get(location, s"data_$stamp")
+    val dir = new HPath(loc, s"data_${UUID.randomUUID().toString.take(8)}")
     df.write.parquet(dir.toString)
-    Files.list(dir).iterator().asScala.toSeq
-      .map(_.toString).filter(_.endsWith(".parquet")).sorted
+    fs.listStatus(dir).toSeq.map(_.getPath.toString)
+      .filter(_.endsWith(".parquet")).sorted
   }
 
   /** Read a version (default: latest). */
   def read(version: Int = currentVersion): DataFrame = {
-    val fs = filesOf(version)
-    if (fs.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(fs: _*)
+    val fls = filesOf(version)
+    if (fls.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(fls: _*)
   }
 
   /** Append rows (INSERT). */
-  def insert(df: DataFrame): Int = commit(filesOf(currentVersion) ++ writeData(df))
+  def insert(df: DataFrame): Int = {
+    val base = currentVersion
+    commit(filesOf(base) ++ writeData(df), base)
+  }
+
+  /** input_file_name() yields a URI-encoded `file:///...` form;
+    * manifests store Hadoop-qualified paths (`file:/...`) — route
+    * through URI → Path so both spell identically. */
+  private def normalizePath(f: String): String =
+    new HPath(java.net.URI.create(f)).toString
 
   /** Files of the current version that contain at least one matching
     * row — a predicate-pushed scan that reads stats/dictionary pages
@@ -80,27 +120,27 @@ final class VersionedTable private (val location: String, spark: SparkSession) {
   private def touchedFiles(cond: Column): Seq[String] = {
     read().withColumn("_f", input_file_name())
       .filter(cond).select("_f").distinct()
-      .collect().map(_.getString(0))
-      // input_file_name yields a URI (file:///path, %-encoded);
-      // manifests store plain filesystem paths
-      .map(f => Paths.get(java.net.URI.create(f)).toString)
+      .collect().map(_.getString(0)).toSeq
+      .map(normalizePath)
   }
 
   /** DELETE WHERE cond: rewrite only the files containing matches. */
   def delete(cond: Column): Int = {
-    val current = filesOf(currentVersion)
+    val base = currentVersion
+    val current = filesOf(base)
     val touched = touchedFiles(cond).toSet
-    if (touched.isEmpty) return commit(current)
+    if (touched.isEmpty) return commit(current, base)
     val kept = spark.read.parquet(touched.toSeq: _*).filter(!cond || cond.isNull)
     val newFiles = if (kept.isEmpty) Seq.empty else writeData(kept)
-    commit(current.filterNot(touched.contains) ++ newFiles)
+    commit(current.filterNot(touched.contains) ++ newFiles, base)
   }
 
   /** UPDATE SET assignments WHERE cond, copy-on-write. */
   def update(cond: Column, assignments: Map[String, Column]): Int = {
-    val current = filesOf(currentVersion)
+    val base = currentVersion
+    val current = filesOf(base)
     val touched = touchedFiles(cond).toSet
-    if (touched.isEmpty) return commit(current)
+    if (touched.isEmpty) return commit(current, base)
     val df = spark.read.parquet(touched.toSeq: _*)
     val updated = df.columns.foldLeft(df) { (acc, c) =>
       assignments.get(c) match {
@@ -108,7 +148,7 @@ final class VersionedTable private (val location: String, spark: SparkSession) {
         case None => acc
       }
     }
-    commit(current.filterNot(touched.contains) ++ writeData(updated))
+    commit(current.filterNot(touched.contains) ++ writeData(updated), base)
   }
 
   /** MERGE (upsert): rows of `source` whose `key` matches an existing
@@ -117,20 +157,34 @@ final class VersionedTable private (val location: String, spark: SparkSession) {
     * only files containing matched keys are rewritten; at scale the
     * match probe is a predicate/stats-pruned scan joined against the
     * (typically much smaller, broadcast) source. Source must have the
-    * target's schema; duplicate keys WITHIN source are rejected (the
-    * ambiguous-merge rule). */
+    * target's columns AT the target's types — validated up front, so
+    * a type drift fails the merge instead of committing parquet files
+    * whose footers conflict with the table's on later reads.
+    * Duplicate keys WITHIN source are rejected (the ambiguous-merge
+    * rule). */
   def merge(source: DataFrame, key: String): Int = {
     val dupKeys = source.groupBy(col(key)).count().filter(col("count") > 1)
     require(dupKeys.isEmpty, s"source has duplicate values of merge key '$key'")
-    val current = filesOf(currentVersion)
+    val target = read()
+    // schema gate (names AND types, nullability free): a source with
+    // matching names but e.g. int where the table holds bigint would
+    // commit fine and break every subsequent scan of the new version
+    val aligned = source.select(target.columns.map(col).toIndexedSeq: _*)
+    target.schema.zip(aligned.schema).foreach { case (t, s) =>
+      require(t.dataType == s.dataType,
+        s"merge source column '${t.name}' is ${s.dataType.simpleString}, " +
+          s"target expects ${t.dataType.simpleString}")
+    }
+    val base = currentVersion
+    val current = filesOf(base)
     val keys = source.select(col(key))
     val touched = {
       // files holding a matched key: semi-join instead of a literal
       // IN-list, so a wide source never builds a driver-side predicate
-      read().withColumn("_f", input_file_name())
+      target.withColumn("_f", input_file_name())
         .join(broadcast(keys), Seq(key), "left_semi")
-        .select("_f").distinct().collect().map(_.getString(0))
-        .map(f => Paths.get(java.net.URI.create(f)).toString)
+        .select("_f").distinct().collect().map(_.getString(0)).toSeq
+        .map(normalizePath)
     }.toSet
     // rewrite touched files minus matched rows; append the source
     val survivors =
@@ -142,24 +196,27 @@ final class VersionedTable private (val location: String, spark: SparkSession) {
       }
     val rewritten = survivors.map(writeData).getOrElse(Seq.empty)
     commit(current.filterNot(touched.contains) ++ rewritten ++
-      writeData(source.select(read().columns.map(col).toIndexedSeq: _*)))
+      writeData(aligned), base)
   }
 
   /** OPTIMIZE: compact the current version's files into `targetFiles`,
     * optionally Z-ORDER clustered on `zorderCols` (the Delta-style
     * OPTIMIZE ZORDER pairing of compaction with the multi-column
     * layout) — data is unchanged, the layout is the result. Old
-    * versions still read their old files until `vacuum`. */
+    * versions still read their old files until `vacuum`. An empty
+    * current version (e.g. after a delete-all) commits a no-op
+    * version rather than asking parquet to write zero columns. */
   def optimize(targetFiles: Int, zorderCols: Seq[String] = Nil): Int = {
-    val df = read()
-    val stamp = UUID.randomUUID().toString.take(8)
-    val dir = Paths.get(location, s"data_$stamp")
+    val base = currentVersion
+    if (filesOf(base).isEmpty) return commit(Seq.empty, base)
+    val df = read(base)
+    val dir = new HPath(loc, s"data_${UUID.randomUUID().toString.take(8)}")
     if (zorderCols.nonEmpty)
       graft.sources.ZOrder.writeZOrdered(df, dir.toString, zorderCols, targetFiles)
     else df.repartition(targetFiles).write.parquet(dir.toString)
-    val files = Files.list(dir).iterator().asScala.toSeq
-      .map(_.toString).filter(_.endsWith(".parquet")).sorted
-    commit(files)
+    val files = fs.listStatus(dir).toSeq.map(_.getPath.toString)
+      .filter(_.endsWith(".parquet")).sorted
+    commit(files, base)
   }
 
   /** Drop data files no longer referenced by ANY retained manifest,
@@ -168,18 +225,29 @@ final class VersionedTable private (val location: String, spark: SparkSession) {
   def vacuum(keepVersions: Int = 1): Int = {
     val all = manifests
     val keep = all.takeRight(keepVersions)
-    val live = keep.flatMap(m => Files.readAllLines(m).asScala).toSet
+    val live = keep.flatMap(m => readString(m).split("\n")).toSet
     val dead = all.dropRight(keepVersions)
     var removed = 0
     // delete superseded manifests
-    dead.foreach(Files.delete)
-    // delete unreferenced data files
-    Files.walk(Paths.get(location)).iterator().asScala.toSeq
-      .filter(p => p.toString.endsWith(".parquet") && !live.contains(p.toString))
-      .foreach { p => Files.delete(p); removed += 1 }
+    dead.foreach(m => fs.delete(m, false))
+    // delete unreferenced data files (orphans of losing commits too)
+    val it = fs.listFiles(loc, /* recursive = */ true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet") && !live.contains(f.toString)) {
+        fs.delete(f, false)
+        removed += 1
+      }
+    }
     removed
   }
 }
+
+/** Raised when a manifest commit loses the create-exclusive race —
+  * the DBRM-serialization analog surfaced as an error the caller
+  * retries (re-read, re-apply, re-commit). */
+final class ConcurrentWriteException(msg: String, cause: Throwable)
+  extends RuntimeException(msg, cause)
 
 object VersionedTable {
   /** Create a new versioned table at `location` from initial data. */
@@ -187,7 +255,7 @@ object VersionedTable {
       initialFiles: Int = 4): VersionedTable = {
     val t = new VersionedTable(location, spark)
     require(t.currentVersion == -1, s"table already exists at $location")
-    t.commit(t.writeData(df.repartition(initialFiles)))
+    t.commit(t.writeData(df.repartition(initialFiles)), -1)
     t
   }
 

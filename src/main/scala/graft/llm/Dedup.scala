@@ -413,19 +413,14 @@ object Dedup {
         round += 1
       }
       // stage the converged labels (cached — this re-reads, not
-      // recomputes) and hand consumers the read-back plan; the stage
-      // dir is session-scoped scratch, reclaimed on JVM exit (a
-      // long-lived service would stage under its job's scratch root)
+      // recomputes) and hand consumers the read-back plan. The stage
+      // dir comes from the shared-storage scratch root (Hadoop FS —
+      // spark.graft.scratchRoot on a cluster), NOT a driver-local
+      // temp dir: executors must be able to read it back. One static
+      // hook reclaims all stage dirs at JVM exit.
       val spark = labels.sparkSession
-      val root = java.nio.file.Files.createTempDirectory("graft-dupclusters-")
-      val stage = root.resolve("labels").toString
+      val stage = graft.sources.Scratch.newDir(spark, "dupclusters") + "/labels"
       labels.write.mode("overwrite").parquet(stage)
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        if (java.nio.file.Files.exists(root))
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
       spark.read.parquet(stage)
     } finally {
       // release loop caches; the returned lineage (linear chain of

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
-import graft.dml.VersionedTable
+import graft.dml.{ConcurrentWriteException, VersionedTable}
 
 /** Copy-on-write DML: read-after-write round trips, snapshot
   * isolation of old versions, file-level rewrite granularity, and
@@ -111,6 +111,89 @@ class DmlSpec extends SparkSpec {
     assert(removed > 0)
     assert(t.read().count() == 25)
     intercept[IllegalArgumentException](t.read(0))
+  }
+
+  test("writer-writer conflict: losing commit raises, winner's state stands") {
+    // Two writers that both observed version N race to publish N+1;
+    // the manifest's create-exclusive is the arbiter (the DBRM
+    // transaction-serialization analog). Simulate the interleaving
+    // deterministically: another writer lands v1 between this
+    // handle's read of currentVersion and its commit.
+    val loc = freshLoc()
+    val t = VersionedTable.create(spark, loc,
+      (1 to 50).map(i => (i.toLong, i * 1.0)).toDF("id", "bal"))
+    val hfs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = new org.apache.hadoop.fs.Path(s"$loc/_graft_log")
+    val v0 = new org.apache.hadoop.fs.Path(log, "v00000.manifest")
+    val v0Files = {
+      val in = hfs.open(v0)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    // the "other writer" publishes a no-op v1 first
+    val out = hfs.create(new org.apache.hadoop.fs.Path(log, "v00001.manifest"), false)
+    try out.write(v0Files.getBytes("UTF-8")) finally out.close()
+    // loser: a handle that raced for v1 fails instead of silently
+    // overwriting the winner's manifest
+    val loser = new org.apache.hadoop.fs.Path(log, "v00001.manifest")
+    intercept[java.io.IOException](hfs.create(loser, false))
+    // through the API: both handles insert concurrently; every commit
+    // either succeeds (bumping the version) or raises — never corrupts
+    val t2 = VersionedTable.open(spark, loc)
+    import scala.collection.parallel.CollectionConverters._
+    val results = Seq(t, t2).par.map { h =>
+      try { h.insert(Seq((999L, 9.9)).toDF("id", "bal")); "ok" }
+      catch { case _: ConcurrentWriteException => "conflict" }
+    }.seq
+    val oks = results.count(_ == "ok")
+    assert(oks >= 1, s"at least one writer must win, got $results")
+    assert(t.currentVersion == 1 + oks) // v0 + fake v1 + each winning insert
+    assert(t.read().count() == 50 + oks)
+  }
+
+  test("merge rejects a source whose column types drift from the target") {
+    val loc = freshLoc()
+    val t = VersionedTable.create(spark, loc,
+      (1 to 20).map(i => (i.toLong, s"n$i", i * 10.0)).toDF("id", "name", "bal"))
+    val v = t.currentVersion
+    // bal arrives as int where the table holds double: committing it
+    // would poison every later scan with conflicting parquet footers
+    intercept[IllegalArgumentException] {
+      t.merge(Seq((5L, "x", 1)).toDF("id", "name", "bal"), "id")
+    }
+    // missing column fails too (AnalysisException from the projection)
+    intercept[Exception] {
+      t.merge(Seq((5L, "x")).toDF("id", "name"), "id")
+    }
+    assert(t.currentVersion == v, "failed merge must not commit")
+    assert(t.read().filter(col("id") === 5).select("bal").as[Double].head() == 50.0)
+  }
+
+  test("optimize on an empty current version commits a no-op version") {
+    val loc = freshLoc()
+    val t = VersionedTable.create(spark, loc, (1 to 10).map(i => (i, i)).toDF("id", "v"))
+    t.delete(col("id") >= 0) // delete-all → empty manifest
+    assert(t.read().count() == 0)
+    val v = t.currentVersion
+    t.optimize(targetFiles = 4)
+    assert(t.currentVersion == v + 1)
+    assert(t.read().count() == 0)
+  }
+
+  test("table on a non-default Hadoop FS root: all IO routes through the FS API") {
+    // same physical disk, but addressed through an explicit file: URI —
+    // proves no code path falls back to driver-local java.nio/java.io
+    val loc = "file:" + freshLoc() + "/tbl"
+    val t = VersionedTable.create(spark, loc,
+      (1 to 40).map(i => (i.toLong, i * 2.0)).toDF("id", "bal"))
+    t.update(col("id") <= 5, Map("bal" -> lit(0.0)))
+    t.merge(Seq((41L, 41.0), (1L, -1.0)).toDF("id", "bal"), "id")
+    t.optimize(targetFiles = 2)
+    assert(t.read().count() == 41)
+    assert(t.read().filter(col("id") === 1).select("bal").as[Double].head() == -1.0)
+    assert(t.read().filter(col("id") === 3).select("bal").as[Double].head() == 0.0)
+    assert(t.vacuum(keepVersions = 1) > 0)
+    assert(VersionedTable.open(spark, loc).read().count() == 41)
   }
 
   test("concurrent reader stays pinned at its version across writer commits") {

@@ -106,6 +106,37 @@ class IngestSpec extends SparkSpec {
       StructField("created", TimestampNTZType, nullable = true))))
   }
 
+  test("alter table add/drop column: old and new files reconcile at read") {
+    // ref dbcon/ddlpackage/ddl.y ALTER TABLE grammar (ddlproc/):
+    // evolution is pure metadata; files are never rewritten.
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_alter").toString
+    val cat = new Catalog(wh, spark)
+    cat.createTable("ev", "id BIGINT, name VARCHAR(20)")
+    (1L to 5L).map(i => (i, s"n$i")).toDF("id", "name")
+      .write.mode("append").parquet(cat.tableLocation("ev"))
+
+    // ADD COLUMN: v1 files lack it → read as NULL; v2 files carry it
+    val s2 = cat.addColumn("ev", "score DOUBLE")
+    assert(s2.fieldNames.toSeq == Seq("id", "name", "score"))
+    (6L to 8L).map(i => (i, s"n$i", i * 1.5)).toDF("id", "name", "score")
+      .write.mode("append").parquet(cat.tableLocation("ev"))
+    val after = cat.load("ev")
+    assert(after.count() == 8)
+    assert(after.filter(col("id") <= 5 && col("score").isNull).count() == 5)
+    assert(after.filter(col("id") === 7).select("score").as[Double].head() == 10.5)
+
+    // DROP COLUMN: metadata-only; both file generations project it away
+    val s3 = cat.dropColumn("ev", "name")
+    assert(s3.fieldNames.toSeq == Seq("id", "score"))
+    val dropped = cat.load("ev")
+    assert(!dropped.columns.contains("name"))
+    assert(dropped.count() == 8)
+    // guards
+    intercept[IllegalArgumentException](cat.addColumn("ev", "id BIGINT"))
+    intercept[IllegalArgumentException](cat.dropColumn("ev", "nope"))
+  }
+
   test("csv import round trip: query over imported table matches parquet original") {
     val wh = Files.createTempDirectory("graft_wh").toString
     val csvDir = Files.createTempDirectory("graft_csv").toString

@@ -20,6 +20,28 @@ class PipelineSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
   }
 
+  test("dupClusters stages labels under the configured shared scratch root") {
+    // On a real cluster executors cannot see the driver's local temp
+    // dir, so the stage dir must come from spark.graft.scratchRoot
+    // (shared storage). Point it at an explicit file: URI and prove
+    // the staged labels land there AND read back correctly.
+    val rootDir = "file:" + java.nio.file.Files.createTempDirectory("graft_scratch")
+    spark.conf.set(graft.sources.Scratch.ConfKey, rootDir)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (8L, 5L)).toDF("id_a", "id_b")
+      val got = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 8L -> 5L))
+      val hfs = new org.apache.hadoop.fs.Path(rootDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staged = hfs.listStatus(new org.apache.hadoop.fs.Path(rootDir)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("dupclusters-"))
+      assert(staged.nonEmpty, "stage dir must be allocated under the configured root")
+      // eager reclamation API
+      staged.foreach(d => graft.sources.Scratch.remove(spark, s"$rootDir/$d"))
+      assert(hfs.listStatus(new org.apache.hadoop.fs.Path(rootDir)).isEmpty)
+    } finally spark.conf.unset(graft.sources.Scratch.ConfKey)
+  }
+
   test("nearDedup keeps each cluster minimum and all unpaired docs") {
     val docs = (1L to 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((2L, 4L), (4L, 6L)).toDF("id_a", "id_b")

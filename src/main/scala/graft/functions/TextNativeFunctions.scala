@@ -48,6 +48,28 @@ object TextNativeFunctions {
         c => s"${ev.value} = graft.functions.TextKernels.fp($c.toString());")
   }
 
+  /** Polynomial rolling fingerprint over md5-derived token hashes —
+    * the ORACLE-CHECKABLE sibling of [[TokenFingerprint]]: md5 is the
+    * one hash primitive this engine and the DuckDB oracle share, so
+    * the driver can replay the identical fold (`list_reduce` over
+    * `('0x' || substr(md5(t),1,15))::BIGINT`). Order-sensitive;
+    * arithmetic stays in exact signed-64 range (acc < 2^31, token
+    * hash < 2^60, so acc·R + h < 2^61 — DuckDB raises on BIGINT
+    * overflow, this fold can't). Token-less text fingerprints to 0. */
+  case class TokenFingerprintMd5(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "token_fingerprint_md5"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+    override def nullSafeEval(input: Any): Any =
+      TextKernels.fpMd5(input.asInstanceOf[UTF8String].toString)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = graft.functions.TextKernels.fpMd5($c.toString());")
+  }
+
   /** 64-bit SimHash of a document in ONE pass (ref the simhash
     * literature via `llm/Dedup.scala` scaladoc): lowercase, tokenize
     * on the ASCII whitespace class, xxhash64 each token (seed 42 —
@@ -154,6 +176,33 @@ object TextKernels {
       if (t.nonEmpty) {
         val h = XXH64.hashUTF8String(UTF8String.fromString(t), 42L)
         acc = java.lang.Long.rotateLeft(acc, 5) ^ h
+      }
+      i += 1
+    }
+    acc
+  }
+
+  /** md5-fold fingerprint: tokens = ASCII-whitespace split (the
+    * RE2-agreeing class, NOT `\s` — the oracle splits with the same
+    * regex), token hash = first 15 hex chars of md5 (= first 7 bytes
+    * + high nibble of the 8th, 60 bits), fold =
+    * acc ← (acc · 1000003 + h) mod (2^31 − 1). */
+  def fpMd5(s: String): Long = {
+    val parts = AsciiWs.split(s)
+    var acc = 0L
+    var md: java.security.MessageDigest = null
+    var i = 0
+    while (i < parts.length) {
+      val t = parts(i)
+      if (t.nonEmpty) {
+        if (md == null) md = java.security.MessageDigest.getInstance("MD5")
+        md.reset()
+        val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L
+        var j = 0
+        while (j < 7) { h = (h << 8) | (d(j) & 0xFFL); j += 1 }
+        h = (h << 4) | ((d(7) & 0xFF) >>> 4)
+        acc = (acc * 1000003L + h) % 2147483647L
       }
       i += 1
     }

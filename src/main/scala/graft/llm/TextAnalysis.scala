@@ -203,4 +203,11 @@ object TextAnalysis {
     * `aggregate(transform(tokens, xxhash64), rotl5-xor)` fold is an
     * interpreted HOF chain that cost 22.9 s on 5,000 documents. */
   def fingerprint(text: Column): Column = call_function("token_fingerprint", text)
+
+  /** Oracle-checkable sibling of [[fingerprint]]: polynomial rolling
+    * fold over md5-derived 60-bit token hashes — md5 being the one
+    * hash both this engine and the DuckDB oracle implement, the
+    * driver can replay the fold exactly (TextNativeFunctions.
+    * TokenFingerprintMd5). Same native-kernel execution shape. */
+  def fingerprintMd5(text: Column): Column = call_function("token_fingerprint_md5", text)
 }

@@ -53,6 +53,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("vec_dot", es => graft.functions.VectorFunctions.VecDot(es(0), es(1)))
     inject("token_fingerprint",
       es => graft.functions.TextNativeFunctions.TokenFingerprint(es.head))
+    inject("token_fingerprint_md5",
+      es => graft.functions.TextNativeFunctions.TokenFingerprintMd5(es.head))
     inject("bpe_token_count",
       es => graft.functions.TextNativeFunctions.BpeTokenCount(es.head))
     inject("simhash64",

@@ -69,6 +69,18 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_text_fingerprint_md5" -> ((s, dir) => {
+      // Oracle-checked fingerprint: md5 is the one hash primitive
+      // both engines share, so DuckDB replays the identical
+      // (acc·R + h) mod p fold via list_reduce — this converts the
+      // fingerprint family from spec-only to driver-enforced evidence
+      // (the xxhash kernel entry above stays as the fast path).
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fingerprint_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_repetition" -> ((s, dir) => {
       // all-integer within-doc repetition signals → engine-exact oracle
       TextAnalysis.repetitionProfile(t(s, dir, "documents"))
@@ -201,14 +213,18 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
     "q_mm_features" -> ((s, dir) => {
-      // rows-only: partition-batch feature kernel over binary payloads.
-      // The kernel's Array[Double] output is projected to scalar f0..f7
-      // (the harness sorts rows; array cells aren't sortable) — the
-      // Dataset kernel itself stays array-valued.
+      // Oracle-checked: the stub "decoder" is a byte histogram over
+      // the UTF-8 payload, which DuckDB reproduces byte-for-byte from
+      // hex(encode(text)). The kernel's Array[Double] output is
+      // projected to scalar f0..f7 on the floor(x·1e9) grid (the
+      // harness sorts rows; array cells aren't sortable, and floor is
+      // order-independent where round-half-up may tie-break apart) —
+      // the Dataset kernel itself stays array-valued.
       val feats = Multimodal
         .extractFeatures(s, Multimodal.attachPayload(t(s, dir, "documents")))
         .toDF()
-      val fCols = (0 until 8).map(i => round(col("features")(i), 9).as(s"f$i"))
+      val fCols = (0 until 8).map(i =>
+        floor(col("features")(i) * 1e9).cast("long").as(s"f$i"))
       feats.select(col("doc_id") +: col("format") +:
           col("n_bytes").cast("int").as("n_bytes") +: fCols: _*)
         .orderBy(col("doc_id"))
@@ -366,6 +382,41 @@ object LlmQueries {
         |      ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, c.vec_id) AS rnk
         |  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q) t
         |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+    "q_text_fingerprint_md5" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(toks) = 0 THEN 0
+        |    ELSE list_reduce(
+        |      list_prepend(0::BIGINT,
+        |        list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)),
+        |      (a, b) -> (a * 1000003 + b) % 2147483647)
+        |  END AS fingerprint_md5
+        |FROM (SELECT doc_id,
+        |        list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> length(x) > 0) AS toks
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_mm_features" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |      WHEN 2 THEN 'wav' ELSE 'mp4' END AS format,
+        |    hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS INT) AS n_bytes
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, format, n_bytes,
+        |    list_transform(range(1, n_bytes + 1),
+        |      i -> ('0x' || substr(hx, CAST(2*i-1 AS INT), 2))::INT % 8) AS bins
+        |  FROM b)
+        |SELECT doc_id, format, n_bytes,
+        |  CAST(floor(len(list_filter(bins, x -> x = 0))::DOUBLE / greatest(1, n_bytes) * 1e9) AS BIGINT) AS f0,
+        |  CAST(floor(len(list_filter(bins, x -> x = 1))::DOUBLE / greatest(1, n_bytes) * 1e9) AS BIGINT) AS f1,
+        |  CAST(floor(len(list_filter(bins, x -> x = 2))::DOUBLE / greatest(1, n_bytes) * 1e9) AS BIGINT) AS f2,
+        |  CAST(floor(len(list_filter(bins, x -> x = 3))::DOUBLE / greatest(1, n_bytes) * 1e9) AS BIGINT) AS f3,
+        |  CAST(floor(len(list_filter(bins, x -> x = 4))::DOUBLE / greatest(1, n_bytes) * 1e9) AS BIGINT) AS f4,
+        |  CAST(floor(len(list_filter(bins, x -> x = 5))::DOUBLE / greatest(1, n_bytes) * 1e9) AS BIGINT) AS f5,
+        |  CAST(floor(len(list_filter(bins, x -> x = 6))::DOUBLE / greatest(1, n_bytes) * 1e9) AS BIGINT) AS f6,
+        |  CAST(floor(len(list_filter(bins, x -> x = 7))::DOUBLE / greatest(1, n_bytes) * 1e9) AS BIGINT) AS f7
+        |FROM h ORDER BY doc_id""".stripMargin,
     "q_mm_frames" ->
       """SELECT doc_id, n_frames, CAST(f AS INT) AS frame_idx
         |FROM (SELECT doc_id, CAST(doc_id % 30 + 1 AS INT) AS n_frames,

@@ -266,6 +266,21 @@ class LlmSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(fp(1L) == fp(2L))
     assert(fp(1L) != fp(3L))
+    // the md5-fold sibling (oracle-checked in q_text_fingerprint_md5):
+    // same contracts, plus the kernel must equal a reference fold
+    val fpm = df.select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")))
+      .as[(Long, Long)].collect().toMap
+    assert(fpm(1L) == fpm(2L))
+    assert(fpm(1L) != fpm(3L))
+    def refFold(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      text.split("[ \t\n\f\r]+").filter(_.nonEmpty).foldLeft(0L) { (acc, t) =>
+        val hex = md.digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        (acc * 1000003L + java.lang.Long.parseLong(hex.take(15), 16)) % 2147483647L
+      }
+    }
+    assert(fpm(1L) == refFold("alpha beta gamma"))
+    assert(fpm(3L) == refFold("gamma beta alpha"))
   }
 
   test("quality score ranks clean text above degenerate text") {

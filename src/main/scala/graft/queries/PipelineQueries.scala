@@ -32,11 +32,13 @@ object PipelineQueries {
 
   val queries: Map[String, QFn] = Map(
     "q_dedup_clusters" -> ((s, dir) => {
-      // pairs → components: the banded-LSH pair set at threshold 0.6
-      // equals all-pairs truth on this corpus (q_dedup_minhash proves
-      // it), so the component structure matches the oracle's
-      // transitive closure exactly.
-      val pairs = Dedup.minhashDupPairs(t(s, dir, "documents"), threshold = 0.6)
+      // pairs → components. The pair stage is the EXACT set-similarity
+      // join (recall 1.0 at any threshold by the prefix-filter
+      // pigeonhole), so equality with the oracle's transitive closure
+      // holds by construction — not pinned to this corpus having no
+      // pairs in banded LSH's recall gap (q_dedup_minhash keeps the
+      // LSH path oracle-measured separately).
+      val pairs = Dedup.jaccardDupPairs(t(s, dir, "documents"), threshold = 0.6)
       Dedup.dupClusters(pairs)
         .select(col("_id").as("doc_id"), col("_comp").as("cluster_id"))
         .withColumn("cluster_sz",
@@ -45,9 +47,10 @@ object PipelineQueries {
     }),
     "q_dedup_resolve" -> ((s, dir) => {
       // end-to-end near-dedup: corpus minus every clustered doc except
-      // each cluster's minimum id
+      // each cluster's minimum id (exact pair join — recall 1.0, so
+      // the oracle equality is robust to a corpus refresh)
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashDupPairs(docs, threshold = 0.6)
+      val pairs = Dedup.jaccardDupPairs(docs, threshold = 0.6)
       Dedup.nearDedup(docs, pairs)
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
@@ -61,9 +64,13 @@ object PipelineQueries {
       // hash-match certifies the stages agree not just individually
       // but THROUGH each other's outputs. Output is the per-source
       // audit summary a pipeline run reports.
+      // near-dedup uses the EXACT jaccard join (recall 1.0): the
+      // DuckDB oracle replays exact all-pairs Jaccard ≥ 0.6, and a
+      // banded-LSH stage would match it only while the corpus happens
+      // to have no dup pairs inside LSH's recall gap (ADVICE r6)
       val docs = t(s, dir, "documents")
       val d1 = Dedup.exactDedup(docs)
-      val d2 = Dedup.nearDedup(d1, Dedup.minhashDupPairs(d1, threshold = 0.6))
+      val d2 = Dedup.nearDedup(d1, Dedup.jaccardDupPairs(d1, threshold = 0.6))
       val bench = docs.filter(col("doc_id") % 20 === 7)
       val corpus = d2.filter(col("doc_id") % 20 =!= 7)
       val d3 = Decontamination.decontaminate(corpus, bench, minHits = 5)

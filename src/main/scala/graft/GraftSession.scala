@@ -34,6 +34,13 @@ object GraftSession {
       // readers (the DuckDB oracle included) see it as nanos.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.cbo.enabled", "true")
+      // stats-driven join reorder — the analog of the reference's
+      // spanning-tree join ordering (dbcon/joblist/jlf_tuplejoblist
+      // .cpp:1607-1952). cbo.enabled alone never reorders: this flag
+      // activates the cost-based reorder rule for tables that have
+      // ANALYZE statistics (plans/Analyze.scala); AQE still re-plans
+      // from runtime stats where ANALYZE hasn't run.
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       // events.parquet carries TIMESTAMP(NANOS); read the raw int64 and
       // truncate in the query layer (Tables.t) — set once here, not
       // per-read, so concurrent reads never race on session config.

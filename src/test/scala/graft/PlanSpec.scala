@@ -25,6 +25,44 @@ class PlanSpec extends SparkSpec {
     spark.sql("DROP TABLE supplier_stats")
   }
 
+  test("stats-driven join reorder moves the selective dim ahead of the big join") {
+    // the reference picks its join order from a stats-weighted
+    // spanning tree (dbcon/joblist/jlf_tuplejoblist.cpp:1607-1952);
+    // Spark's analog is CostBasedJoinReorder, which only acts when
+    // cbo.joinReorder.enabled is on AND every input has ANALYZE stats
+    Analyze.analyzed(spark,
+      (1 to 50000).map(i => (i.toLong, (i % 1000).toLong)).toDF("k", "j"), "jr_big1")
+    Analyze.analyzed(spark,
+      (1 to 50000).map(i => (i.toLong, s"p$i")).toDF("k", "payload"), "jr_big2")
+    Analyze.analyzed(spark,
+      (0 to 4).map(j => (j.toLong, s"seg$j")).toDF("j", "seg"), "jr_tiny")
+    try {
+      // syntactically the two big tables join FIRST; the tiny join
+      // (selectivity 5/1000 on j) is written last
+      val sql = """SELECT b1.k, b2.payload, t.seg
+                   FROM jr_big1 b1
+                   JOIN jr_big2 b2 ON b1.k = b2.k
+                   JOIN jr_tiny t ON b1.j = t.j"""
+      def leafOrder(): Seq[String] =
+        spark.sql(sql).queryExecution.optimizedPlan.collectLeaves()
+          .map(_.toString)
+          .map(s => Seq("jr_big1", "jr_big2", "jr_tiny").find(s.contains).getOrElse("?"))
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      val syntactic = leafOrder()
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val reordered = leafOrder()
+      assert(syntactic == Seq("jr_big1", "jr_big2", "jr_tiny"))
+      assert(reordered != syntactic, s"CBO did not reorder: $reordered")
+      // the 250-row selective join must run before the 50k x 50k one
+      assert(reordered.indexOf("jr_tiny") < 2, s"tiny joined last in $reordered")
+      // reordering is a pure optimization: results identical
+      assert(spark.sql(sql).count() == 250)
+    } finally {
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      Seq("jr_big1", "jr_big2", "jr_tiny").foreach(t => spark.sql(s"DROP TABLE $t"))
+    }
+  }
+
   test("filter pushdown reaches the parquet scan in flagship queries") {
     val plan = SparkEntry.queries("q6_forecast")(spark, sfDir)
       .queryExecution.executedPlan.toString

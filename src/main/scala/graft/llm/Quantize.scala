@@ -233,6 +233,49 @@ object Quantize {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Max-cosine coarse cell per corpus vector — the IVF assignment,
+    * shared by the inline `ivfPqTopK` path and the persisted index
+    * writer. Returns (vec_id, _cell). */
+  def cellAssignments(corpus: DataFrame, centroids: Array[Array[Double]],
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val cenArr = array(centroids.zipWithIndex.map { case (cv, i) =>
+      struct(lit(i).as("i"), lit(cv).as("c"))
+    }.toIndexedSeq: _*)
+    val unit = {
+      val v = col(vec).cast(ArrayType(DoubleType))
+      val n = sqrt(call_function("vec_dot", v, v))
+      when(n > 0, transform(v, x => x / n)).otherwise(v)
+    }
+    corpus.select(col(id).as("vec_id"), unit.as("_u"))
+      .select(col("vec_id"), col("_u"), explode(cenArr).as("_ce"))
+      .select(col("vec_id"),
+        col("_ce.i").as("_celli"), call_function("vec_dot", col("_u"), col("_ce.c")).as("_cd"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("_celli"), struct(col("_cd"), -col("_celli"))).as("_cell"))
+  }
+
+  /** Persist the IVF∘PQ index: PQ codes hive-partitioned by `_cell`
+    * directory — the 100 TB layout the `ivfPqTopK` scaladoc claims
+    * (codes as 1 byte/subspace, centroids + codebooks as metadata).
+    * A probe then filters `_cell` IN (its nprobe cells) and Spark's
+    * partition pruning keeps the scan to ~nprobe/nlist of the FILES —
+    * never touching the rest — exactly the reference's extent
+    * elimination realized as directory layout. Measured, not argued:
+    * QuantizeSpec asserts the probe's scan reads only the probed
+    * partitions' files. */
+  def writeIvfPqIndex(corpus: DataFrame, path: String,
+      centroids: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      dim: Int = 64, id: String = "vec_id", vec: String = "embedding"): Unit =
+    pqEncode(corpus, codebooks, dim, id, vec)
+      .join(cellAssignments(corpus, centroids, id, vec), "vec_id")
+      .write.mode("overwrite").partitionBy("_cell").parquet(path)
+
+  /** Read back the rows of the probed cells from a persisted index —
+    * the `_cell` filter lands in the scan's PartitionFilters. */
+  def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      probeCells: Seq[Int]): DataFrame =
+    spark.read.parquet(path).filter(col("_cell").isin(probeCells: _*))
+
   /** IVF ∘ PQ: coarse cells prune WHICH vectors are scored (a query
     * touches ~nprobe/nlist of the corpus), PQ codes shrink WHAT a
     * score costs (m one-byte table lookups) — composed exactly like
@@ -255,21 +298,10 @@ object Quantize {
     val cenArr = array(centroids.zipWithIndex.map { case (cv, i) =>
       struct(lit(i).as("i"), lit(cv).as("c"))
     }.toIndexedSeq: _*)
-    val unit = {
-      val v = col(vec).cast(ArrayType(DoubleType))
-      val n = sqrt(call_function("vec_dot", v, v))
-      when(n > 0, transform(v, x => x / n)).otherwise(v)
-    }
     // corpus: max-cosine cell per vector (explode + max_by row
     // pipeline), then PQ codes — the persisted (cell, codes) layout
-    val cells = corpus.select(col(id).as("vec_id"), unit.as("_u"))
-      .select(col("vec_id"), col("_u"), explode(cenArr).as("_ce"))
-      .select(col("vec_id"), col("_u"),
-        col("_ce.i").as("_celli"), call_function("vec_dot", col("_u"), col("_ce.c")).as("_cd"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("_celli"), struct(col("_cd"), -col("_celli"))).as("_cell"))
     val encoded = pqEncode(corpus, codebooks, dim, id, vec)
-      .join(cells, "vec_id")
+      .join(cellAssignments(corpus, centroids, id, vec), "vec_id")
     val corpusRows = encoded.select(col("vec_id"), col("_cell"),
       posexplode(col("codes")).as(Seq("_sub", "_code")))
     // queries: nprobe closest cells + the ADC lookup table

@@ -63,5 +63,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es.lift(1).map(_.eval(null).asInstanceOf[Int]).getOrElse(3)))
     inject("shingle_set", es => graft.functions.TextNativeFunctions.ShingleSet(es.head,
       es.lift(1).map(_.eval(null).asInstanceOf[Int]).getOrElse(3)))
+    inject("bucket_rank", es => graft.sources.ZOrder.BucketRank(es.head,
+      es(1).eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toDoubleArray()))
   }
 }

@@ -1,7 +1,10 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Z-order (Morton-curve) clustered data layout — the multi-column
   * generalization of the reference's extent elimination: ColumnStore
@@ -60,6 +63,39 @@ object ZOrder {
       lit(0L))
   }
 
+  /** Equi-depth rank of `c` against precomputed quantile `boundaries`
+    * (sorted ascending): rank = the boundary insertion point, i.e.
+    * each rank bucket holds ~equal ROW MASS rather than equal value
+    * span. This is the skew knob linear ranks lack: under a zipf
+    * column, `linearRank` collapses the dense head onto one rank (the
+    * head spans a sliver of [min,max]) and every file overlaps every
+    * head query; equi-depth boundaries spend their resolution where
+    * the rows are. Evaluated as a native binary-search kernel —
+    * O(log B) per row inside whole-stage codegen, no interpreted HOF
+    * over the boundary array. NULLs rank 0 (curve origin). */
+  def equiDepthRank(c: Column, boundaries: Array[Double]): Column =
+    coalesce(call_function("bucket_rank", c.cast("double"), lit(boundaries)), lit(0L))
+
+  /** Native expression behind `bucket_rank` (registered in
+    * GraftExtensions): Arrays.binarySearch over a broadcast-literal
+    * boundary array. */
+  case class BucketRank(child: Expression, boundaries: Array[Double])
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "bucket_rank"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+    override def nullSafeEval(input: Any): Any =
+      ZOrderKernels.rank(boundaries, input.asInstanceOf[Double])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bucketBounds", boundaries, "double[]")
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = graft.sources.ZOrderKernels.rank($ref, $c);")
+    }
+  }
+
   /** The Z-value column for `df` over `cols` (numeric/date columns;
     * dates participate via their numeric cast). One stats action. */
   def zValue(df: DataFrame, cols: Seq[String], bits: Int): Column = {
@@ -75,13 +111,31 @@ object ZOrder {
     interleave(ranks, bits)
   }
 
+  /** Equi-depth Z-value: per-column quantile boundaries (ONE
+    * approx_quantile pass over ALL columns — a bounded-size sketch,
+    * not a sort) feed the binary-search rank, then the same
+    * interleave. Use when a Z dimension is heavily skewed; for
+    * near-uniform data `zValue`'s two-scalar stats pass is cheaper
+    * with the same layout. */
+  def zValueEquiDepth(df: DataFrame, cols: Seq[String], bits: Int,
+      relativeError: Double = 0.001): Column = {
+    val nBounds = (1 << bits) - 1
+    val probs = (1 to nBounds).map(_.toDouble / (1 << bits)).toArray
+    val asDouble = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+    val bounds = asDouble.stat.approxQuantile(cols.toArray, probs, relativeError)
+    interleave(cols.zip(bounds).map { case (c, b) => equiDepthRank(col(c), b) }, bits)
+  }
+
   /** Rewrite `df` into `numFiles` parquet files clustered along the
     * Z-curve of `cols`. Returns nothing; the layout IS the result —
-    * subsequent reads prune by footer stats. */
+    * subsequent reads prune by footer stats. `equiDepth` switches the
+    * per-column rank from linear [min,max] scaling to quantile
+    * buckets (the skew-proof variant). */
   def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
-      numFiles: Int, bits: Int = 12): Unit = {
+      numFiles: Int, bits: Int = 12, equiDepth: Boolean = false): Unit = {
     require(cols.nonEmpty, "need at least one z-order column")
-    df.withColumn("_z", zValue(df, cols, bits))
+    val z = if (equiDepth) zValueEquiDepth(df, cols, bits) else zValue(df, cols, bits)
+    df.withColumn("_z", z)
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
@@ -102,4 +156,15 @@ object ZOrder {
     fileSpans(df, c)
       .filter(col("lo").cast("double") <= hi && col("hi").cast("double") >= lo)
       .count()
+}
+
+/** Top-level (static-forwarder-visible) kernel shared by BucketRank's
+  * interpreted eval and its generated code. */
+object ZOrderKernels {
+  /** Insertion-point rank of `v` among sorted `bounds`: 0 ≤ rank ≤
+    * bounds.length; deterministic under duplicate boundaries. */
+  def rank(bounds: Array[Double], v: Double): Long = {
+    val i = java.util.Arrays.binarySearch(bounds, v)
+    if (i >= 0) i.toLong + 1L else -(i.toLong) - 1L
+  }
 }

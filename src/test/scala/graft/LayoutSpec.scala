@@ -67,6 +67,45 @@ class LayoutSpec extends SparkSpec {
     assert(zTp < sortTp, s"z tp=$zTp not better than sort-by-ck tp=$sortTp")
   }
 
+  test("equi-depth ranks keep file-skipping under zipf skew where linear ranks collapse") {
+    // heavy-head column: 90% of rows in [0,100], 10% tail out to 1e6.
+    // Linear [min,max] scaling maps the whole head to rank 0 (100/1e6
+    // of the domain), so the head carries NO discrimination and every
+    // head query touches ~every file; quantile boundaries spend their
+    // resolution where the rows are.
+    val n = 20000
+    val skewed = (1 to n).map { i =>
+      val x = if (i % 10 != 0) (i * 7919) % 101 // 90%: dense head 0..100
+              else 1000 + ((i.toLong * 104729) % 999000) // 10%: long tail
+      (i.toLong, x.toLong, (i % 400).toLong)
+    }.toDF("id", "x", "y")
+    val nFiles = 16
+
+    val linPath = tmp("lin")
+    ZOrder.writeZOrdered(skewed, linPath, Seq("x", "y"), nFiles, bits = 8)
+    val linDf = spark.read.parquet(linPath)
+
+    val eqPath = tmp("eq")
+    ZOrder.writeZOrdered(skewed, eqPath, Seq("x", "y"), nFiles, bits = 8, equiDepth = true)
+    val eqDf = spark.read.parquet(eqPath)
+
+    // same rows either way — the rank function only changes placement
+    assert(eqDf.exceptAll(skewed).isEmpty && skewed.exceptAll(eqDf).isEmpty)
+
+    // head probe: a narrow band inside the dense region
+    val lin = ZOrder.filesOverlapping(linDf, "x", 40, 45)
+    val eq = ZOrder.filesOverlapping(eqDf, "x", 40, 45)
+    info(s"files overlapped of $nFiles for x in [40,45] — linear: $lin, equi-depth: $eq")
+    // linear ranks collapse the head: essentially no skipping
+    assert(lin >= nFiles * 3 / 4, s"expected the linear layout to degrade, got $lin")
+    // equi-depth keeps the head discriminated: most files skipped
+    assert(eq <= nFiles / 2, s"equi-depth should skip most files, got $eq")
+    assert(eq < lin)
+    // and the tail still prunes too
+    val eqTail = ZOrder.filesOverlapping(eqDf, "x", 500000, 510000)
+    assert(eqTail <= nFiles / 2, s"tail should stay prunable, got $eqTail")
+  }
+
   test("interleave places bits correctly") {
     // rank pairs (x, y) with known morton codes at 2 bits:
     // (0,0)->0, (1,0)->1, (0,1)->2, (1,1)->3, (2,0)->4, (3,3)->15

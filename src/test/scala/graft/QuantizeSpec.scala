@@ -118,6 +118,36 @@ class QuantizeSpec extends SparkSpec {
       .filter(col("cosine") =!= col("want")).isEmpty)
   }
 
+  test("persisted ivf-pq index: a probe's scan reads only the probed cells' files") {
+    val cb = Quantize.seededCodebooks(m = 8, ksub = 16, dsub = 8)
+    val cen = AnnSearch.seededCentroids(nlist = 8, dim = 64)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString + "/idx"
+    Quantize.writeIvfPqIndex(emb, path, cen, cb)
+    val full = spark.read.parquet(path)
+    val allFiles = full.select(input_file_name()).distinct().count()
+    val allCells = full.select("_cell").distinct().count()
+    assert(allCells > 4, s"corpus should spread over cells, got $allCells")
+
+    val probe = Quantize.readIvfPqIndex(spark, path, Seq(0, 1))
+    probe.write.format("noop").mode("overwrite").save() // execute → metrics
+    val scan = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    // the _cell predicate must be a PARTITION filter (pruned before
+    // any file is opened), not a data filter
+    assert(scan.partitionFilters.exists(_.toString.contains("_cell")),
+      s"partition filters: ${scan.partitionFilters}")
+    val filesRead = scan.metrics("numFiles").value
+    // 2 probed cells of `allCells` populated ones: the scan touches
+    // only their directories' files
+    val expectedMax = math.ceil(allFiles.toDouble * 2 / allCells).toLong + 1
+    assert(filesRead <= expectedMax,
+      s"probe read $filesRead of $allFiles files (cells: $allCells)")
+    // and the probe's ROWS are exactly the index rows of those cells
+    assert(probe.count() ==
+      full.filter(col("_cell").isin(0, 1)).count())
+  }
+
   test("pq rerank returns exact cosines for its shortlist, ranked") {
     val cb = Quantize.seededCodebooks(m = 8, ksub = 16, dsub = 8)
     val queries = emb.filter(col("vec_id") < 3)

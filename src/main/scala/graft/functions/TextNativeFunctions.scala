@@ -92,6 +92,26 @@ object TextNativeFunctions {
         c => s"${ev.value} = graft.functions.TextKernels.simhash($c.toString());")
   }
 
+  /** md5-based SimHash — the oracle-checkable sibling of
+    * [[SimHash64]]: same sign-of-bit-sums construction, but token
+    * hashes are the md5-derived 60-bit values the DuckDB oracle can
+    * recompute, so the driver hash-checks the whole simhash
+    * construction end to end (the xxhash kernel stays the fast
+    * path; its banding/recall properties are spec-proven). */
+  case class SimHash64Md5(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "simhash64_md5"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+    override def nullSafeEval(input: Any): Any =
+      TextKernels.simhashMd5(input.asInstanceOf[UTF8String].toString)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = graft.functions.TextKernels.simhashMd5($c.toString());")
+  }
+
   /** 64-int MinHash signature of a document in ONE pass: lowercase,
     * tokenize, form word n-grams (whole-text fallback below n
     * tokens — the `shingleRows` contract), and for each gram take
@@ -295,6 +315,45 @@ object TextKernels {
     var i = 0
     while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** md5-simhash over 60-bit token hashes (lowercased ASCII-ws
+    * tokens; hash = first 15 hex chars of md5, the same derivation as
+    * `fpMd5`). Sign of the per-bit ±1 sums, packed little-endian;
+    * token-less text → 0. */
+  def simhashMd5(s: String): Long = {
+    val parts = AsciiWs.split(s.toLowerCase)
+    val cnt = new Array[Int](60)
+    var any = false
+    var md: java.security.MessageDigest = null
+    var i = 0
+    while (i < parts.length) {
+      val t = parts(i)
+      if (t.nonEmpty) {
+        any = true
+        if (md == null) md = java.security.MessageDigest.getInstance("MD5")
+        md.reset()
+        val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L
+        var j = 0
+        while (j < 7) { h = (h << 8) | (d(j) & 0xFFL); j += 1 }
+        h = (h << 4) | ((d(7) & 0xFF) >>> 4)
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) cnt(b) += 1 else cnt(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) return 0L
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (cnt(b) > 0) out |= 1L << b
+      b += 1
+    }
+    out
   }
 
   def simhash(s: String): Long = {

@@ -59,6 +59,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => graft.functions.TextNativeFunctions.BpeTokenCount(es.head))
     inject("simhash64",
       es => graft.functions.TextNativeFunctions.SimHash64(es.head))
+    inject("simhash64_md5",
+      es => graft.functions.TextNativeFunctions.SimHash64Md5(es.head))
     inject("minhash64", es => graft.functions.TextNativeFunctions.MinHash64(es.head,
       es.lift(1).map(_.eval(null).asInstanceOf[Int]).getOrElse(3)))
     inject("shingle_set", es => graft.functions.TextNativeFunctions.ShingleSet(es.head,

@@ -118,6 +118,19 @@ object LlmQueries {
       Dedup.jaccardDupPairs(t(s, dir, "documents"), threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_simhash_md5" -> ((s, dir) => {
+      // Oracle-checked SIGNATURE construction: simhash over
+      // md5-derived 60-bit token hashes — DuckDB recomputes every
+      // sign-of-bit-sums lane, so the driver certifies the simhash
+      // algorithm end to end (the pair join's banding exactness is
+      // LlmSpec's brute-force theorem; the xxhash kernel remains the
+      // fast production path).
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          coalesce(call_function("simhash64_md5", col("text")), lit(0L))
+            .as("simhash_md5"))
+        .orderBy(col("doc_id"))
+    }),
     "q_dedup_simhash" -> ((s, dir) => {
       // rows-only: xxhash64-based simhash isn't DuckDB-expressible;
       // LlmSpec asserts output == brute-force hamming≤maxDist pairs
@@ -231,7 +244,24 @@ object LlmQueries {
     })
   )
 
+  /** The 60 per-bit sign terms of the md5-simhash oracle — generated,
+    * not hand-spelled: bit j contributes 2^j iff its ±1 vote sum is
+    * positive (exactly `TextKernels.simhashMd5`). */
+  private val simhashMd5Bits: String = (0 until 60).map(j =>
+    s"(CASE WHEN SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << j} ELSE 0 END)")
+    .mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+    "q_simhash_md5" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0)) AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks),
+        |s AS (SELECT doc_id, $simhashMd5Bits AS sh FROM h GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(s.sh, 0) AS simhash_md5
+        |FROM documents d LEFT JOIN s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         |  CAST(len(toks) AS BIGINT) AS n_tokens,

@@ -67,8 +67,11 @@ object CsvImporter {
 
     val loaded = raw.count() - bad
     raw.unpersist()
-    val files = new java.io.File(catalog.tableLocation(table))
-      .listFiles().count(_.getName.endsWith(".parquet"))
+    // Hadoop FS, not java.io: the table location may be remote storage
+    val tLoc = new org.apache.hadoop.fs.Path(catalog.tableLocation(table))
+    val ext = s".${catalog.formatOf(table)}"
+    val files = tLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(tLoc).count(_.getPath.getName.endsWith(ext))
     ImportResult(loaded, bad, files)
   }
 }

@@ -15,9 +15,15 @@ class PipelineSpec extends SparkSpec {
     // chain 1-2, 2-3 (1 and 3 never paired) + island 7-9 + path 10-11-12-13
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (10L, 11L), (11L, 12L), (12L, 13L))
       .toDF("id_a", "id_b")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L)
+    // driver union-find fast path (pair count under the bound)...
     val got = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+    assert(got == want)
+    // ...and the distributed min-label loop (bound forced to 0) agree
+    val gotDist = Dedup.dupClusters(pairs, driverMaxPairs = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(gotDist == want)
   }
 
   test("dupClusters stages labels under the configured shared scratch root") {
@@ -28,8 +34,10 @@ class PipelineSpec extends SparkSpec {
     val rootDir = "file:" + java.nio.file.Files.createTempDirectory("graft_scratch")
     spark.conf.set(graft.sources.Scratch.ConfKey, rootDir)
     try {
+      // force the distributed path (driverMaxPairs = 0): only it stages
       val pairs = Seq((1L, 2L), (2L, 3L), (8L, 5L)).toDF("id_a", "id_b")
-      val got = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+      val got = Dedup.dupClusters(pairs, driverMaxPairs = 0L)
+        .as[(Long, Long)].collect().toMap
       assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 8L -> 5L))
       val hfs = new org.apache.hadoop.fs.Path(rootDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)

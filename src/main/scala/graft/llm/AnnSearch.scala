@@ -79,8 +79,10 @@ object AnnSearch {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Deterministic seeded hyperplanes: numPlanes × dim in [-1, 1]. */
-  private[llm] def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+  /** Deterministic seeded hyperplanes: numPlanes × dim in [-1, 1]
+    * (graft-visible so the oracle builder can embed them as SQL
+    * literals). */
+  private[graft] def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rng = new scala.util.Random(seed)
     Array.fill(numPlanes, dim)(rng.nextDouble() * 2 - 1)
   }
@@ -123,6 +125,38 @@ object AnnSearch {
     val scored = c.join(broadcast(probed), "_tb")
       .groupBy(col("qid"), col("vec_id"))
       .agg(max(least(greatest(dot(col("_v"), col("_q")), lit(-1.0)), lit(1.0))).as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Oracle-replayable LSH: same multi-table 1-bit-flip structure as
+    * [[lshTopK]], pinned to engine-identical arithmetic — bucketing
+    * signs over RAW dots (sign is norm-invariant), candidate scoring
+    * via [[cosine]] (bit-matched to DuckDB), deterministic top-k
+    * ties. With seeded hyperplanes the query is a pure function of
+    * the corpus, so the driver hash-checks the whole LSH probe
+    * (q_ann_lsh_seeded); `lshTopK` stays the production path. */
+  def lshTopKExact(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      numPlanes: Int = 6, numTables: Int = 8, dim: Int = 64,
+      id: String = "vec_id", vec: String = "embedding",
+      qid: String = "qid", qvec: String = "qvec"): DataFrame = {
+    val tables = (0 until numTables).map(t => hyperplanes(numPlanes, dim, seed = 42L + t))
+    val c = corpus.select(col(id).as("vec_id"), asDouble(col(vec)).as("_v"))
+      .select(col("vec_id"), col("_v"),
+        explode(array(tables.zipWithIndex.map { case (p, t) =>
+          struct(lit(t).as("t"), bucketOf(col("_v"), p).as("b"))
+        }: _*)).as("_tb"))
+    val probed = queries.select(col(qid).as("qid"), asDouble(col(qvec)).as("_q"))
+      .select(col("qid"), col("_q"),
+        explode(flatten(array(tables.zipWithIndex.map { case (p, t) =>
+          transform(
+            array(lit(0L) +: (0 until numPlanes).map(i => lit(1L << i)): _*),
+            m => struct(lit(t).as("t"), bucketOf(col("_q"), p).bitwiseXOR(m).as("b")))
+        }: _*))).as("_tb"))
+    val scored = c.join(broadcast(probed), "_tb")
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(max(cosine(col("_v"), col("_q"))).as("cosine"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -174,6 +208,50 @@ object AnnSearch {
       .agg(max(least(greatest(dot(col("_v"), col("_q")), lit(-1.0)), lit(1.0))).as("cosine"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Oracle-replayable IVF: same cell-probe structure as [[ivfTopK]],
+    * pinned to arithmetic both engines spell identically —
+    *  - assignment/probe argmax over RAW dot(v, centroid) (argmax is
+    *    norm-invariant: ||v|| is a per-vector positive constant, so
+    *    skipping normalization removes a whole FP-divergence surface);
+    *  - deterministic ties (lower cell id) on BOTH the assignment
+    *    max_by and the probe rank;
+    *  - candidate scoring via [[cosine]], the fold already proven
+    *    bit-identical to DuckDB's list_cosine_similarity.
+    * With seeded centroids the whole query is a pure function of the
+    * corpus — the driver can hash-match it (q_ann_ivf_seeded), turning
+    * the IVF probe semantics from spec evidence into driver-enforced
+    * evidence. `ivfTopK` remains the production path (normalized
+    * dot-only scoring is the cheaper per-pair kernel). */
+  def ivfTopKExact(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, dim: Int = 64,
+      id: String = "vec_id", vec: String = "embedding",
+      qid: String = "qid", qvec: String = "qvec"): DataFrame = {
+    val centroids = seededCentroids(nlist, dim)
+    val cenArr = array(centroids.zipWithIndex.map { case (cv, i) =>
+      struct(lit(i).as("i"), lit(cv).as("c"))
+    }.toIndexedSeq: _*)
+    val cells = corpus.select(col(id).as("vec_id"), asDouble(col(vec)).as("_v"))
+      .select(col("vec_id"), col("_v"), explode(cenArr).as("_ce"))
+      .select(col("vec_id"),
+        col("_ce.i").as("_celli"), dot(col("_v"), col("_ce.c")).as("_cd"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("_celli"), struct(col("_cd"), -col("_celli"))).as("_cell"))
+    val qw = Window.partitionBy(col("qid")).orderBy(col("_cd").desc, col("_celli"))
+    val probes = queries.select(col(qid).as("qid"), asDouble(col(qvec)).as("_q"))
+      .select(col("qid"), col("_q"), explode(cenArr).as("_ce"))
+      .select(col("qid"), col("_q"),
+        col("_ce.i").as("_celli"), dot(col("_q"), col("_ce.c")).as("_cd"))
+      .withColumn("_cr", row_number().over(qw)).filter(col("_cr") <= nprobe)
+      .select(col("qid"), col("_q"), col("_celli").as("_cell"))
+    val cand = corpus.select(col(id).as("vec_id"), asDouble(col(vec)).as("_v"))
+      .join(cells, "vec_id")
+      .join(broadcast(probes), "_cell")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+    cand.select(col("qid"), col("vec_id"), cosine(col("_v"), col("_q")).as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** Deterministic seeded unit-norm centroid init (shared by ivfTopK

@@ -202,6 +202,36 @@ object LlmQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    "q_ann_lsh_seeded" -> ((s, dir) => {
+      // Oracle-checked LSH: seeded hyperplanes + lshTopKExact pin the
+      // multi-table 1-bit-flip probe to engine-identical arithmetic
+      // (raw-dot sign buckets, bit-matched cosine) — DuckDB replays
+      // bucket → probe → score → top-k. q_ann_lsh keeps the
+      // normalized production path as rows-only + recall spec.
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      AnnSearch.lshTopKExact(emb, queries, k = 10)
+        .select(col("qid"), col("vec_id"), col("cosine"), col("rank").cast("int").as("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+    "q_ann_ivf_seeded" -> ((s, dir) => {
+      // Oracle-checked IVF: seeded centroids make the whole cell-probe
+      // query a pure function of the corpus, and ivfTopKExact pins
+      // every FP sequence to one both engines spell identically (raw
+      // dots for the norm-invariant argmax, deterministic ties, the
+      // bit-matched cosine fold for scoring) — so DuckDB replays
+      // assignment → probe → score → top-k and the driver hash-checks
+      // the IVF semantics end to end. q_ann_ivf keeps the trained/
+      // normalized production path as a rows-only + spec entry.
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      AnnSearch.ivfTopKExact(emb, queries, k = 10, nlist = 16, nprobe = 6)
+        .select(col("qid"), col("vec_id"), col("cosine"), col("rank").cast("int").as("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     "q_ann_pq" -> ((s, dir) => {
       // rows-only: PQ-encode (8 subspaces × 16 centroids — 8 codes/
       // vector, 32× smaller than float32) then ADC-shortlist + exact
@@ -243,6 +273,23 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     })
   )
+
+  /** The 16×64 seeded IVF centroids as DuckDB VALUES rows — embedded
+    * as full-precision literals (Double.toString round-trips; DuckDB
+    * parses to the identical IEEE double). */
+  private def ivfCentroidRows: String =
+    graft.llm.AnnSearch.seededCentroids(nlist = 16, dim = 64).zipWithIndex
+      .map { case (c, i) => s"($i, [${c.mkString(", ")}]::DOUBLE[])" }
+      .mkString(",\n")
+
+  /** The 8×6 seeded LSH hyperplanes as DuckDB VALUES rows
+    * (table, plane-index, plane), full-precision literals. */
+  private def lshPlaneRows: String =
+    (0 until 8).flatMap { t =>
+      graft.llm.AnnSearch.hyperplanes(6, 64, seed = 42L + t).zipWithIndex.map {
+        case (p, i) => s"($t, $i, [${p.mkString(", ")}]::DOUBLE[])"
+      }
+    }.mkString(",\n")
 
   /** The 60 per-bit sign terms of the md5-simhash oracle — generated,
     * not hand-spelled: bit j contributes 2^j iff its ±1 vote sum is
@@ -447,6 +494,56 @@ object LlmQueries {
         |  CAST(floor(len(list_filter(bins, x -> x = 6))::DOUBLE / greatest(1, n_bytes) * 1e9) AS BIGINT) AS f6,
         |  CAST(floor(len(list_filter(bins, x -> x = 7))::DOUBLE / greatest(1, n_bytes) * 1e9) AS BIGINT) AS f7
         |FROM h ORDER BY doc_id""".stripMargin,
+    "q_ann_lsh_seeded" ->
+      s"""WITH pl(t, i, p) AS (VALUES
+        |$lshPlaneRows),
+        |corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+        |cb AS (
+        |  SELECT vec_id, t,
+        |    CAST(SUM(CASE WHEN list_inner_product(v, p) > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS b
+        |  FROM corp CROSS JOIN pl GROUP BY vec_id, t),
+        |qb AS (
+        |  SELECT qid, t,
+        |    CAST(SUM(CASE WHEN list_inner_product(qv, p) > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS b
+        |  FROM q CROSS JOIN pl GROUP BY qid, t),
+        |probes AS (
+        |  SELECT qid, t, CAST(xor(b, m) AS BIGINT) AS b
+        |  FROM qb CROSS JOIN (SELECT CAST(unnest([0, 1, 2, 4, 8, 16, 32]) AS BIGINT) AS m)),
+        |cand AS (SELECT DISTINCT p.qid, c.vec_id
+        |         FROM probes p JOIN cb c ON p.t = c.t AND p.b = c.b)
+        |SELECT qid, vec_id, cosine, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT cand.qid, cand.vec_id,
+        |    list_cosine_similarity(corp.v, q.qv) AS cosine,
+        |    row_number() OVER (PARTITION BY cand.qid
+        |      ORDER BY list_cosine_similarity(corp.v, q.qv) DESC, cand.vec_id) AS rnk
+        |  FROM cand JOIN corp ON cand.vec_id = corp.vec_id JOIN q ON cand.qid = q.qid) t
+        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+    "q_ann_ivf_seeded" ->
+      s"""WITH cen(ci, c) AS (VALUES
+        |$ivfCentroidRows),
+        |corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+        |asg AS (
+        |  SELECT vec_id, ci,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY list_inner_product(v, c) DESC, ci) AS rn
+        |  FROM corp CROSS JOIN cen),
+        |cells AS (SELECT vec_id, ci AS cell FROM asg WHERE rn = 1),
+        |pr AS (
+        |  SELECT qid, ci,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY list_inner_product(qv, c) DESC, ci) AS rn
+        |  FROM q CROSS JOIN cen),
+        |probes AS (SELECT qid, ci AS cell FROM pr WHERE rn <= 6),
+        |cand AS (SELECT p.qid, cl.vec_id FROM probes p JOIN cells cl ON p.cell = cl.cell)
+        |SELECT qid, vec_id, cosine, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT cand.qid, cand.vec_id,
+        |    list_cosine_similarity(corp.v, q.qv) AS cosine,
+        |    row_number() OVER (PARTITION BY cand.qid
+        |      ORDER BY list_cosine_similarity(corp.v, q.qv) DESC, cand.vec_id) AS rnk
+        |  FROM cand JOIN corp ON cand.vec_id = corp.vec_id JOIN q ON cand.qid = q.qid) t
+        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
     "q_mm_frames" ->
       """SELECT doc_id, n_frames, CAST(f AS INT) AS frame_idx
         |FROM (SELECT doc_id, CAST(doc_id % 30 + 1 AS INT) AS n_frames,

@@ -36,6 +36,74 @@ object Dedup {
     docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  // ---- incremental (batch-vs-corpus) dedup ----
+
+  /** Incremental dedup: drop rows of `newDocs` that duplicate the
+    * EXISTING `corpus` — the continuous-ingestion operator (a daily
+    * crawl lands against a deduplicated corpus; re-pairing the corpus
+    * against itself would be absurd at 100 TB). Two stages, both
+    * one-sided:
+    *  - exact: anti-join on md5(text) — the corpus side reduces to
+    *    one hash per doc (distinct), never rescanned per new doc;
+    *  - near (threshold > 0): exact n-gram Jaccard ≥ threshold
+    *    against the corpus, recall 1.0 — candidates from the shingle
+    *    co-occurrence join restricted to NEW×CORPUS (the corpus never
+    *    self-joins, so the quadratic term is |new|-sided only),
+    *    length-filtered, then one intersect fold per surviving pair.
+    * The batch analog of `streaming/StreamingOps.nearDupVsCorpus`.
+    * Requires the two id spaces to be disjoint only in the trivial
+    * sense that ids are per-side; no global id contract. */
+  def dedupAgainst(newDocs: DataFrame, corpus: DataFrame, threshold: Double = 0.0,
+      id: String = "doc_id", text: String = "text", shingleN: Int = 3): DataFrame = {
+    val corpusHashes = corpus.select(md5(col(text)).as("_h")).distinct()
+    val exactNew = newDocs.join(corpusHashes,
+      md5(newDocs(text)) === corpusHashes("_h"), "left_anti")
+    if (threshold <= 0) return exactNew
+    // near-dup vs corpus: candidates share ≥1 shingle from the NEW
+    // doc's PREFIX and pass the J ≥ t length bound; verify is one
+    // array_intersect per pair. ASYMMETRIC prefix join — the right
+    // shape when |new| ≪ |corpus|: only the small side pays the
+    // df-join + rank window, the corpus contributes plain (id, sz,
+    // shingle) rows, and recall stays 1.0 because one-sided prefix
+    // candidates are a superset of the two-sided ones (pigeonhole:
+    // J(A,B) ≥ t forces |A∩B| ≥ ⌈t·|A|⌉, so B must hit A's first
+    // |A| − ⌈t·|A|⌉ + 1 shingles in ANY fixed order). Ordering the
+    // new side's shingles by CORPUS document frequency (ascending;
+    // absent → 0, rarest) keeps each new doc's prefix on corpus-rare
+    // shingles, bounding join volume to Σ_prefix df_C(ng). The
+    // corpus never self-joins: the quadratic term is new×corpus only.
+    import org.apache.spark.sql.expressions.Window
+    def sets(df: DataFrame, side: String) = df.select(col(id).as(s"_id$side"),
+      call_function("shingle_set", col(text), lit(shingleN)).as(s"_set$side"))
+    def rows(df: DataFrame, side: String) = sets(df, side)
+      .select(col(s"_id$side"), size(col(s"_set$side")).as(s"_sz$side"),
+        explode(col(s"_set$side")).as("_ng"))
+    val corpusRows = rows(corpus, "C")
+    val dfTable = corpusRows.groupBy(col("_ng")).agg(count(lit(1)).as("_df"))
+    val newPrefix = {
+      val w = Window.partitionBy(col("_idN")).orderBy(col("_dfo"), col("_ng"))
+      rows(exactNew, "N")
+        .join(dfTable.hint("shuffle_hash"), Seq("_ng"), "left")
+        .withColumn("_dfo", coalesce(col("_df"), lit(0L)))
+        .withColumn("_r", row_number().over(w))
+        .filter(col("_r") <=
+          col("_szN") - ceil(lit(threshold) * col("_szN") - lit(1e-9)) + 1)
+        .select(col("_idN"), col("_szN"), col("_ng"))
+    }
+    val cand = newPrefix.join(corpusRows, Seq("_ng"))
+      .filter(least(col("_szN"), col("_szC")).cast(DoubleType) >=
+        lit(threshold) * greatest(col("_szN"), col("_szC")))
+      .select(col("_idN"), col("_idC")).distinct()
+    val dupNew = cand
+      .join(sets(exactNew, "N"), "_idN")
+      .join(sets(corpus, "C"), "_idC")
+      .withColumn("_inter", size(array_intersect(col("_setN"), col("_setC"))))
+      .filter(col("_inter") / (size(col("_setN")) + size(col("_setC")) - col("_inter"))
+        >= threshold)
+      .select(col("_idN")).distinct()
+    exactNew.join(dupNew, exactNew(id) === dupNew("_idN"), "left_anti")
+  }
+
   // ---- shingling + MinHash ----
 
   /** Word n-gram shingles (default 3). Short docs fall back to a

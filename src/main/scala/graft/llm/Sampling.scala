@@ -62,6 +62,33 @@ object Sampling {
     df.filter(substring(md5(concat(col(keyCol).cast("string"), lit(salt))), 1, 8) < threshold)
   }
 
+  /** Token-BUDGET sample: per stratum, keep documents — in the
+    * deterministic md5(key) pseudo-random order — until the stratum's
+    * cumulative token count would exceed `budgetTokens` — prefix
+    * semantics: the sample is the longest prefix of the stratum's
+    * deterministic order whose token sum fits the budget (the first
+    * overflowing doc and everything after it are cut; delivered
+    * tokens land within one document of the target, which is the
+    * practical contract). This is how training mixtures are actually
+    * specified in practice — "N tokens of source X", not "fraction f
+    * of documents" — and doc-fraction sampling can't hit a token
+    * target when document lengths are skewed.
+    *
+    * One shuffle (window by stratum, the prefix sum); reruns are
+    * byte-identical (order is a pure function of keys), and raising
+    * the budget only ADDS documents — nested samples, the same
+    * property as `uniformSample`'s threshold monotonicity. */
+  def tokenBudgetSample(df: DataFrame, stratumCol: String, keyCol: String,
+      budgetTokens: Long, text: String = "text", salt: String = ""): DataFrame = {
+    require(budgetTokens >= 0, "budget must be non-negative")
+    val digest = md5(concat(col(keyCol).cast("string"), lit(salt)))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(digest, col(keyCol))
+    df.withColumn("_nt", TextAnalysis.tokenCount(col(text)).cast("long"))
+      .withColumn("_cum", sum(col("_nt")).over(w))
+      .filter(col("_cum") <= budgetTokens)
+      .drop("_nt", "_cum")
+  }
+
   /** Stratified deterministic sample: EXACTLY ceil(fraction · |stratum|)
     * rows per stratum (uniform sampling leaves stratum sizes
     * binomially distributed; quota work wants them pinned). Rows are

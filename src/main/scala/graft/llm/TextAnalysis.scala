@@ -196,6 +196,41 @@ object TextAnalysis {
         coalesce(col("_top2"), lit(0L)).as("top_2gram_count"))
   }
 
+  /** Cross-corpus boilerplate removal — the repeated-LINE filter of
+    * published corpus-cleaning rules (headers, footers, nav chrome,
+    * cookie banners recur verbatim across a site's pages): a
+    * non-empty line occurring in more than `maxDocs` DISTINCT
+    * documents is dropped from every document; line order and empty
+    * lines are preserved. Returns (id, text, n_removed).
+    *
+    * Plan shape: posexplode lines → per-line distinct-doc count (one
+    * partial-aggregable shuffle keyed by line) → join the common-line
+    * set back (it is the skewed HEAD of the line distribution —
+    * small, AQE broadcasts it) → re-assemble per doc from the
+    * surviving (position, line) rows. Nothing is quadratic; the
+    * only wide shuffle is the line-count groupBy any df computation
+    * needs. */
+  def removeBoilerplate(docs: org.apache.spark.sql.DataFrame, maxDocs: Long,
+      id: String = "doc_id", text: String = "text"): org.apache.spark.sql.DataFrame = {
+    val lines = docs.select(col(id).as("_id"),
+      posexplode(split(col(text), "\n")).as(Seq("_p", "_l")))
+    val common = lines.filter(length(col("_l")) > 0)
+      .groupBy(col("_l")).agg(count_distinct(col("_id")).as("_docs"))
+      .filter(col("_docs") > maxDocs)
+      .select(col("_l"))
+    val kept = lines.join(common, Seq("_l"), "left_anti")
+    val rebuilt = kept.groupBy(col("_id")).agg(
+      array_join(transform(array_sort(collect_list(struct(col("_p"), col("_l")))),
+        x => x.getField("_l")), "\n").as("_text"),
+      count(lit(1)).as("_kept"))
+    val total = docs.select(col(id), col(text),
+      size(split(col(text), "\n")).cast("long").as("_total"))
+    total.join(rebuilt, total(id) === rebuilt("_id"), "left")
+      .select(col(id),
+        coalesce(col("_text"), lit("")).as(text),
+        (col("_total") - coalesce(col("_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Rotate-xor rolling-hash fingerprint over token xxhashes —
     * order-sensitive (unlike a bag-of-words hash), 64-bit, stable
     * across runs and partitionings. Evaluated as a native codegen

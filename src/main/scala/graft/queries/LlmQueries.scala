@@ -81,6 +81,15 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_text_boilerplate" -> ((s, dir) => {
+      // cross-corpus repeated-line removal (headers/footers/banners):
+      // lines in > 3 distinct docs are stripped everywhere, order and
+      // empty lines preserved. md5 of the cleaned text keeps the dump
+      // narrow; the oracle rebuilds the identical string.
+      TextAnalysis.removeBoilerplate(t(s, dir, "documents"), maxDocs = 3)
+        .select(col("doc_id"), md5(col("text")).as("clean_md5"), col("n_removed"))
+        .orderBy(col("doc_id"))
+    }),
     "q_text_repetition" -> ((s, dir) => {
       // all-integer within-doc repetition signals → engine-exact oracle
       TextAnalysis.repetitionProfile(t(s, dir, "documents"))
@@ -395,6 +404,21 @@ object LlmQueries {
         |FROM documents d
         |LEFT JOIN (SELECT *, greatest(h_de, h_en, h_es, h_fr) AS best FROM prof) p USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q_text_boilerplate" ->
+      """WITH l AS (
+        |  SELECT doc_id, unnest(range(1, len(ls) + 1)) AS p, unnest(ls) AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents)),
+        |common AS (
+        |  SELECT line FROM l WHERE length(line) > 0
+        |  GROUP BY line HAVING COUNT(DISTINCT doc_id) > 3),
+        |kept AS (SELECT l.* FROM l LEFT JOIN common c ON l.line = c.line
+        |         WHERE c.line IS NULL),
+        |rb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY p) AS txt,
+        |         COUNT(*) AS k
+        |       FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, md5(COALESCE(rb.txt, '')) AS clean_md5,
+        |  CAST(len(string_split(d.text, chr(10))) - COALESCE(rb.k, 0) AS BIGINT) AS n_removed
+        |FROM documents d LEFT JOIN rb USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "q_text_repetition" ->
       """WITH tok AS (
         |  SELECT doc_id,

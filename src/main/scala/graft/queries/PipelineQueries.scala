@@ -91,6 +91,26 @@ object PipelineQueries {
       Packing.packSequences(t(s, dir, "documents"), budget = 512L)
         .orderBy(col("doc_id"))
     }),
+    "q_dedup_incremental" -> ((s, dir) => {
+      // continuous ingestion: dedup "today's batch" (doc_id % 5 = 0)
+      // against the existing corpus — exact (md5 anti-join) + near
+      // (prefix-filtered exact jaccard ≥ 0.5, recall 1.0, the corpus
+      // never self-joins). Oracle replays both stages.
+      val docs = t(s, dir, "documents")
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      Dedup.dedupAgainst(batch, corpus, threshold = 0.5)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_sample_budget" -> ((s, dir) => {
+      // token-budget mixture sampling: the longest md5-ordered prefix
+      // of each source whose token sum fits 500 tokens (a binding budget at every test SF)
+      Sampling.tokenBudgetSample(t(s, dir, "documents"), "source", "doc_id",
+          budgetTokens = 500L)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
     "q_sample_uniform" -> ((s, dir) => {
       Sampling.uniformSample(t(s, dir, "documents"), "doc_id", fraction = 0.1)
         .select(col("doc_id"), col("lang"), col("source"))
@@ -243,6 +263,35 @@ object PipelineQueries {
         |  (cum - n_tokens) % 512 AS pack_off,
         |  ((cum - 1) // 512) - ((cum - n_tokens) // 512) + 1 AS n_packs
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""WITH $shingleCte,
+        |nd AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+        |cp AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+        |ex AS (
+        |  SELECT nd.* FROM nd
+        |  LEFT JOIN (SELECT DISTINCT md5(text) AS h FROM cp) ch ON md5(nd.text) = ch.h
+        |  WHERE ch.h IS NULL),
+        |dup AS (
+        |  SELECT DISTINCT a.doc_id FROM
+        |    (SELECT s.* FROM sh s JOIN ex ON s.doc_id = ex.doc_id) a
+        |  JOIN (SELECT s.* FROM sh s JOIN cp ON s.doc_id = cp.doc_id) b
+        |  ON len(list_intersect(a.s, b.s))::DOUBLE
+        |       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5)
+        |SELECT e.doc_id, e.lang, e.source FROM ex e
+        |LEFT JOIN dup ON e.doc_id = dup.doc_id
+        |WHERE dup.doc_id IS NULL ORDER BY e.doc_id""".stripMargin,
+    "q_sample_budget" ->
+      """WITH tok AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> length(x) > 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id,
+        |    SUM(n) OVER (PARTITION BY source
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS cum
+        |  FROM tok)
+        |SELECT source, doc_id FROM c WHERE cum <= 500
+        |ORDER BY source, doc_id""".stripMargin,
     "q_sample_uniform" ->
       s"""SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5(doc_id::VARCHAR), 1, 8) < '${Sampling.hexThreshold(0.1)}'

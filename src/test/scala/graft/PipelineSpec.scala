@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Packing, Sampling}
+import graft.llm.{Dedup, Packing, Sampling, TextAnalysis}
 
 /** Invariant proofs for the pipeline-composition operators: dup-pair
   * cluster resolution (transitive closure, canonical selection),
@@ -100,6 +100,56 @@ class PipelineSpec extends SparkSpec {
     // P(in both) ≈ 0.25 for independent halves; binary-split would be 0 or 0.5
     val overlap = a.intersect(b).size / n
     assert(overlap > 0.1 && overlap < 0.4)
+  }
+
+  test("tokenBudgetSample: sums fit the budget, samples nest as budget grows") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    def sample(b: Long) = Sampling.tokenBudgetSample(docs, "source", "doc_id", b)
+    // every stratum's delivered tokens fit the budget
+    val sums = sample(300L)
+      .select(col("source"), graft.llm.TextAnalysis.tokenCount(col("text")).as("n"))
+      .groupBy("source").agg(sum("n").as("tot"))
+    assert(sums.filter(col("tot") > 300).isEmpty)
+    assert(sums.count() > 0, "budget should admit at least some docs")
+    // monotone: a larger budget only ADDS documents
+    val small = sample(200L).select("doc_id").as[Long].collect().toSet
+    val large = sample(800L).select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(large))
+    // reruns identical
+    assert(sample(200L).select("doc_id").as[Long].collect().toSet == small)
+  }
+
+  test("dedupAgainst drops exact and near dups of the corpus, keeps novel docs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog every single day"),
+      (2L, "completely different corpus content about databases and queries")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog every single day"), // exact
+      (11L, "the quick brown fox jumps over the lazy dog every single night"), // near
+      (12L, "a totally novel document that matches nothing in the corpus at all")
+    ).toDF("doc_id", "text")
+    val keptExactOnly = Dedup.dedupAgainst(batch, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptExactOnly == Set(11L, 12L)) // exact stage alone keeps the near-dup
+    val kept = Dedup.dedupAgainst(batch, corpus, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L))
+  }
+
+  test("removeBoilerplate strips cross-doc repeated lines, preserves order and blanks") {
+    val docs = Seq(
+      (1L, "SITE HEADER\nunique one\n\nSITE FOOTER"),
+      (2L, "SITE HEADER\nunique two\nSITE FOOTER"),
+      (3L, "SITE HEADER\nunique three\nSITE FOOTER"),
+      (4L, "no chrome here at all")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.removeBoilerplate(docs, maxDocs = 2)
+      .select(col("doc_id"), col("text"), col("n_removed"))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("unique one\n", 2L))) // blank line survives, order kept
+    assert(got(2L) == (("unique two", 2L)))
+    assert(got(4L) == (("no chrome here at all", 0L)))
   }
 
   test("stratifiedSample pins exactly ceil(f·n) rows per stratum") {

@@ -233,6 +233,49 @@ object Quantize {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Oracle-replayable ADC + exact rerank: same two-stage search as
+    * [[pqRerankTopK]], with the one nondeterminism squeezed out — the
+    * ADC score is the sum of m=|codebooks| single-row terms added in
+    * FIXED subspace order (an 8-term expression over one-row pivot
+    * sums), not an agg over rows whose order the shuffle decides; the
+    * rerank scores with [[AnnSearch.cosine]] (bit-matched to DuckDB).
+    * With seeded codebooks the whole query is a pure function of the
+    * corpus, so the driver hash-checks encode → ADC → shortlist →
+    * rerank end to end (q_ann_pq_seeded). */
+  def pqRerankTopKExact(encoded: DataFrame, codebooks: Array[Array[Array[Double]]],
+      corpus: DataFrame, queries: DataFrame, k: Int, shortlist: Int = 50,
+      dim: Int = 64, id: String = "vec_id",
+      vec: String = "embedding", qid: String = "qid", qvec: String = "qvec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = codebooks.length
+    val corpusRows = encoded.select(col(id).as("vec_id"),
+      posexplode(col("codes")).as(Seq("_sub", "_code")))
+    val lut = subRows(queries, dim, m, qid, qvec)
+      .withColumnRenamed("_id", "qid")
+      .join(broadcast(
+          queries.sparkSession.range(1).select(explode(codebookArr(codebooks)).as("_cb"))
+            .select(col("_cb.s").as("_sub"), col("_cb.i").as("_code"), col("_cb.c").as("_c"))),
+        Seq("_sub"))
+      .select(col("qid"), col("_sub"), col("_code"),
+        call_function("vec_dot", col("_sv"), col("_c")).as("_qdot"))
+    val terms = (0 until m).map(s =>
+      sum(when(col("_sub") === s, col("_qdot"))).as(s"_s$s"))
+    val scored = corpusRows.join(broadcast(lut), Seq("_sub", "_code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(terms.head, terms.tail: _*)
+      .select(col("qid"), col("vec_id"),
+        (0 until m).map(s => col(s"_s$s")).reduce(_ + _).as("score"))
+    val sw = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    val short = scored.withColumn("_sr", row_number().over(sw))
+      .filter(col("_sr") <= shortlist).select(col("qid"), col("vec_id"))
+    val c = corpus.select(col(id).as("vec_id"), col(vec).cast(ArrayType(DoubleType)).as("_v"))
+    val q = queries.select(col(qid).as("qid"), col(qvec).cast(ArrayType(DoubleType)).as("_q"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+    short.join(c, "vec_id").join(broadcast(q), "qid")
+      .select(col("qid"), col("vec_id"), AnnSearch.cosine(col("_v"), col("_q")).as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Max-cosine coarse cell per corpus vector — the IVF assignment,
     * shared by the inline `ivfPqTopK` path and the persisted index
     * writer. Returns (vec_id, _cell). */

@@ -257,6 +257,24 @@ object LlmQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    "q_ann_pq_seeded" -> ((s, dir) => {
+      // Oracle-checked PQ: encode (argmin ||x−c||² via the 2x·c − c·c
+      // form, ties to the lower code) → ADC with a FIXED-order 8-term
+      // score → shortlist → exact cosine rerank. Every FP sequence is
+      // one both engines spell identically, and seeded codebooks make
+      // the query a pure function of the corpus — the driver
+      // hash-checks the PQ family end to end. q_ann_pq keeps the
+      // production path (agg-ordered ADC sum) as rows-only + spec.
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cb = Quantize.seededCodebooks(m = 8, ksub = 16, dsub = 8)
+      Quantize.pqRerankTopKExact(Quantize.pqEncode(emb, cb), cb, emb, queries,
+          k = 10, shortlist = 50)
+        .select(col("qid"), col("vec_id"), col("cosine"), col("rank").cast("int").as("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // ---- multimodal ----
     "q_mm_frames" -> ((s, dir) => {
       Multimodal.sampleFrames(Multimodal.attachPayload(t(s, dir, "documents")), step = 5)
@@ -297,6 +315,16 @@ object LlmQueries {
     (0 until 8).flatMap { t =>
       graft.llm.AnnSearch.hyperplanes(6, 64, seed = 42L + t).zipWithIndex.map {
         case (p, i) => s"($t, $i, [${p.mkString(", ")}]::DOUBLE[])"
+      }
+    }.mkString(",\n")
+
+  /** The 8×16 seeded PQ codebooks as DuckDB VALUES rows
+    * (sub, code, centroid, ‖c‖²) — ‖c‖² embedded as a literal so both
+    * engines use the identical Scala-folded value. */
+  private def pqCodebookRows: String =
+    graft.llm.Quantize.seededCodebooks(m = 8, ksub = 16, dsub = 8).zipWithIndex.flatMap {
+      case (cb, s) => cb.zipWithIndex.map { case (c, i) =>
+        s"($s, $i, [${c.mkString(", ")}]::DOUBLE[], ${c.map(x => x * x).sum})"
       }
     }.mkString(",\n")
 
@@ -518,6 +546,52 @@ object LlmQueries {
         |  CAST(floor(len(list_filter(bins, x -> x = 6))::DOUBLE / greatest(1, n_bytes) * 1e9) AS BIGINT) AS f6,
         |  CAST(floor(len(list_filter(bins, x -> x = 7))::DOUBLE / greatest(1, n_bytes) * 1e9) AS BIGINT) AS f7
         |FROM h ORDER BY doc_id""".stripMargin,
+    "q_ann_pq_seeded" ->
+      s"""WITH cb(s, i, c, cc) AS (VALUES
+        |$pqCodebookRows),
+        |corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+        |cu AS (SELECT vec_id, v,
+        |         CASE WHEN sqrt(list_inner_product(v, v)) > 0
+        |           THEN list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+        |           ELSE v END AS u
+        |       FROM corp),
+        |subs(sub) AS (SELECT unnest(range(0, 8))),
+        |cs AS (SELECT vec_id, sub, u[sub*8+1 : sub*8+8] AS sv FROM cu CROSS JOIN subs),
+        |asg AS (
+        |  SELECT vec_id, sub, i AS code,
+        |    row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY (list_inner_product(sv, c) * 2 - cc) DESC, i) AS rn
+        |  FROM cs JOIN cb ON cb.s = cs.sub),
+        |codes AS (SELECT vec_id, sub, code FROM asg WHERE rn = 1),
+        |qu AS (SELECT qid, qv,
+        |         CASE WHEN sqrt(list_inner_product(qv, qv)) > 0
+        |           THEN list_transform(qv, x -> x / sqrt(list_inner_product(qv, qv)))
+        |           ELSE qv END AS u
+        |       FROM q),
+        |qs AS (SELECT qid, sub, u[sub*8+1 : sub*8+8] AS sv FROM qu CROSS JOIN subs),
+        |lut AS (SELECT qid, sub, i AS code, list_inner_product(sv, c) AS qdot
+        |        FROM qs JOIN cb ON cb.s = qs.sub),
+        |sc AS (
+        |  SELECT l.qid, co.vec_id,
+        |    SUM(CASE WHEN co.sub = 0 THEN l.qdot END) + SUM(CASE WHEN co.sub = 1 THEN l.qdot END)
+        |    + SUM(CASE WHEN co.sub = 2 THEN l.qdot END) + SUM(CASE WHEN co.sub = 3 THEN l.qdot END)
+        |    + SUM(CASE WHEN co.sub = 4 THEN l.qdot END) + SUM(CASE WHEN co.sub = 5 THEN l.qdot END)
+        |    + SUM(CASE WHEN co.sub = 6 THEN l.qdot END) + SUM(CASE WHEN co.sub = 7 THEN l.qdot END)
+        |      AS score
+        |  FROM codes co JOIN lut l ON co.sub = l.sub AND co.code = l.code
+        |  GROUP BY l.qid, co.vec_id),
+        |short AS (SELECT qid, vec_id FROM (
+        |  SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+        |  FROM sc) t WHERE rn <= 50)
+        |SELECT qid, vec_id, cosine, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT short.qid, short.vec_id,
+        |    list_cosine_similarity(corp.v, q.qv) AS cosine,
+        |    row_number() OVER (PARTITION BY short.qid
+        |      ORDER BY list_cosine_similarity(corp.v, q.qv) DESC, short.vec_id) AS rnk
+        |  FROM short JOIN corp ON short.vec_id = corp.vec_id JOIN q ON short.qid = q.qid) t
+        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
     "q_ann_lsh_seeded" ->
       s"""WITH pl(t, i, p) AS (VALUES
         |$lshPlaneRows),

@@ -219,6 +219,47 @@ final class VersionedTable private (val location: String, spark: SparkSession) {
     commit(files, base)
   }
 
+  /** Row-level change feed between two versions (CDC) — the snapshot
+    * diff the reference's version buffer makes cheap (VSS tracks which
+    * blocks each transaction superseded; here the manifest diff tracks
+    * which FILES each version superseded). Returns the table's columns
+    * plus `_change` ∈ ('insert' | 'delete'); an UPDATE surfaces as a
+    * delete of the old row + an insert of the new one (file-level
+    * copy-on-write has no stable row identity to pair them).
+    *
+    * Cost ∝ rows in CHANGED files only, never table size: unchanged
+    * files are carried between manifests by reference and drop out of
+    * the file-level diff up front; the row-level `exceptAll` (which
+    * cancels the untouched rows CoW carried into a rewritten file)
+    * then shuffles only the changed-file rows. At 100 TB a
+    * ten-file update diffs ten files. */
+  def changes(fromVersion: Int, toVersion: Int = currentVersion): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changes: fromVersion $fromVersion > toVersion $toVersion")
+    val before = filesOf(fromVersion)
+    val after = filesOf(toVersion)
+    val beforeSet = before.toSet
+    val afterSet = after.toSet
+    val addedF = after.filterNot(beforeSet)
+    val removedF = before.filterNot(afterSet)
+    def rows(files: Seq[String]) = spark.read.parquet(files: _*)
+    (addedF.nonEmpty, removedF.nonEmpty) match {
+      case (false, false) =>
+        read(toVersion).withColumn("_change", lit("insert")).limit(0)
+      case (true, false) =>
+        rows(addedF).withColumn("_change", lit("insert"))
+      case (false, true) =>
+        rows(removedF).withColumn("_change", lit("delete"))
+      case (true, true) =>
+        // multiset difference: a row CoW-carried verbatim through a
+        // rewrite appears once per side and cancels; true inserts,
+        // deletes, and both halves of an update survive
+        rows(addedF).exceptAll(rows(removedF)).withColumn("_change", lit("insert"))
+          .unionByName(
+            rows(removedF).exceptAll(rows(addedF)).withColumn("_change", lit("delete")))
+    }
+  }
+
   /** Drop data files no longer referenced by ANY retained manifest,
     * keeping the newest `keepVersions` manifests — the analog of the
     * reference's version-buffer reclamation on transaction end. */

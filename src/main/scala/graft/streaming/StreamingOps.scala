@@ -142,6 +142,38 @@ object StreamingOps {
       .filter(col("n_hits") < minHits)
   }
 
+  /** Streaming UPSERT into a [[graft.dml.VersionedTable]]: each
+    * micro-batch lands as ONE transactional MERGE (matched keys
+    * replaced, new keys appended), so downstream readers only ever
+    * see whole-batch version boundaries — the streaming face of the
+    * reference's DML path, where every statement is one DBRM-
+    * serialized transaction. A commit that loses the manifest race
+    * to a concurrent writer retries against the fresh version
+    * (re-read → re-merge is safe: MERGE is idempotent per key); the
+    * checkpoint makes a crashed batch replay to the same end state
+    * for the same reason. AvailableNow = drain-and-stop, the
+    * incremental-batch shape of `ingest`. */
+  def upsertStream(docs: DataFrame, table: graft.dml.VersionedTable, key: String,
+      checkpoint: String, maxRetries: Int = 5): Unit =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          var attempt = 0
+          var done = false
+          while (!done) {
+            try { table.merge(batch, key); done = true }
+            catch { case e: graft.dml.ConcurrentWriteException =>
+              attempt += 1
+              if (attempt > maxRetries) throw e
+            }
+          }
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
   /** Incremental-batch ingest: drain available input into parquet and
     * stop (AvailableNow), checkpointed for exactly-once resume. */
   def ingest(events: DataFrame, path: String, checkpoint: String): Unit =

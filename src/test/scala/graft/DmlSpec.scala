@@ -196,6 +196,45 @@ class DmlSpec extends SparkSpec {
     assert(VersionedTable.open(spark, loc).read().count() == 41)
   }
 
+  test("changes() emits a row-level diff between versions, cost-bounded to touched files") {
+    val loc = freshLoc()
+    val t = VersionedTable.create(spark, loc,
+      (1 to 100).map(i => (i.toLong, i * 10.0)).toDF("id", "bal"), initialFiles = 4)
+    val v0 = t.currentVersion
+    t.insert(Seq((101L, 1010.0), (102L, 1020.0)).toDF("id", "bal")) // v1
+    t.update(col("id") === 7, Map("bal" -> lit(-7.0)))              // v2
+    t.delete(col("id") === 50)                                      // v3
+    val v3 = t.currentVersion
+
+    // per-op feeds
+    val ins = t.changes(v0, v0 + 1)
+    assert(ins.filter(col("_change") === "insert").count() == 2)
+    assert(ins.filter(col("_change") === "delete").count() == 0)
+
+    val upd = t.changes(v0 + 1, v0 + 2)
+    // CoW rewrote a whole file, but carried rows cancel: only the
+    // changed row surfaces, as delete(old) + insert(new)
+    assert(upd.count() == 2)
+    assert(upd.filter(col("_change") === "delete")
+      .select("bal").as[Double].head() == 70.0)
+    assert(upd.filter(col("_change") === "insert")
+      .select("bal").as[Double].head() == -7.0)
+
+    val del = t.changes(v0 + 2, v3)
+    assert(del.count() == 1)
+    assert(del.filter(col("_change") === "delete").select("id").as[Long].head() == 50L)
+
+    // cumulative feed composes the net effect of all three commits
+    val all = t.changes(v0, v3)
+    assert(all.filter(col("_change") === "insert").select("id").as[Long]
+      .collect().toSet == Set(7L, 101L, 102L))
+    assert(all.filter(col("_change") === "delete").select("id").as[Long]
+      .collect().toSet == Set(7L, 50L))
+    // self-diff and no-op diff are empty but schema-complete
+    assert(t.changes(v3, v3).count() == 0)
+    assert(t.changes(v3, v3).columns.toSeq == Seq("id", "bal", "_change"))
+  }
+
   test("concurrent reader stays pinned at its version across writer commits") {
     // The VSS contract (versioning/BRM/vss.h:167-198): a reader that
     // opened at version N keeps seeing N's state while writers commit

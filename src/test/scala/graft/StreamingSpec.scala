@@ -112,6 +112,35 @@ class StreamingSpec extends SparkSpec {
     assert(kept.contains(2L) && !kept.contains(1L))
   }
 
+  test("streaming upsert lands each micro-batch as one transactional MERGE") {
+    implicit val sqlCtx = spark.sqlContext
+    val loc = Files.createTempDirectory("graft_stream_tbl").toString
+    val ckpt = Files.createTempDirectory("graft_stream_uckpt").toString
+    val t = graft.dml.VersionedTable.create(spark, loc,
+      Seq((1L, "seed_1", 10.0), (2L, "seed_2", 20.0)).toDF("id", "name", "bal"))
+    val v0 = t.currentVersion
+    val input = MemoryStream[(Long, String, Double)]
+    input.addData((2L, "updated_2", 99.0), (3L, "new_3", 30.0))
+    StreamingOps.upsertStream(input.toDF().toDF("id", "name", "bal"), t, "id", ckpt)
+    assert(t.currentVersion == v0 + 1, "one batch = one version")
+    val now = t.read()
+    assert(now.count() == 3)
+    assert(now.filter($"id" === 2L).select("name").as[String].head() == "updated_2")
+    assert(now.filter($"id" === 1L).select("bal").as[Double].head() == 10.0)
+    // drained checkpoint: a re-run with no new data commits nothing
+    StreamingOps.upsertStream(input.toDF().toDF("id", "name", "bal"), t, "id", ckpt)
+    assert(t.currentVersion == v0 + 1)
+    // a second batch lands as the next version; CDC shows its net diff
+    input.addData((3L, "renamed_3", 33.0))
+    StreamingOps.upsertStream(input.toDF().toDF("id", "name", "bal"), t, "id", ckpt)
+    assert(t.currentVersion == v0 + 2)
+    val diff = t.changes(v0 + 1, v0 + 2)
+    assert(diff.filter($"_change" === "insert").select("name").as[String].head()
+      == "renamed_3")
+    assert(diff.filter($"_change" === "delete").select("name").as[String].head()
+      == "new_3")
+  }
+
   test("AvailableNow ingest drains the stream into parquet exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val out = Files.createTempDirectory("graft_stream_out").toString

@@ -69,6 +69,62 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** Gopher-style heuristic quality rules (the published
+    * corpus-filtering rule set of Rae et al. 2021, §A1.1): per
+    * document, the raw integer signals each rule reads plus the
+    * composite `pass` flag —
+    *  - 50 ≤ word count ≤ 100,000
+    *  - mean word length in [3, 10] characters
+    *  - symbol-to-word ratio ('#' and '...') ≤ 0.1
+    *  - < 90% of lines start with a bullet, ≤ 30% end with ellipsis
+    *  - ≥ 80% of words contain an alphabetic character
+    *  - ≥ 2 distinct hits in a required-stopword set
+    * Signals are integer counts and every threshold is integer
+    * arithmetic (10·symbols ≤ words, not symbols/words ≤ 0.1), so the
+    * DuckDB oracle replays the flag bit-exactly — no float grid. One
+    * per-row projection: no shuffle, no UDF; at 100 TB this is a pure
+    * scan-side filter like [[qualityScore]]. */
+  def qualityRules(docs: org.apache.spark.sql.DataFrame,
+      id: String = "doc_id", text: String = "text",
+      requiredStopwords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"))
+      : org.apache.spark.sql.DataFrame = {
+    val req = requiredStopwords
+    val ts = tokens(col(text))
+    val lts = tokens(lower(col(text)))
+    val lns = filter(split(col(text), "\n"), l => length(l) > 0)
+    val nTok = size(ts).cast("long")
+    val sumTl = length(regexp_replace(col(text), "[ \\t\\n\\f\\r]", "")).cast("long")
+    // non-overlapping left-to-right '...' occurrences — replace-and-
+    // diff, the same counting rule both engines implement natively
+    val nHash = (length(col(text)) - length(replace(col(text), lit("#"), lit("")))).cast("long")
+    val nEll = floor((length(col(text))
+      - length(replace(col(text), lit("..."), lit("")))) / 3).cast("long")
+    docs.select(col(id),
+        nTok.as("n_tokens"),
+        sumTl.as("sum_token_len"),
+        (nHash + nEll).as("n_symbols"),
+        size(lns).cast("long").as("n_lines"),
+        size(filter(lns, l => l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
+          .cast("long").as("n_bullet_lines"),
+        size(filter(lns, l => l.endsWith("...") || l.endsWith("…")))
+          .cast("long").as("n_ellipsis_lines"),
+        size(filter(ts, t => t.rlike("[a-zA-Z]"))).cast("long").as("n_alpha_tokens"),
+        // count over the CONSTANT stopword list (inherently distinct) —
+        // sidesteps engine-specific list_intersect dedup semantics
+        size(filter(lit(req.toArray), w => array_contains(lts, w)))
+          .cast("long").as("n_req_stopwords"))
+      .withColumn("pass",
+        col("n_tokens").between(50, 100000) &&
+        col("sum_token_len") >= col("n_tokens") * 3 &&
+        col("sum_token_len") <= col("n_tokens") * 10 &&
+        col("n_symbols") * 10 <= col("n_tokens") &&
+        col("n_bullet_lines") * 10 <= col("n_lines") * 9 &&
+        col("n_ellipsis_lines") * 10 <= col("n_lines") * 3 &&
+        col("n_alpha_tokens") * 5 >= col("n_tokens") * 4 &&
+        col("n_req_stopwords") >= 2)
+  }
+
   /** Composite quality score in [0,1]: length sweet-spot ×
     * (1 − punct excess) × stopword-presence signal. Deterministic and
     * cheap; the shape mirrors heuristic pre-filters used before

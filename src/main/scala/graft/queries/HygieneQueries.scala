@@ -72,6 +72,17 @@ object HygieneQueries {
         .orderBy(col("df").desc, col("shingle"))
         .limit(20)
     }),
+    "q_quality_rules" -> ((s, dir) => {
+      // Gopher-style rule signals + composite pass flag; all-integer
+      // thresholds so the flag is engine-exact. The required-stopword
+      // set is adapted to the synthetic corpus's vocabulary (only
+      // 'the'/'a' of Gopher's English set occur in it) so the flag
+      // actually discriminates — the operator's default stays the
+      // published list.
+      graft.llm.TextAnalysis.qualityRules(t(s, dir, "documents"),
+          requiredStopwords = Seq("the", "a", "key", "value", "table", "row"))
+        .orderBy(col("doc_id"))
+    }),
     "q_sample_mixture" -> ((s, dir) => {
       Sampling.mixtureSample(t(s, dir, "documents"), "source", "doc_id",
           weights = Map("src0" -> 0.5, "src1" -> 0.4, "src2" -> 0.3, "src3" -> 0.2),
@@ -138,6 +149,34 @@ object HygieneQueries {
         |SELECT ng AS shingle, CAST(COUNT(*) AS BIGINT) AS df
         |FROM (SELECT doc_id, unnest(s) AS ng FROM sh)
         |GROUP BY ng ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
+    "q_quality_rules" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> length(x) > 0) AS toks,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0) AS ltoks,
+        |    list_filter(string_split(text, chr(10)), x -> length(x) > 0) AS lns
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[ \t\n\f\r]', '', 'g')) AS BIGINT) AS sum_token_len,
+        |    CAST(length(text) - length(replace(text, '#', ''))
+        |      + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+        |    CAST(len(lns) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lns, x -> x LIKE '-%' OR x LIKE '*%' OR x LIKE '•%')) AS BIGINT) AS n_bullet_lines,
+        |    CAST(len(list_filter(lns, x -> x LIKE '%...' OR x LIKE '%…')) AS BIGINT) AS n_ellipsis_lines,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_tokens,
+        |    CAST(len(list_filter(['the','a','key','value','table','row'],
+        |      w -> list_contains(ltoks, w))) AS BIGINT) AS n_req_stopwords
+        |  FROM b)
+        |SELECT *, (n_tokens BETWEEN 50 AND 100000
+        |  AND sum_token_len >= n_tokens * 3 AND sum_token_len <= n_tokens * 10
+        |  AND n_symbols * 10 <= n_tokens
+        |  AND n_bullet_lines * 10 <= n_lines * 9
+        |  AND n_ellipsis_lines * 10 <= n_lines * 3
+        |  AND n_alpha_tokens * 5 >= n_tokens * 4
+        |  AND n_req_stopwords >= 2) AS pass
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_sample_mixture" ->
       s"""SELECT source, doc_id FROM documents
         |WHERE substr(md5(doc_id::VARCHAR), 1, 8) < CASE source

@@ -296,6 +296,25 @@ class LlmSpec extends SparkSpec {
     assert(q(3L) == 0.0)
   }
 
+  test("gopher quality rules: each rule trips on its designed offender") {
+    val fluent = ((1 to 60).map(i => s"word$i") ++ Seq("the", "of")).mkString(" ")
+    val df = Seq(
+      (1L, fluent),                                       // passes every rule
+      (2L, (1 to 10).map(i => s"word$i").mkString(" ")),  // too short (< 50 tokens)
+      (3L, fluent + " " + Seq.fill(20)("### ... ###").mkString(" ")), // symbol ratio
+      (4L, (1 to 60).map(i => s"- bullet$i the of").mkString("\n")),  // all-bullet lines
+      (5L, fluent.replace("word", "12345")),              // digits: alpha-word rule
+      (6L, (1 to 60).map(i => s"word$i").mkString(" "))   // no required stopwords
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityRules(df)
+      .select("doc_id", "pass").as[(Long, Boolean)].collect().toMap
+    assert(r(1L), "fluent doc must pass")
+    assert(!r(2L) && !r(3L) && !r(4L) && !r(5L) && !r(6L))
+    // empty text: all counts zero, fails deterministically (no NaN/null)
+    val empty = TextAnalysis.qualityRules(Seq((9L, "")).toDF("doc_id", "text")).head()
+    assert(!empty.getAs[Boolean]("pass") && empty.getAs[Long]("n_tokens") == 0L)
+  }
+
   test("multimodal: features are deterministic, frame sampling matches arithmetic") {
     val media = Multimodal.attachPayload(
       Seq((3L, "abcabc"), (6L, "zzzz")).toDF("doc_id", "text"))

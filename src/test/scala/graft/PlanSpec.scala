@@ -63,6 +63,41 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter from the selective side prunes the big side's scan") {
+    // the reference eliminates big-side extents using small-side
+    // runtime values (casual partition elimination via extent min/max);
+    // Spark's analog is runtime bloom-filter injection — on by default,
+    // but gated by size thresholds calibrated for real clusters (the
+    // application side must scan > 10 GB), so at 100 TB it fires on
+    // exactly the plans that need it. The test lowers the gates to
+    // show the mechanism at test scale.
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val olds = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = Tables.t(spark, sfDir, "lineitem")
+      val ord = Tables.t(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("q"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n$plan")
+      // and the filtered plan still computes the right answer
+      val (bloomed, rows) = (j.collect(), {
+        spark.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        try j.collect()
+        finally spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      })
+      assert(bloomed.toSeq == rows.toSeq)
+    } finally olds.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("filter pushdown reaches the parquet scan in flagship queries") {
     val plan = SparkEntry.queries("q6_forecast")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -89,6 +89,44 @@ object Sampling {
       .drop("_nt", "_cum")
   }
 
+  /** Disjoint, exhaustive train/validation/test split: the md5(key)
+    * unit interval is carved into consecutive bands, one per split in
+    * the given order, so every row lands in EXACTLY one split, the
+    * assignment is a pure per-row function of (key, salt) — codegen'd
+    * scan expression, no shuffle — and resizing a band moves only the
+    * rows across the one shared boundary (stable splits as ratios are
+    * tuned). Leakage control is the choice of key: key on a GROUP
+    * column (site, conversation, author) and every row of the group
+    * shares a digest, landing in the same split. Returns `df` plus a
+    * `split` column. */
+  def hashSplit(df: DataFrame, keyCol: String, splits: Seq[(String, Double)],
+      salt: String = ""): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    splits.foreach { case (_, f) => require(f >= 0 && f <= 1, "fractions in [0,1]") }
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "split fractions must sum to 1")
+    val digest = substring(md5(concat(col(keyCol).cast("string"), lit(salt))), 1, 8)
+    val uppers = splits.scanLeft(0.0)(_ + _._2).tail // cumulative band bounds
+    val assign = splits.zip(uppers).init
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), hi)) =>
+        val cond = digest < lit(hexThreshold(hi))
+        Some(acc.fold(when(cond, lit(name)))(_.when(cond, lit(name))))
+      }
+      .map(_.otherwise(lit(splits.last._1))).get
+    df.withColumn("split", assign)
+  }
+
+  /** Deterministic global shuffle — the reproducible training-order
+    * op: every epoch's order is a pure function of (key, salt), so a
+    * rerun (or a resumed job) sees byte-identical order at any
+    * cluster size, and each epoch's salt gives an independent
+    * permutation. A total order costs exactly one range-partitioned
+    * sort — the minimum any global order can cost — and the emitted
+    * `_shuffle_key` lets downstream stages re-verify or re-establish
+    * the order without re-sorting blindly. */
+  def deterministicShuffle(df: DataFrame, keyCol: String, salt: String = ""): DataFrame =
+    df.withColumn("_shuffle_key", md5(concat(col(keyCol).cast("string"), lit(salt))))
+      .orderBy(col("_shuffle_key"), col(keyCol))
+
   /** Stratified deterministic sample: EXACTLY ceil(fraction · |stratum|)
     * rows per stratum (uniform sampling leaves stratum sizes
     * binomially distributed; quota work wants them pinned). Rows are

@@ -215,6 +215,32 @@ object TextAnalysis {
         coalesce(lenScore * punctScore * swScore, lit(0.0)).as("quality"))
   }
 
+  /** Distinctive terms per document — tf-idf-flavored keyword
+    * extraction with an integer-exact ordering: terms rank by
+    * (tf DESC, df ASC, term ASC) — most frequent in the doc, ties
+    * broken toward corpus-rare — and the top `k` survive. For fixed
+    * tf this is exactly the order idf induces, without the
+    * libm-variant ln() a literal tf·idf score would put between the
+    * engines. One exploded-token pipeline: per-doc tf is a
+    * partial-aggregable groupBy, df aggregates the (doc, term) rows
+    * tf already produced (no second tokenization), and the top-k
+    * window is bounded per doc — every stage partial-aggregates, so
+    * the shape survives a 100 TB corpus. */
+  def distinctiveTerms(docs: org.apache.spark.sql.DataFrame, k: Int = 3,
+      id: String = "doc_id", text: String = "text"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(id).as("_id"),
+      explode(tokens(lower(col(text)))).as("_t"))
+    val tf = toks.groupBy(col("_id"), col("_t")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("_t")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("_id")).orderBy(col("tf").desc, col("df"), col("_t"))
+    tf.join(dfT, "_t")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("_id").as(id), col("_t").as("term"),
+        col("tf"), col("df"), col("rnk").cast("int").as("rnk"))
+  }
+
   /** Repetition profile — the within-document repetition signals of
     * published corpus-filtering rules (repeated lines / repeated
     * n-grams mark templated or spam text): per doc,

@@ -95,6 +95,12 @@ object LlmQueries {
       TextAnalysis.repetitionProfile(t(s, dir, "documents"))
         .orderBy(col("doc_id"))
     }),
+    "q_text_distinctive" -> ((s, dir) => {
+      // top-3 distinctive terms per doc by (tf desc, df asc, term) —
+      // integer-exact tf-idf ordering, no engine-variant ln()
+      TextAnalysis.distinctiveTerms(t(s, dir, "documents"), k = 3)
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
     "q_chunk" -> ((s, dir) => {
       // 64-token chunks, 16-token overlap (stride 48); per-row explode,
       // no shuffle — the oracle replays the same slice arithmetic
@@ -447,6 +453,19 @@ object LlmQueries {
         |SELECT d.doc_id, md5(COALESCE(rb.txt, '')) AS clean_md5,
         |  CAST(len(string_split(d.text, chr(10))) - COALESCE(rb.k, 0) AS BIGINT) AS n_removed
         |FROM documents d LEFT JOIN rb USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "q_text_distinctive" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0)) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, t),
+        |df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t)
+        |SELECT doc_id, t AS term, tf, df, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT tf.doc_id, tf.t, tf.tf, df.df,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df, tf.t) AS rnk
+        |  FROM tf JOIN df USING (t)) x
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "q_text_repetition" ->
       """WITH tok AS (
         |  SELECT doc_id,

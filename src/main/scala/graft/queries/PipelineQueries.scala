@@ -124,6 +124,28 @@ object PipelineQueries {
           fraction = 0.25)
         .select(col("source"), col("doc_id"))
         .orderBy(col("source"), col("doc_id"))
+    }),
+    "q_split_assign" -> ((s, dir) => {
+      // train/val/test band assignment, twice: keyed on doc_id (row
+      // split) and on source (group-aware split — all docs of a
+      // source land together, the leakage-control shape)
+      val docs = t(s, dir, "documents")
+      val byRow = Sampling.hashSplit(docs,
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val byGroup = Sampling.hashSplit(docs.select(col("doc_id"), col("source")),
+          "source", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split").as("group_split"))
+      byRow.select(col("doc_id"), col("source"), col("split"))
+        .join(byGroup, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+    "q_shuffle_det" -> ((s, dir) => {
+      // reproducible epoch order: the emitted key IS the order (both
+      // engines sort the same hex strings identically), so hash-
+      // comparing (doc_id, key) pins the permutation without a
+      // global row_number window
+      Sampling.deterministicShuffle(t(s, dir, "documents"), "doc_id", salt = "epoch1")
+        .select(col("doc_id"), col("_shuffle_key"))
     })
   )
 
@@ -304,6 +326,23 @@ object PipelineQueries {
         |    COUNT(*) OVER (PARTITION BY source) AS cnt
         |  FROM documents) t
         |WHERE rn <= CAST(ceil(0.25 * cnt) AS BIGINT)
-        |ORDER BY source, doc_id""".stripMargin
+        |ORDER BY source, doc_id""".stripMargin,
+    "q_split_assign" -> {
+      // thresholds computed by the SAME Scala fold hashSplit uses, so
+      // FP accumulation of the band bounds cannot diverge
+      val u1 = Sampling.hexThreshold(0.0 + 0.8)
+      val u2 = Sampling.hexThreshold(0.0 + 0.8 + 0.1)
+      s"""SELECT doc_id, source,
+        |  CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '$u1' THEN 'train'
+        |       WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '$u2' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CASE WHEN substr(md5(source), 1, 8) < '$u1' THEN 'train'
+        |       WHEN substr(md5(source), 1, 8) < '$u2' THEN 'val'
+        |       ELSE 'test' END AS group_split
+        |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "q_shuffle_det" ->
+      """SELECT doc_id, md5(doc_id::VARCHAR || 'epoch1') AS _shuffle_key
+        |FROM documents""".stripMargin
   )
 }

@@ -315,6 +315,28 @@ class LlmSpec extends SparkSpec {
     assert(!empty.getAs[Boolean]("pass") && empty.getAs[Long]("n_tokens") == 0L)
   }
 
+  test("hash split: exhaustive, group-coherent, stable under band resize") {
+    import graft.llm.Sampling
+    val docs = (1 to 2000).map(i => (i.toLong, s"site${i % 37}")).toDF("doc_id", "site")
+    val s1 = Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // every row lands in exactly one split, ratios near the bands
+    val counts = s1.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 2000)
+    assert(counts("train") > 1500 && counts("val") > 100 && counts("test") > 100)
+    // group-keyed: every row of a site shares its split
+    val g = Sampling.hashSplit(docs, "site", Seq("train" -> 0.9, "test" -> 0.1))
+    assert(g.groupBy("site").agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") =!= 1).count() == 0)
+    // resizing the train band only MOVES rows across the one shared
+    // boundary: anything train at 0.7 is still train at 0.8
+    val s2 = Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.7, "val" -> 0.2, "test" -> 0.1))
+    val movedWrong = s2.filter(col("split") === "train").select("doc_id")
+      .join(s1.filter(col("split") =!= "train").select("doc_id"), "doc_id")
+    assert(movedWrong.count() == 0)
+  }
+
   test("multimodal: features are deterministic, frame sampling matches arithmetic") {
     val media = Multimodal.attachPayload(
       Seq((3L, "abcabc"), (6L, "zzzz")).toDF("doc_id", "text"))

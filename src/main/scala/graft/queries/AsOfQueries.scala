@@ -30,6 +30,24 @@ object AsOfQueries {
           // UTC session: LTZ→NTZ is value-preserving; oracle TIMESTAMP is naive
           col("_asof_ts").cast("timestamp_ntz").as("p_ts"))
         .orderBy(col("user_id"), col("click_id"))
+    }),
+    "q_sessionize" -> ((s, dir) => {
+      // BATCH sessionization — the gaps-and-islands op (conversation /
+      // browsing-session assembly for a training pipeline) declared as
+      // one session_window aggregate: events of a user merge while the
+      // gap to the previous event is < 30 min. Scale shape: one
+      // shuffle on user_id, sessions assembled inside the aggregate —
+      // never a self-join. The oracle is an INDEPENDENT formulation
+      // (lag + running-sum island numbering), so the hash match pins
+      // the boundary rule (gap == 30 min starts a NEW session) exactly.
+      val ev = t(s, dir, "events")
+      ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").cast("timestamp_ntz").as("first_ts"),
+          col("session_window.end").cast("timestamp_ntz").as("sess_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("first_ts"))
     })
   )
 
@@ -45,6 +63,21 @@ object AsOfQueries {
         |SELECT c.user_id, c.click_id, p.p_id, p.p_value, p.ts AS p_ts
         |FROM clicks c ASOF LEFT JOIN purchases p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
-        |ORDER BY c.user_id, c.click_id""".stripMargin
+        |ORDER BY c.user_id, c.click_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              + INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS brk FROM e),
+        |g AS (SELECT user_id, ts,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+        |SELECT user_id, MIN(ts) AS first_ts,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS sess_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, first_ts""".stripMargin
   )
 }

@@ -51,4 +51,34 @@ object Decontamination {
       .filter(col("n_hits") >= minHits).select(col(id))
     docs.join(bad, Seq(id), "left_anti")
   }
+
+  /** SEMANTIC contamination scores — the embedding-space complement
+    * of the n-gram rule: (id, n_hits, max_cos) per corpus item whose
+    * embedding lies within cosine ≥ `threshold` of ANY benchmark
+    * embedding (catches paraphrases and translations the verbatim
+    * shingle rule misses; both rules together are the published
+    * two-layer decontamination recipe). Same scale contract as the
+    * text rule: eval sets are small, so the benchmark side broadcasts
+    * and the 100 TB corpus is scanned ONCE — one codegen'd `vec_dot`
+    * per (row, bench-vector), no shuffle before the partial-aggregable
+    * per-id count/max. No LSH needed at any corpus scale because the
+    * pair count is |corpus|·|bench| with |bench| bounded. */
+  def semanticScores(corpus: DataFrame, bench: DataFrame, threshold: Double,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val c = corpus.select(col(id), col(vec).cast(ArrayType(DoubleType)).as("_cv"))
+    val b = bench.select(col(vec).cast(ArrayType(DoubleType)).as("_bv"))
+    c.crossJoin(broadcast(b))
+      .select(col(id), AnnSearch.cosine(col("_cv"), col("_bv")).as("_cos"))
+      .filter(col("_cos") >= threshold)
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_hits"), max(col("_cos")).as("max_cos"))
+  }
+
+  /** Corpus minus every item semantically contaminated vs the
+    * benchmark (max bench-cosine ≥ `threshold`). */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame, threshold: Double,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    corpus.join(semanticScores(corpus, bench, threshold, id, vec).select(col(id)),
+      Seq(id), "left_anti")
 }

@@ -72,6 +72,16 @@ object HygieneQueries {
         .orderBy(col("df").desc, col("shingle"))
         .limit(20)
     }),
+    "q_decontam_semantic" -> ((s, dir) => {
+      // embedding-space contamination vs a benchmark slice: hit count
+      // + max cosine per corpus vector (cosine arithmetic bit-matches
+      // DuckDB's list_cosine_similarity, as q_dedup_cosine pins)
+      val emb = t(s, dir, "embeddings")
+      Decontamination.semanticScores(
+          emb.filter(col("vec_id") % 20 =!= 7),
+          emb.filter(col("vec_id") % 20 === 7), threshold = 0.35)
+        .orderBy(col("vec_id"))
+    }),
     "q_quality_rules" -> ((s, dir) => {
       // Gopher-style rule signals + composite pass flag; all-integer
       // thresholds so the flag is engine-exact. The required-stopword
@@ -149,6 +159,14 @@ object HygieneQueries {
         |SELECT ng AS shingle, CAST(COUNT(*) AS BIGINT) AS df
         |FROM (SELECT doc_id, unnest(s) AS ng FROM sh)
         |GROUP BY ng ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
+    "q_decontam_semantic" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |           WHERE vec_id % 20 <> 7),
+        |b AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 20 = 7),
+        |p AS (SELECT c.vec_id, list_cosine_similarity(c.v, b.v) AS cos
+        |      FROM c CROSS JOIN b)
+        |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits, MAX(cos) AS max_cos
+        |FROM p WHERE cos >= 0.35 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q_quality_rules" ->
       """WITH b AS (
         |  SELECT doc_id, text,

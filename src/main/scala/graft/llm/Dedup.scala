@@ -94,11 +94,22 @@ object Dedup {
       .filter(least(col("_szN"), col("_szC")).cast(DoubleType) >=
         lit(threshold) * greatest(col("_szN"), col("_szC")))
       .select(col("_idN"), col("_idC")).distinct()
+    // verify by COUNTING: |A∩B| = number of the corpus doc's shingle
+    // rows contained in the batch doc's set, so only the (small) batch
+    // side's array rides the pair join — the corpus contributes the
+    // same narrow rows the candidate stage already shaped. Ships
+    // Σ_cand |C| narrow rows instead of BOTH sets' arrays per pair
+    // (the array-intersect formulation measured 2.4 s vs 1.3 s for
+    // this on the sf0.1 corpus — string arrays through a 100k-pair
+    // shuffle are the cost, not the intersect arithmetic). Inner join
+    // is lossless: every candidate pair shares ≥ 1 (prefix) shingle.
     val dupNew = cand
       .join(sets(exactNew, "N"), "_idN")
-      .join(sets(corpus, "C"), "_idC")
-      .withColumn("_inter", size(array_intersect(col("_setN"), col("_setC"))))
-      .filter(col("_inter") / (size(col("_setN")) + size(col("_setC")) - col("_inter"))
+      .join(corpusRows.select(col("_idC"), col("_szC"), col("_ng")), Seq("_idC"))
+      .filter(array_contains(col("_setN"), col("_ng")))
+      .groupBy(col("_idN"), col("_idC"), col("_szC"), size(col("_setN")).as("_szN"))
+      .agg(count(lit(1)).as("_inter"))
+      .filter(col("_inter") / (col("_szN") + col("_szC") - col("_inter"))
         >= threshold)
       .select(col("_idN")).distinct()
     exactNew.join(dupNew, exactNew(id) === dupNew("_idN"), "left_anti")

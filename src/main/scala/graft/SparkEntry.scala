@@ -31,7 +31,8 @@ object SparkEntry {
     (RangeQueries.queries, RangeQueries.oracle),
     (SketchQueries.queries, SketchQueries.oracle),
     (PipelineQueries.queries, PipelineQueries.oracle),
-    (HygieneQueries.queries, HygieneQueries.oracle)
+    (HygieneQueries.queries, HygieneQueries.oracle),
+    (RetrievalQueries.queries, RetrievalQueries.oracle)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

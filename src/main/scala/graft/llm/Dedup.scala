@@ -36,6 +36,43 @@ object Dedup {
     docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Sub-document exact dedup at line granularity — the practical
+    * tier of Lee et al. 2022's exact-substring dedup ("Deduplicating
+    * Training Data Makes Language Models Better"): a line (paragraph,
+    * if callers pre-split on blank lines) that already occurred
+    * EARLIER in the corpus — in (id, position) order — is removed
+    * from every later document; the first occurrence survives in
+    * place. Returns (id, text rebuilt with `sep`, n_removed).
+    *
+    * Scale shape: posexplode lines → ONE shuffle keyed by line value
+    * (the same key any occurrence-counting needs) where a per-line
+    * window picks the global first occurrence → per-doc rebuild via
+    * a partial-aggregable groupBy. The window partitions by line
+    * value, so its per-partition state is the occurrence list of ONE
+    * line — bounded by that line's duplication factor, with AQE
+    * handling the skewed head (a viral line is exactly a skewed
+    * reduce key). Nothing is quadratic; a suffix-array would find
+    * arbitrary-offset substrings but needs global order — at corpus
+    * scale line/paragraph granularity is the published compromise. */
+  def dedupLines(docs: DataFrame, id: String = "doc_id", text: String = "text",
+      sep: String = "\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = docs.select(col(id).as("_id"),
+      posexplode(split(col(text), java.util.regex.Pattern.quote(sep))).as(Seq("_p", "_l")))
+    val w = Window.partitionBy(col("_l")).orderBy(col("_id"), col("_p"))
+    val kept = lines.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+    val rebuilt = kept.groupBy(col("_id")).agg(
+      array_join(transform(array_sort(collect_list(struct(col("_p"), col("_l")))),
+        x => x.getField("_l")), sep).as("_text"),
+      count(lit(1)).as("_kept"))
+    val total = docs.select(col(id), size(split(col(text),
+      java.util.regex.Pattern.quote(sep))).cast("long").as("_total"))
+    total.join(rebuilt, total(id) === rebuilt("_id"), "left")
+      .select(col(id),
+        coalesce(col("_text"), lit("")).as(text),
+        (col("_total") - coalesce(col("_kept"), lit(0L))).as("n_removed"))
+  }
+
   // ---- incremental (batch-vs-corpus) dedup ----
 
   /** Incremental dedup: drop rows of `newDocs` that duplicate the

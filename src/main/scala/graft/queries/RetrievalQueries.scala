@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, LanguageModel, Retrieval, TextAnalysis}
+
+/** Retrieval + corpus-LM operators: BM25 scoring, inverted-index
+  * build, unigram cross-entropy (the perplexity-filter stand-in),
+  * DSIR importance weights, and line-granular exact substring dedup.
+  *
+  * Oracle notes: every float here is ln()-based on the round-6 grid
+  * (the parity q_fn_math pins); every ordering is on the ROUNDED
+  * value with an id tie-break, so top-k cuts are cross-engine
+  * deterministic. The corpus is single-line word soup, so the
+  * substring-dedup entry synthesizes deterministic 8-token lines
+  * first (the same corpus-adaptation pattern q_redact uses for PII)
+  * — near-dup documents then genuinely share lines.
+  */
+object RetrievalQueries {
+  import Q._
+
+  /** Deterministic 8-token line structure over the word-soup corpus:
+    * tokens 0..7 become line 0, 8..15 line 1, ... joined with \n. */
+  private def lined: Column = {
+    val ts = TextAnalysis.tokens(lower(col("text")))
+    when(size(ts) === 0, lit("")).otherwise(
+      array_join(
+        transform(sequence(lit(0), ceil(size(ts) / 8.0).cast("int") - 1),
+          g => concat_ws(" ", slice(ts, g * 8 + 1, lit(8)))),
+        "\n"))
+  }
+
+  /** The same 8-token line synthesis in DuckDB. */
+  private val linedSql =
+    """CASE WHEN len(ts) = 0 THEN '' ELSE array_to_string(
+      |  list_transform(range(0, CAST(ceil(len(ts) / 8.0) AS BIGINT)),
+      |    g -> array_to_string(ts[g*8+1 : g*8+8], ' ')), chr(10)) END""".stripMargin
+
+  private val toksSql =
+    """list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0)"""
+
+  val queries: Map[String, QFn] = Map(
+    "q_bm25_topk" -> ((s, dir) => {
+      Retrieval.bm25TopK(t(s, dir, "documents"),
+        terms = Seq("spark", "shuffle", "fast"), k = 20)
+    }),
+    "q_inverted_index" -> ((s, dir) => {
+      Retrieval.invertedIndex(t(s, dir, "documents"), minDf = 50, maxPostings = 10)
+        .orderBy(col("term"))
+    }),
+    "q_lm_entropy" -> ((s, dir) => {
+      LanguageModel.crossEntropy(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_importance_weights" -> ((s, dir) => {
+      LanguageModel.importanceWeights(t(s, dir, "documents"),
+          targetPred = col("source") === "src0")
+        .orderBy(col("doc_id"))
+    }),
+    "q_dedup_lines" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), lined.as("text"))
+      Dedup.dedupLines(docs)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("n_removed"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_bm25_topk" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS t FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |g AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks
+        |       WHERE t IN ('spark', 'shuffle', 'fast') GROUP BY doc_id, t),
+        |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(ln(1.0 + (g.n - df.df + 0.5) / (df.df + 0.5))
+        |        * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / g.avgdl))), 6) AS bm25,
+        |    count(*) AS n_terms
+        |  FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN g
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, n_terms, bm25 FROM sc
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q_inverted_index" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS t FROM documents),
+        |tf AS (SELECT t, doc_id, count(*) AS tf FROM toks GROUP BY t, doc_id)
+        |SELECT t AS term, CAST(count(*) AS BIGINT) AS df,
+        |  CAST(sum(tf) AS BIGINT) AS cf,
+        |  array_to_string((list(doc_id ORDER BY doc_id))[1:10], ',') AS postings
+        |FROM tf GROUP BY t HAVING count(*) >= 50 ORDER BY term""".stripMargin,
+    "q_lm_entropy" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS t FROM documents),
+        |cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+        |tot AS (SELECT sum(c) AS total FROM cnt)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(ln(tot.total) - sum(ln(cnt.c)) / count(*), 6) AS xent
+        |FROM toks JOIN cnt USING (t) CROSS JOIN tot
+        |GROUP BY doc_id, tot.total ORDER BY doc_id""".stripMargin,
+    "q_importance_weights" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, source = 'src0' AS tgt, unnest($toksSql) AS t FROM documents),
+        |v AS (SELECT t, count(*) AS cr,
+        |        sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+        |      FROM toks GROUP BY t),
+        |g AS (SELECT sum(cr) AS totr, sum(ct) AS tott, count(*) AS vocab FROM v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(sum(ln((v.ct + 1.0) / (g.tott + g.vocab))
+        |          - ln((v.cr + 1.0) / (g.totr + g.vocab))) / count(*), 6) AS logw
+        |FROM toks JOIN v USING (t) CROSS JOIN g
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_lines" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, $toksSql AS ts FROM documents),
+        |docs2 AS (SELECT doc_id, $linedSql AS txt FROM base),
+        |flat AS (
+        |  SELECT doc_id, unnest(string_split(txt, chr(10))) AS l,
+        |    generate_subscripts(string_split(txt, chr(10)), 1) - 1 AS p
+        |  FROM docs2),
+        |ranked AS (
+        |  SELECT doc_id, p, l,
+        |    row_number() OVER (PARTITION BY l ORDER BY doc_id, p) AS rn
+        |  FROM flat),
+        |kept AS (
+        |  SELECT doc_id, string_agg(l, chr(10) ORDER BY p) AS txt,
+        |    count(*) AS n_kept
+        |  FROM ranked WHERE rn = 1 GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_total FROM flat GROUP BY doc_id)
+        |SELECT t.doc_id, md5(coalesce(k.txt, '')) AS text_md5,
+        |  CAST(t.n_total - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id
+        |ORDER BY t.doc_id""".stripMargin
+  )
+}

@@ -10,9 +10,16 @@ class PlanGuardSpec extends SparkSpec {
   // deliberate cross joins: q_join_cross (the cross-join operator
   // itself, 5×5 dims), q_ann_brute (corpus × broadcast query set —
   // the documented brute-force baseline), q_sketch_approx (crossJoin
-  // with a 1-row global sketch), q_const_projection (no-table).
+  // with a 1-row global sketch), q_const_projection (no-table),
+  // q_decontam_semantic (corpus × broadcast BENCHMARK — eval sets are
+  // bounded-small by contract, so |corpus|·|bench| pairs is the
+  // intended one-scan shape; see Decontamination.semanticScores).
+  // q_bm25_topk / q_lm_entropy / q_importance_weights join a 1-ROW
+  // broadcast global-statistics frame (N/avgdl, totals/vocab) — the
+  // same bounded shape as q_sketch_approx.
   private val allowNestedLoop =
-    Set("q_join_cross", "q_ann_brute", "q_sketch_approx", "q_const_projection")
+    Set("q_join_cross", "q_ann_brute", "q_sketch_approx", "q_const_projection",
+      "q_decontam_semantic", "q_bm25_topk", "q_lm_entropy", "q_importance_weights")
 
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin in any query") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, LanguageModel, Retrieval}
+
+/** Retrieval + corpus-LM operators: BM25, inverted index, unigram
+  * cross-entropy, DSIR importance weights, line-granular dedup —
+  * hand-computed values on small frames plus structural properties. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("bm25: term frequency raises the score at equal length; misses absent") {
+    val d = docs(
+      1L -> "spark spark spark pad pad pad",
+      2L -> "spark pad pad pad pad pad",
+      3L -> "pad pad pad pad pad pad")
+    val r = Retrieval.bm25(d, Seq("spark")).collect().map(x =>
+      x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r.keySet === Set(1L, 2L), "doc 3 matches no term")
+    assert(r(1L) > r(2L), s"tf=3 must outscore tf=1: $r")
+    assert(r.values.forall(_ > 0))
+  }
+
+  test("bm25: length normalization — same tf, shorter doc wins") {
+    val d = docs(
+      1L -> "spark pad",
+      2L -> "spark pad pad pad pad pad pad pad pad pad")
+    val r = Retrieval.bm25(d, Seq("spark")).collect().map(x =>
+      x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(1L) > r(2L), s"shorter doc must win at equal tf: $r")
+  }
+
+  test("bm25TopK: ranked by (bm25 desc, id), limited") {
+    val d = docs((1L to 30L).map(i =>
+      i -> (Seq.fill(i.toInt % 5 + 1)("spark") ++ Seq.fill(8)("pad")).mkString(" ")): _*)
+    val top = Retrieval.bm25TopK(d, Seq("spark"), k = 7).collect()
+    assert(top.length === 7)
+    val scores = top.map(_.getDouble(2)).toSeq
+    assert(scores === scores.sorted.reverse, "descending by score")
+    // within equal scores, ids ascend
+    top.groupBy(_.getDouble(2)).values.foreach { g =>
+      val ids = g.map(_.getLong(0)).toSeq
+      assert(ids === ids.sorted)
+    }
+  }
+
+  test("invertedIndex: df floor, sorted capped postings, cf >= df") {
+    val d = docs(
+      1L -> "a b c a",
+      2L -> "a b",
+      3L -> "a x")
+    val r = Retrieval.invertedIndex(d, minDf = 2, maxPostings = 2)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    val byTerm = r.map(t => t._1 -> t).toMap
+    assert(byTerm.keySet === Set("a", "b"), "c and x are below the df floor")
+    assert(byTerm("a") === ("a", 3L, 4L, "1,2"), "postings capped at 2, sorted")
+    assert(byTerm("b") === ("b", 2L, 2L, "1,2"))
+    assert(r.forall(t => t._3 >= t._2), "cf >= df")
+  }
+
+  test("crossEntropy: hand-computed on a 2-doc corpus; rare tokens score high") {
+    // corpus: a a a b  — p(a)=3/4, p(b)=1/4
+    val d = docs(1L -> "a a", 2L -> "a b")
+    val r = LanguageModel.crossEntropy(d).collect().map(x =>
+      x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    val ln = (x: Double) => math.log(x)
+    val e1 = ln(4) - (ln(3) + ln(3)) / 2 // doc1 = {a,a}
+    val e2 = ln(4) - (ln(3) + ln(1)) / 2 // doc2 = {a,b}
+    assert(r(1L)._1 === 2L && r(2L)._1 === 2L)
+    assert(math.abs(r(1L)._2 - e1) < 1e-6, s"${r(1L)._2} vs $e1")
+    assert(math.abs(r(2L)._2 - e2) < 1e-6, s"${r(2L)._2} vs $e2")
+    assert(r(2L)._2 > r(1L)._2, "the rare-token doc has higher cross-entropy")
+  }
+
+  test("importanceWeights: target-like docs weigh positive, off-target negative") {
+    val d = Seq(
+      (1L, "tgt tgt tgt tgt", "s0"), (2L, "tgt tgt tgt oth", "s0"),
+      (3L, "oth oth oth oth", "s1"), (4L, "tgt oth oth oth", "s1"))
+      .toDF("doc_id", "text", "source")
+    val r = LanguageModel.importanceWeights(d, col("source") === "s0")
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(1L) > 0, s"pure-target doc must weigh positive: $r")
+    assert(r(3L) < 0, s"pure-off-target doc must weigh negative: $r")
+    assert(r(1L) > r(2L) && r(2L) > r(4L) && r(4L) > r(3L),
+      s"monotone in target-token fraction: $r")
+  }
+
+  test("dedupLines: global first occurrence survives; order preserved; idempotent") {
+    val d = docs(
+      1L -> "keep one\nshared line\nkeep two",
+      2L -> "shared line\nonly in two",
+      3L -> "shared line\nshared line\nfresh")
+    val r = Dedup.dedupLines(d).collect().map(x =>
+      x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(r(1L) === ("keep one\nshared line\nkeep two", 0L), "first occurrence intact")
+    assert(r(2L) === ("only in two", 1L))
+    assert(r(3L) === ("fresh", 2L), "both later copies removed, intra-doc too")
+    // idempotence: a second pass removes nothing
+    val again = Dedup.dedupLines(
+      r.toSeq.map { case (id, (t, _)) => (id, t) }.toDF("doc_id", "text"))
+      .agg(sum(col("n_removed"))).head.getLong(0)
+    assert(again === 0L)
+  }
+
+  test("dedupLines: doc reduced to nothing still emits a row") {
+    val d = docs(1L -> "x", 2L -> "x")
+    val r = Dedup.dedupLines(d).collect().map(x =>
+      x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(r(1L) === ("x", 0L))
+    assert(r(2L) === ("", 1L), "fully-deduped doc emits empty text, not a dropped row")
+  }
+}

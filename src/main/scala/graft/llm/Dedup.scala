@@ -57,15 +57,23 @@ object Dedup {
   def dedupLines(docs: DataFrame, id: String = "doc_id", text: String = "text",
       sep: String = "\n"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // null-safe: a NULL document is an empty document (one row out,
+    // nothing removed), not a dropped/NULL-count row
     val lines = docs.select(col(id).as("_id"),
-      posexplode(split(col(text), java.util.regex.Pattern.quote(sep))).as(Seq("_p", "_l")))
+      posexplode(split(coalesce(col(text), lit("")),
+        java.util.regex.Pattern.quote(sep))).as(Seq("_p", "_l")))
+    // EMPTY lines never dedup (they are structure, not content) and
+    // never enter the window — at corpus scale the '' key would be
+    // the one pathological reduce partition
     val w = Window.partitionBy(col("_l")).orderBy(col("_id"), col("_p"))
-    val kept = lines.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+    val kept = lines.filter(length(col("_l")) > 0)
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+      .unionByName(lines.filter(length(col("_l")) === 0))
     val rebuilt = kept.groupBy(col("_id")).agg(
       array_join(transform(array_sort(collect_list(struct(col("_p"), col("_l")))),
         x => x.getField("_l")), sep).as("_text"),
       count(lit(1)).as("_kept"))
-    val total = docs.select(col(id), size(split(col(text),
+    val total = docs.select(col(id), size(split(coalesce(col(text), lit("")),
       java.util.regex.Pattern.quote(sep))).cast("long").as("_total"))
     total.join(rebuilt, total(id) === rebuilt("_id"), "left")
       .select(col(id),

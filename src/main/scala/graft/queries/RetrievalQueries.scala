@@ -123,11 +123,14 @@ object RetrievalQueries {
         |ranked AS (
         |  SELECT doc_id, p, l,
         |    row_number() OVER (PARTITION BY l ORDER BY doc_id, p) AS rn
-        |  FROM flat),
+        |  FROM flat WHERE length(l) > 0),
+        |keptl AS (
+        |  SELECT doc_id, p, l FROM ranked WHERE rn = 1
+        |  UNION ALL SELECT doc_id, p, l FROM flat WHERE length(l) = 0),
         |kept AS (
         |  SELECT doc_id, string_agg(l, chr(10) ORDER BY p) AS txt,
         |    count(*) AS n_kept
-        |  FROM ranked WHERE rn = 1 GROUP BY doc_id),
+        |  FROM keptl GROUP BY doc_id),
         |tot AS (SELECT doc_id, count(*) AS n_total FROM flat GROUP BY doc_id)
         |SELECT t.doc_id, md5(coalesce(k.txt, '')) AS text_md5,
         |  CAST(t.n_total - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed

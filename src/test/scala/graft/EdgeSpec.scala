@@ -55,6 +55,30 @@ class EdgeSpec extends SparkSpec {
     assert(got == Seq((4L, 1L), (5L, 2L), (6L, 2L)))
   }
 
+  test("retrieval/LM operators: token-less docs contribute nothing, crash nothing") {
+    // bm25 / entropy / importance score only docs with >= 1 (matching)
+    // token — NULL/empty/whitespace docs are absent, not NULL-scored
+    assert(Retrieval.bm25(docs, Seq("two", "solo"))
+      .select("doc_id").as[Long].collect().toSet == Set(4L, 5L, 6L))
+    assert(Retrieval.invertedIndex(docs).select("term").as[String].collect().toSet
+      == Set("solo", "two", "words"))
+    assert(LanguageModel.crossEntropy(docs)
+      .select("doc_id").as[Long].collect().toSet == Set(4L, 5L, 6L))
+    assert(LanguageModel.importanceWeights(docs, col("doc_id") >= 5L)
+      .select("doc_id").as[Long].collect().toSet == Set(4L, 5L, 6L))
+  }
+
+  test("dedupLines: null/empty docs emit one intact row; empty lines never dedup") {
+    val r = Dedup.dedupLines(docs).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(r.size == 6, "one row per input doc, null text included")
+    assert(r(1L) == (("", 0L)), "NULL doc = empty doc, nothing removed")
+    assert(r(2L) == (("", 0L)))
+    assert(r(3L) == (("   \t\n  ", 0L)), "whitespace lines are content, kept")
+    assert(r(5L) == (("two words", 0L)) && r(6L) == (("", 1L)),
+      "the duplicate content line dedups; first occurrence survives")
+  }
+
   test("decontamination with a degenerate benchmark keeps the corpus intact") {
     // NULL-text benchmark contributes no shingles → nothing removed
     assert(Decontamination.decontaminate(docs, docs.filter(col("doc_id") === 1)).count() == 6)

@@ -32,7 +32,8 @@ object SparkEntry {
     (SketchQueries.queries, SketchQueries.oracle),
     (PipelineQueries.queries, PipelineQueries.oracle),
     (HygieneQueries.queries, HygieneQueries.oracle),
-    (RetrievalQueries.queries, RetrievalQueries.oracle)
+    (RetrievalQueries.queries, RetrievalQueries.oracle),
+    (ClusterQueries.queries, ClusterQueries.oracle)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

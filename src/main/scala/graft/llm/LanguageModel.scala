@@ -45,6 +45,31 @@ object LanguageModel {
       .select(col("_id").as(id), col("n_tokens"), col("xent"))
   }
 
+  /** Per-group KL divergence KL(p_group ‖ p_corpus) over unigram
+    * distributions — the mixture-audit statistic (how far each
+    * source's token distribution sits from the blend it feeds).
+    * No smoothing needed: every group token exists in the corpus, so
+    * p_corpus > 0 wherever p_group > 0, and absent tokens contribute
+    * exactly 0. One token pass: (group, token) counts + token counts +
+    * group totals + the 1-row corpus total (bounded broadcast).
+    * Output (group, n_tokens, kl) on the round-6 grid. */
+  def sourceDivergence(docs: DataFrame, group: String = "source",
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val tk = docs.select(col(group).as("_g"),
+      explode(TextAnalysis.tokens(lower(col(text)))).as("_t"))
+    val st = tk.groupBy(col("_g"), col("_t")).agg(count(lit(1)).as("_cst"))
+    val ct = st.groupBy(col("_t")).agg(sum(col("_cst")).as("_ct"))
+    val ns = st.groupBy(col("_g")).agg(sum(col("_cst")).as("_ns"))
+    val g = ct.agg(sum(col("_ct")).as("_n"))
+    val term = (col("_cst") / col("_ns")) *
+      log((col("_cst") / col("_ns")) / (col("_ct") / col("_n")))
+    st.join(ct, "_t").join(ns, "_g")
+      .crossJoin(broadcast(g))
+      .groupBy(col("_g"), col("_ns"))
+      .agg(round(sum(term), 6).as("kl"))
+      .select(col("_g").as(group), col("_ns").as("n_tokens"), col("kl"))
+  }
+
   /** DSIR-style importance log-weights: per document, the mean over
     * its tokens of ln p̂_target(t) − ln p̂_raw(t), where both unigram
     * models are add-one smoothed over the RAW vocabulary

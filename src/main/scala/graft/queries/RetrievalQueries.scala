@@ -57,6 +57,10 @@ object RetrievalQueries {
           targetPred = col("source") === "src0")
         .orderBy(col("doc_id"))
     }),
+    "q_source_kl" -> ((s, dir) => {
+      LanguageModel.sourceDivergence(t(s, dir, "documents"))
+        .orderBy(col("source"))
+    }),
     "q_dedup_lines" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), lined.as("text"))
       Dedup.dedupLines(docs)
@@ -112,6 +116,17 @@ object RetrievalQueries {
         |          - ln((v.cr + 1.0) / (g.totr + g.vocab))) / count(*), 6) AS logw
         |FROM toks JOIN v USING (t) CROSS JOIN g
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_source_kl" ->
+      s"""WITH toks AS (
+        |  SELECT source, unnest($toksSql) AS t FROM documents),
+        |st AS (SELECT source, t, count(*) AS cst FROM toks GROUP BY source, t),
+        |ct AS (SELECT t, sum(cst) AS ctt FROM st GROUP BY t),
+        |ns AS (SELECT source, sum(cst) AS ns FROM st GROUP BY source),
+        |g AS (SELECT sum(ctt) AS n FROM ct)
+        |SELECT st.source, CAST(ns.ns AS BIGINT) AS n_tokens,
+        |  round(sum((st.cst / ns.ns) * ln((st.cst / ns.ns) / (ct.ctt / g.n))), 6) AS kl
+        |FROM st JOIN ct USING (t) JOIN ns USING (source) CROSS JOIN g
+        |GROUP BY st.source, ns.ns ORDER BY st.source""".stripMargin,
     "q_dedup_lines" ->
       s"""WITH base AS (
         |  SELECT doc_id, $toksSql AS ts FROM documents),

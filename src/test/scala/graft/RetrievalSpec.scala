@@ -88,6 +88,22 @@ class RetrievalSpec extends SparkSpec {
       s"monotone in target-token fraction: $r")
   }
 
+  test("sourceDivergence: zero for an identically-distributed source, positive else") {
+    val d = Seq(
+      (1L, "a b", "s0"), (2L, "a b", "s1"),       // s0 and s1 match the blend
+      (3L, "a a a a", "s2"))                      // s2 skews toward 'a'
+    .toDF("doc_id", "text", "source")
+    val r = LanguageModel.sourceDivergence(d).collect()
+      .map(x => x.getString(0) -> x.getDouble(2)).toMap
+    // corpus: a=6, b=2 -> p(a)=.75; s0/s1 are 50/50 -> positive KL; s2 pure-a
+    val ln = (x: Double) => math.log(x)
+    val klHalf = 0.5 * ln(0.5 / 0.75) + 0.5 * ln(0.5 / 0.25)
+    val klPure = 1.0 * ln(1.0 / 0.75)
+    assert(math.abs(r("s0") - klHalf) < 1e-6 && math.abs(r("s1") - klHalf) < 1e-6)
+    assert(math.abs(r("s2") - klPure) < 1e-6)
+    assert(r.values.forall(_ >= 0), "KL is non-negative")
+  }
+
   test("dedupLines: global first occurrence survives; order preserved; idempotent") {
     val d = docs(
       1L -> "keep one\nshared line\nkeep two",

@@ -45,6 +45,38 @@ object LanguageModel {
       .select(col("_id").as(id), col("n_tokens"), col("xent"))
   }
 
+  /** Top-`size` corpus vocabulary by (count DESC, term ASC) — the
+    * frequency-cut vocabulary induction every tokenizer fit starts
+    * from. orderBy+limit plans as TakeOrderedAndProject (distributed
+    * partial top-k, driver holds only `size` rows) — NOT a global
+    * window, which would single-partition a vocabulary that at corpus
+    * scale runs to 10⁸ distinct terms. */
+  def vocabulary(docs: DataFrame, size: Int,
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    toks(docs, id, text)
+      .groupBy(col("_t")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("_t"))
+      .limit(size)
+      .select(col("_t").as("term"), col("cnt"))
+
+  /** Per-document out-of-vocabulary profile vs the top-`vocabSize`
+    * corpus vocabulary: (id, n_tokens, n_oov) — all integers, so the
+    * oracle replays it exactly. The vocab side is bounded by
+    * `vocabSize` and broadcasts; token-less docs report (0, 0). */
+  def oovProfile(docs: DataFrame, vocabSize: Int,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val v = vocabulary(docs, vocabSize, id, text).select(col("term"))
+    val tk = toks(docs, id, text)
+    val prof = tk.join(broadcast(v.withColumn("_in", lit(1))),
+        tk("_t") === v("term"), "left")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+    docs.select(col(id)).join(prof, col(id) === prof("_id"), "left")
+      .select(col(id), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+  }
+
   /** Per-group KL divergence KL(p_group ‖ p_corpus) over unigram
     * distributions — the mixture-audit statistic (how far each
     * source's token distribution sits from the blend it feeds).
@@ -68,6 +100,40 @@ object LanguageModel {
       .groupBy(col("_g"), col("_ns"))
       .agg(round(sum(term), 6).as("kl"))
       .select(col("_g").as(group), col("_ns").as("n_tokens"), col("kl"))
+  }
+
+  /** Per-document cross-entropy under an add-one-smoothed BIGRAM
+    * model of the corpus — one Markov step closer to the KenLM gate
+    * than [[crossEntropy]]: p(t|prev) = (c(prev,t)+1)/(c(prev)+V),
+    * xent_bi = (1/nb)·Σ [ln(c(prev)+V) − ln(c(prev,t)+1)] over a
+    * document's nb = n−1 bigrams. Docs with < 2 tokens have no
+    * bigrams and are absent (a fluency score needs context to score).
+    *
+    * ONE bigram explode feeds both the count table (groupBy(prev,t),
+    * partial-aggregable) and the per-doc scoring join; unigram counts
+    * and |V| ride the token pass [[crossEntropy]] already needs.
+    * Output (id, n_bigrams, xent_bi) on the round-6 grid. */
+  def bigramCrossEntropy(docs: DataFrame,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val ts = TextAnalysis.tokens(lower(col(text)))
+    val bi = docs.select(col(id).as("_id"), ts.as("_ts"))
+      .filter(size(col("_ts")) >= 2)
+      .select(col("_id"), explode(transform(sequence(lit(0), size(col("_ts")) - 2),
+        i => struct(col("_ts").getItem(i).as("p"), col("_ts").getItem(i + 1).as("c"))))
+        .as("_b"))
+      .select(col("_id"), col("_b.p").as("_p"), col("_b.c").as("_c"))
+    val cb = bi.groupBy(col("_p"), col("_c")).agg(count(lit(1)).as("_cb"))
+    val tk = toks(docs, id, text)
+    val cu = tk.groupBy(col("_t")).agg(count(lit(1)).as("_cu"))
+    val v = cu.agg(count(lit(1)).as("_v"))
+    val term = log(col("_cu") + col("_v")) - log(col("_cb") + lit(1.0))
+    bi.join(cb, Seq("_p", "_c"))
+      .join(cu.withColumnRenamed("_t", "_p"), "_p")
+      .crossJoin(broadcast(v))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(term) / count(lit(1)), 6).as("xent_bi"))
+      .select(col("_id").as(id), col("n_bigrams"), col("xent_bi"))
   }
 
   /** DSIR-style importance log-weights: per document, the mean over

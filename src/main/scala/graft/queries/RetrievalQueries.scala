@@ -61,6 +61,18 @@ object RetrievalQueries {
       LanguageModel.sourceDivergence(t(s, dir, "documents"))
         .orderBy(col("source"))
     }),
+    "q_vocab_top" -> ((s, dir) => {
+      LanguageModel.vocabulary(t(s, dir, "documents"), size = 20)
+        .orderBy(col("cnt").desc, col("term"))
+    }),
+    "q_vocab_oov" -> ((s, dir) => {
+      LanguageModel.oovProfile(t(s, dir, "documents"), vocabSize = 20)
+        .orderBy(col("doc_id"))
+    }),
+    "q_lm_bigram" -> ((s, dir) => {
+      LanguageModel.bigramCrossEntropy(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
     "q_dedup_lines" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), lined.as("text"))
       Dedup.dedupLines(docs)
@@ -116,6 +128,39 @@ object RetrievalQueries {
         |          - ln((v.cr + 1.0) / (g.totr + g.vocab))) / count(*), 6) AS logw
         |FROM toks JOIN v USING (t) CROSS JOIN g
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_vocab_top" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS t FROM documents)
+        |SELECT t AS term, CAST(count(*) AS BIGINT) AS cnt
+        |FROM toks GROUP BY t ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+    "q_vocab_oov" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS t FROM documents),
+        |voc AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t
+        |        ORDER BY cnt DESC, t LIMIT 20)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(count(toks.t), 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(sum(CASE WHEN voc.t IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_oov
+        |FROM documents d
+        |LEFT JOIN toks ON d.doc_id = toks.doc_id
+        |LEFT JOIN voc ON toks.t = voc.t
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    "q_lm_bigram" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, $toksSql AS ts FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |    i -> {'p': ts[i], 'c': ts[i+1]})) AS b
+        |  FROM base WHERE len(ts) >= 2),
+        |bf AS (SELECT doc_id, b.p AS p, b.c AS c FROM bi),
+        |cb AS (SELECT p, c, count(*) AS cb FROM bf GROUP BY p, c),
+        |toks AS (SELECT doc_id, unnest(ts) AS t FROM base),
+        |cu AS (SELECT t, count(*) AS cu FROM toks GROUP BY t),
+        |v AS (SELECT count(*) AS v FROM cu)
+        |SELECT bf.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(sum(ln(cu.cu + v.v) - ln(cb.cb + 1.0)) / count(*), 6) AS xent_bi
+        |FROM bf JOIN cb USING (p, c) JOIN cu ON bf.p = cu.t CROSS JOIN v
+        |GROUP BY bf.doc_id ORDER BY bf.doc_id""".stripMargin,
     "q_source_kl" ->
       s"""WITH toks AS (
         |  SELECT source, unnest($toksSql) AS t FROM documents),

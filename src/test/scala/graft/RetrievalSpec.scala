@@ -88,6 +88,33 @@ class RetrievalSpec extends SparkSpec {
       s"monotone in target-token fraction: $r")
   }
 
+  test("vocabulary + oovProfile: frequency cut with deterministic ties; OOV integer-exact") {
+    val d = docs(1L -> "a a a b b c", 2L -> "a b z", 3L -> "")
+    // counts: a=4 b=3 c=1 z=1; size 2 -> {a, b}; tie c/z broken by term asc
+    assert(LanguageModel.vocabulary(d, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq === Seq("a" -> 4L, "b" -> 3L))
+    assert(LanguageModel.vocabulary(d, 3).collect().map(_.getString(0)).toSeq
+      === Seq("a", "b", "c"), "count tie breaks toward the lexicographically first term")
+    val oov = LanguageModel.oovProfile(d, 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(oov === Map(1L -> ((6L, 1L)), 2L -> ((3L, 1L)), 3L -> ((0L, 0L))),
+      "c and z are OOV; the token-less doc reports (0,0)")
+  }
+
+  test("bigramCrossEntropy: hand-computed; repeated bigrams score lower") {
+    // corpus bigrams: (a,b)x2 from docs 1,2; (a,c) from doc 3
+    val d = docs(1L -> "a b", 2L -> "a b", 3L -> "a c")
+    val r = LanguageModel.bigramCrossEntropy(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    val ln = (x: Double) => math.log(x)
+    // unigrams: a=3 b=2 c=1 -> V=3; c(a)=3
+    val e12 = ln(3 + 3) - ln(2 + 1) // p(b|a) = (2+1)/(3+3)
+    val e3 = ln(3 + 3) - ln(1 + 1)  // p(c|a) = (1+1)/(3+3)
+    assert(r(1L)._1 === 1L && math.abs(r(1L)._2 - e12) < 1e-6)
+    assert(math.abs(r(3L)._2 - e3) < 1e-6)
+    assert(r(3L)._2 > r(1L)._2, "the rarer continuation scores higher (worse)")
+  }
+
   test("sourceDivergence: zero for an identically-distributed source, positive else") {
     val d = Seq(
       (1L, "a b", "s0"), (2L, "a b", "s1"),       // s0 and s1 match the blend

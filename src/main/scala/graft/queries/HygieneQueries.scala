@@ -93,6 +93,28 @@ object HygieneQueries {
           requiredStopwords = Seq("the", "a", "key", "value", "table", "row"))
         .orderBy(col("doc_id"))
     }),
+    "q_corpus_report" -> ((s, dir) => {
+      // the dataset-card audit: per source, docs / distinct contents /
+      // exact-dup docs / tokens / quality-pass — a composition of
+      // exactGroups + qualityRules whose outputs are ALL integers, so
+      // the cross-engine hash certifies the composed pipeline. One
+      // corpus scan feeds the md5 groupBy; the quality signals are
+      // scan-side projections joined back by id.
+      val docs = t(s, dir, "documents")
+      val qr = graft.llm.TextAnalysis.qualityRules(docs,
+        requiredStopwords = Seq("the", "a", "key", "value", "table", "row"))
+      val withHash = docs.select(col("doc_id"), col("source"), md5(col("text")).as("_h"))
+      val dupCnt = withHash.groupBy(col("_h")).agg(count(lit(1)).as("_copies"))
+      withHash.join(dupCnt, "_h")
+        .join(qr.select(col("doc_id"), col("n_tokens"), col("pass")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("_h")).as("n_distinct_text"),
+          sum(when(col("_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_quality_pass"))
+        .orderBy(col("source"))
+    }),
     "q_sample_mixture" -> ((s, dir) => {
       Sampling.mixtureSample(t(s, dir, "documents"), "source", "doc_id",
           weights = Map("src0" -> 0.5, "src1" -> 0.4, "src2" -> 0.3, "src3" -> 0.2),
@@ -195,6 +217,43 @@ object HygieneQueries {
         |  AND n_alpha_tokens * 5 >= n_tokens * 4
         |  AND n_req_stopwords >= 2) AS pass
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_corpus_report" ->
+      """WITH b AS (
+        |  SELECT doc_id, source, md5(text) AS h,
+        |    CAST(len(list_filter(string_split_regex(text, '[ \t\n\f\r]+'),
+        |      x -> length(x) > 0)) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[ \t\n\f\r]', '', 'g')) AS BIGINT) AS stl,
+        |    CAST(length(text) - length(replace(text, '#', ''))
+        |      + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+        |    CAST(len(list_filter(string_split(text, chr(10)), x -> length(x) > 0)) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(list_filter(string_split(text, chr(10)), x -> length(x) > 0),
+        |      x -> x LIKE '-%' OR x LIKE '*%' OR x LIKE '•%')) AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(list_filter(string_split(text, chr(10)), x -> length(x) > 0),
+        |      x -> x LIKE '%...' OR x LIKE '%…')) AS BIGINT) AS n_ell,
+        |    CAST(len(list_filter(list_filter(string_split_regex(text, '[ \t\n\f\r]+'),
+        |      x -> length(x) > 0), x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(['the','a','key','value','table','row'],
+        |      w -> list_contains(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |        x -> length(x) > 0), w))) AS BIGINT) AS n_req
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source, h, n_tokens,
+        |    (n_tokens BETWEEN 50 AND 100000
+        |      AND stl >= n_tokens * 3 AND stl <= n_tokens * 10
+        |      AND n_symbols * 10 <= n_tokens
+        |      AND n_bullet * 10 <= n_lines * 9
+        |      AND n_ell * 10 <= n_lines * 3
+        |      AND n_alpha * 5 >= n_tokens * 4
+        |      AND n_req >= 2) AS pass
+        |  FROM b),
+        |dc AS (SELECT h, count(*) AS copies FROM b GROUP BY h)
+        |SELECT p.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT p.h) AS BIGINT) AS n_distinct_text,
+        |  CAST(sum(CASE WHEN dc.copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |  CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN p.pass THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass
+        |FROM p JOIN dc USING (h)
+        |GROUP BY p.source ORDER BY p.source""".stripMargin,
     "q_sample_mixture" ->
       s"""SELECT source, doc_id FROM documents
         |WHERE substr(md5(doc_id::VARCHAR), 1, 8) < CASE source

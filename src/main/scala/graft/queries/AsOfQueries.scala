@@ -48,6 +48,26 @@ object AsOfQueries {
           col("session_window.end").cast("timestamp_ntz").as("sess_end"),
           col("n_events"))
         .orderBy(col("user_id"), col("first_ts"))
+    }),
+    "q_drift_monitor" -> ((s, dir) => {
+      // Ingest-drift monitor — the freshness/anomaly audit of a
+      // continuously-fed corpus: per (event_type, day), today's count
+      // vs the trailing 7-day window, spike = count > 2× trailing
+      // mean, expressed as INTEGER cross-multiplication
+      // (n·k > 2·Σ) so the flag is engine-exact — no float mean, no
+      // stddev associativity. One partial-aggregable daily rollup +
+      // a bounded per-type window; scale cost is the rollup shuffle.
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-7, -1)
+      daily
+        .withColumn("trail_n", coalesce(sum(col("n")).over(w), lit(0L)))
+        .withColumn("trail_k", count(col("n")).over(w))
+        .withColumn("spike",
+          col("trail_k") >= 3 && col("n") * col("trail_k") > col("trail_n") * 2)
+        .orderBy(col("event_type"), col("day"))
     })
   )
 
@@ -78,6 +98,20 @@ object AsOfQueries {
         |  MAX(ts) + INTERVAL 30 MINUTE AS sess_end,
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM g GROUP BY user_id, sid
-        |ORDER BY user_id, first_ts""".stripMargin
+        |ORDER BY user_id, first_ts""".stripMargin,
+    "q_drift_monitor" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, day, n,
+        |    CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS trail_n,
+        |    CAST(count(n) OVER w AS BIGINT) AS trail_k
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, n, trail_n, trail_k,
+        |  (trail_k >= 3 AND n * trail_k > trail_n * 2) AS spike
+        |FROM t ORDER BY event_type, day""".stripMargin
   )
 }

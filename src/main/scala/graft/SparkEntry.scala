@@ -33,7 +33,8 @@ object SparkEntry {
     (PipelineQueries.queries, PipelineQueries.oracle),
     (HygieneQueries.queries, HygieneQueries.oracle),
     (RetrievalQueries.queries, RetrievalQueries.oracle),
-    (ClusterQueries.queries, ClusterQueries.oracle)
+    (ClusterQueries.queries, ClusterQueries.oracle),
+    (EventQueries.queries, EventQueries.oracle)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

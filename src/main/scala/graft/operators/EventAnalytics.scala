@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-sequence analytics over an event stream — the funnel /
+  * cohort family a warehouse engine's BI users run daily (the
+  * reference serves these as plain SQL over its event-shaped tables;
+  * here each is one declarative plan so Catalyst sees the whole
+  * chain).
+  *
+  * Scale shape (both operators): every join and aggregation is keyed
+  * on the user column, so the stage chain reuses ONE hash
+  * partitioning end to end — AQE coalesces the later, strictly
+  * smaller stages. Nothing is ever collected to the driver and no
+  * operator is quadratic: funnel cost is |stages| co-partitioned
+  * shuffles over a monotonically shrinking user set, cohort cost is
+  * one rollup plus a broadcast-sized per-cohort size table.
+  */
+object EventAnalytics {
+
+  /** Ordered funnel: how many users reach each stage IN ORDER.
+    *
+    * A user reaches stage k+1 if they have a stage-k+1 event at or
+    * after their earliest qualifying stage-k time (the classic
+    * "first-touch" funnel; `>=` makes the same-instant boundary
+    * inclusive). Returns one row per stage:
+    * (stage_idx, stage, users).
+    *
+    * Each iteration joins the events of ONE type against the previous
+    * stage's (user, first_ts) set — both sides hash-partitioned by
+    * user, so after the first stage the exchange is reused, and the
+    * reached set only shrinks. At 100 TB the |stages| passes scan the
+    * (predicate-pushed) single-type slices, never the full log per
+    * stage pair.
+    */
+  def funnel(events: DataFrame, stages: Seq[String],
+      user: String = "user_id", ts: String = "ts",
+      typ: String = "event_type"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val e = events.select(col(user).as("_u"), col(ts).as("_ts"), col(typ).as("_ty"))
+    var reached = e.filter(col("_ty") === stages.head)
+      .groupBy(col("_u")).agg(min(col("_ts")).as("_t"))
+    def stageCount(idx: Int, name: String, r: DataFrame): DataFrame =
+      r.agg(count(lit(1)).as("users"))
+        .select(lit(idx).as("stage_idx"), lit(name).as("stage"), col("users"))
+    val rows = Seq.newBuilder[DataFrame]
+    rows += stageCount(1, stages.head, reached)
+    stages.zipWithIndex.drop(1).foreach { case (st, i) =>
+      reached = e.filter(col("_ty") === st)
+        .join(reached, "_u")
+        .filter(col("_ts") >= col("_t"))
+        .groupBy(col("_u")).agg(min(col("_ts")).as("_t"))
+      rows += stageCount(i + 1, st, reached)
+    }
+    rows.result().reduce(_ unionByName _)
+  }
+
+  /** Daily cohort retention: users grouped by the day of their FIRST
+    * event; for each (cohort_day, day_offset) the count of that
+    * cohort's users active `day_offset` days after joining, plus the
+    * cohort's size (integer counts only — rates are a trivial
+    * post-division we leave to the caller so the result stays
+    * engine-exact).
+    *
+    * One co-partitioned join (events ⋈ first-day per user on the user
+    * key) feeds one rollup; the per-cohort size table is |days| rows
+    * and broadcasts.
+    */
+  def cohortRetention(events: DataFrame, user: String = "user_id",
+      ts: String = "ts"): DataFrame = {
+    val e = events.select(col(user).as("_u"), to_date(col(ts)).as("_day"))
+    val cohorts = e.groupBy(col("_u")).agg(min(col("_day")).as("cohort_day"))
+    val sizes = cohorts.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_size"))
+    e.join(cohorts, "_u")
+      .groupBy(col("cohort_day"),
+        datediff(col("_day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("_u")).as("active_users"))
+      .join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("day_offset"),
+        col("active_users"), col("cohort_size"))
+  }
+}

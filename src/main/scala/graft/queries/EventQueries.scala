@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.EventAnalytics
+
+/** Event-sequence analytics: ordered funnel + daily cohort retention
+  * over the events table. Both oracles are independent DuckDB
+  * formulations of the same semantics (staged min-ts CTE chain /
+  * first-day rollup), so a hash match pins the ordering rule — a
+  * stage event BEFORE the user's previous-stage first-touch must not
+  * count, and the same-instant boundary is inclusive. All outputs
+  * are integer counts (no float rates), keeping the compare
+  * engine-exact.
+  */
+object EventQueries {
+  import Q._
+
+  val queries: Map[String, QFn] = Map(
+    "q_funnel" -> ((s, dir) => {
+      EventAnalytics.funnel(t(s, dir, "events"),
+          stages = Seq("view", "click", "purchase"))
+        .orderBy(col("stage_idx"))
+    }),
+    "q_cohort_retention" -> ((s, dir) => {
+      EventAnalytics.cohortRetention(t(s, dir, "events"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type AS ty FROM events),
+        |s1 AS (SELECT u, min(ts) AS t FROM e WHERE ty = 'view' GROUP BY u),
+        |s2 AS (SELECT e.u, min(e.ts) AS t FROM e
+        |  JOIN s1 ON e.u = s1.u AND e.ts >= s1.t
+        |  WHERE e.ty = 'click' GROUP BY e.u),
+        |s3 AS (SELECT e.u, min(e.ts) AS t FROM e
+        |  JOIN s2 ON e.u = s2.u AND e.ts >= s2.t
+        |  WHERE e.ty = 'purchase' GROUP BY e.u)
+        |SELECT 1 AS stage_idx, 'view' AS stage, CAST(count(*) AS BIGINT) AS users FROM s1
+        |UNION ALL
+        |SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+        |UNION ALL
+        |SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+        |ORDER BY stage_idx""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id AS u,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |c AS (SELECT u, min(day) AS cohort_day FROM e GROUP BY u),
+        |s AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+        |  FROM c GROUP BY cohort_day)
+        |SELECT c.cohort_day,
+        |  CAST(e.day - c.cohort_day AS INTEGER) AS day_offset,
+        |  CAST(count(DISTINCT e.u) AS BIGINT) AS active_users,
+        |  s.cohort_size
+        |FROM e JOIN c USING (u) JOIN s USING (cohort_day)
+        |GROUP BY c.cohort_day, day_offset, s.cohort_size
+        |ORDER BY cohort_day, day_offset""".stripMargin
+  )
+}

@@ -81,6 +81,59 @@ object Dedup {
         (col("_total") - coalesce(col("_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Duplicated-span profile at fixed token-window granularity — the
+    * sliding-window tier of Lee et al. 2022's exact-substring dedup:
+    * every `windowTokens`-token window (stride 1) is hashed, and a
+    * window whose hash occurs ≥ 2 times ANYWHERE in the corpus
+    * (another document or a repeat within the same one) is a
+    * duplicated span. Returns per document
+    * (id, total_spans, dup_spans) — the span-coverage signal used to
+    * decide which documents to cut or trim. Complements [[dedupLines]]
+    * (line granularity, arbitrary length) by catching copied runs
+    * that cross line boundaries or sit inside otherwise-unique lines.
+    *
+    * Scale shape: the window enumeration is a generate + projection
+    * pipelined inside one codegen stage — the per-doc token array
+    * never crosses a shuffle; what shuffles is (16-byte hash, id) per
+    * window, i.e. O(corpus tokens) narrow rows, pre-reduced map-side
+    * by the (hash, id) partial aggregation. Tokenize+hash — the
+    * dominant CPU cost — runs ONCE: the corpus-wide occurrence total
+    * comes from a whole-partition window over the already-aggregated
+    * (hash, id) counts, not from a second scan. That window's state
+    * is one hash's distinct-doc list — bounded by the span's
+    * duplication factor, with AQE absorbing the viral-span skew key
+    * (same argument as [[dedupLines]]). This linear-shuffle shape is
+    * the published corpus-scale compromise for substring dedup: a
+    * suffix array finds arbitrary-length repeats but needs a global
+    * order no 1000-node shuffle provides cheaply; fixed windows ≥ the
+    * dedup threshold length find the same cut candidates. */
+  def spanProfile(docs: DataFrame, windowTokens: Int = 8,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowTokens >= 2, "window must span at least 2 tokens")
+    val toks = docs.select(col(id).as("_id"),
+      TextAnalysis.tokens(col(text)).as("_ts"))
+      .withColumn("_n", size(col("_ts")))
+    // explode the start offsets; slice+hash in the SAME projection so
+    // codegen pipelines it and only (_id, _h) reaches the exchange
+    val spans = toks.filter(col("_n") >= windowTokens)
+      .select(col("_id"), col("_ts"),
+        explode(sequence(lit(1), col("_n") - windowTokens + 1)).as("_s"))
+      .select(col("_id"),
+        md5(concat_ws(" ", slice(col("_ts"), col("_s"), lit(windowTokens)))).as("_h"))
+    val perHashDoc = spans.groupBy(col("_h"), col("_id"))
+      .agg(count(lit(1)).as("_m"))
+    val perDoc = perHashDoc
+      .withColumn("_tot", sum(col("_m")).over(Window.partitionBy(col("_h"))))
+      .filter(col("_tot") > 1)
+      .groupBy(col("_id")).agg(sum(col("_m")).as("dup_spans"))
+    toks.select(col("_id"),
+        greatest(col("_n") - windowTokens + 1, lit(0)).cast("long").as("total_spans"))
+      .join(perDoc, Seq("_id"), "left")
+      .select(col("_id").as(id), col("total_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"))
+  }
+
   // ---- incremental (batch-vs-corpus) dedup ----
 
   /** Incremental dedup: drop rows of `newDocs` that duplicate the

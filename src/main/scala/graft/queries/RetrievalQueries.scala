@@ -39,6 +39,12 @@ object RetrievalQueries {
   private val toksSql =
     """list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0)"""
 
+  /** Case-preserving tokenizer — span dedup matches substrings
+    * EXACTLY (case folding would merge spans the cut step must treat
+    * as distinct), unlike the LM family's lowercased statistics. */
+  private val toksRawSql =
+    """list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> length(x) > 0)"""
+
   val queries: Map[String, QFn] = Map(
     "q_bm25_topk" -> ((s, dir) => {
       Retrieval.bm25TopK(t(s, dir, "documents"),
@@ -77,6 +83,12 @@ object RetrievalQueries {
       val docs = t(s, dir, "documents").select(col("doc_id"), lined.as("text"))
       Dedup.dedupLines(docs)
         .select(col("doc_id"), md5(col("text")).as("text_md5"), col("n_removed"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_dedup_spans" -> ((s, dir) => {
+      // sliding 8-token-window duplicated-span profile (Lee et al.
+      // fixed-window tier); raw case — see toksRawSql
+      Dedup.spanProfile(t(s, dir, "documents"), windowTokens = 8)
         .orderBy(col("doc_id"))
     })
   )
@@ -195,6 +207,22 @@ object RetrievalQueries {
         |SELECT t.doc_id, md5(coalesce(k.txt, '')) AS text_md5,
         |  CAST(t.n_total - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
         |FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id
-        |ORDER BY t.doc_id""".stripMargin
+        |ORDER BY t.doc_id""".stripMargin,
+    "q_dedup_spans" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, $toksRawSql AS ts FROM documents),
+        |n AS (SELECT doc_id, ts, len(ts) AS n FROM toks),
+        |starts AS (
+        |  SELECT doc_id, ts, unnest(range(1, CAST(n - 8 + 2 AS BIGINT))) AS s
+        |  FROM n WHERE n >= 8),
+        |spans AS (
+        |  SELECT doc_id, md5(array_to_string(ts[s : s + 7], ' ')) AS h
+        |  FROM starts),
+        |c AS (SELECT h FROM spans GROUP BY h HAVING count(*) > 1),
+        |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans
+        |  FROM spans JOIN c USING (h) GROUP BY doc_id)
+        |SELECT n.doc_id, CAST(greatest(n - 8 + 1, 0) AS BIGINT) AS total_spans,
+        |  coalesce(d.dup_spans, 0) AS dup_spans
+        |FROM n LEFT JOIN d USING (doc_id) ORDER BY n.doc_id""".stripMargin
   )
 }

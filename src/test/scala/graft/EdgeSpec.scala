@@ -38,6 +38,26 @@ class EdgeSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("spanProfile keeps one zero-count row per degenerate doc") {
+    val r = Dedup.spanProfile(docs, windowTokens = 2).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L), "no dropped/null rows")
+    assert(r(1L) == ((0L, 0L)) && r(2L) == ((0L, 0L)) &&
+      r(3L) == ((0L, 0L)) && r(4L) == ((0L, 0L)))
+    // the twin two-token docs share their single window
+    assert(r(5L) == ((1L, 1L)) && r(6L) == ((1L, 1L)))
+  }
+
+  test("bpe training on a token-less / single-char corpus stops cleanly") {
+    val empty = Seq[(java.lang.Long, String)]((1L, null), (2L, "  "))
+      .toDF("doc_id", "text")
+    assert(LanguageModel.bpeMerges(empty, numMerges = 3).count() == 0)
+    val chars = Seq((1L, "a b a")).toDF("doc_id", "text")
+    // every word is one symbol: no pairs, zero merges even though 3 asked
+    assert(LanguageModel.bpeMerges(chars, numMerges = 3).count() == 0)
+    assert(LanguageModel.bpePairStats(chars).count() == 0)
+  }
+
   test("profiles, repetition, fingerprint, redact keep one row per input doc") {
     assert(TextAnalysis.profiles(docs).count() == 6)
     assert(TextAnalysis.repetitionProfile(docs).count() == 6)

@@ -43,6 +43,14 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == Seq((1, "view", 1L), (2, "click", 1L)))
   }
 
+  test("funnel emits a zero-count row for a stage nobody reaches") {
+    val events = Seq(ev(1, 1, "view")).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnel(events, Seq("view", "click", "purchase"))
+      .orderBy("stage_idx").as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq((1, "view", 1L), (2, "click", 0L), (3, "purchase", 0L)),
+      "empty stages report 0, not a dropped row")
+  }
+
   test("cohort retention anchors each user to their first day") {
     def e(u: Long, day: Int) = (u, Timestamp.valueOf(f"2026-01-$day%02d 09:00:00"))
     val events = Seq(

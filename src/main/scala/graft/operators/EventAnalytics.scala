@@ -24,7 +24,10 @@ object EventAnalytics {
     * A user reaches stage k+1 if they have a stage-k+1 event at or
     * after their earliest qualifying stage-k time (the classic
     * "first-touch" funnel; `>=` makes the same-instant boundary
-    * inclusive). Returns one row per stage:
+    * inclusive). With `maxSpan` (an interval literal, e.g. "1 day"),
+    * qualifying events must also fall within that span of the user's
+    * stage-1 first touch — the windowed-funnel conversion semantics
+    * (both bounds inclusive). Returns one row per stage:
     * (stage_idx, stage, users).
     *
     * Each iteration joins the events of ONE type against the previous
@@ -36,21 +39,29 @@ object EventAnalytics {
     */
   def funnel(events: DataFrame, stages: Seq[String],
       user: String = "user_id", ts: String = "ts",
-      typ: String = "event_type"): DataFrame = {
+      typ: String = "event_type", maxSpan: Option[String] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val e = events.select(col(user).as("_u"), col(ts).as("_ts"), col(typ).as("_ty"))
+    // reached carries (_u, _t = first qualifying time of the previous
+    // stage, _t1 = the stage-1 anchor the window is measured from)
     var reached = e.filter(col("_ty") === stages.head)
       .groupBy(col("_u")).agg(min(col("_ts")).as("_t"))
+      .withColumn("_t1", col("_t"))
+    val deadline = maxSpan.map(s => expr(s"INTERVAL $s"))
     def stageCount(idx: Int, name: String, r: DataFrame): DataFrame =
       r.agg(count(lit(1)).as("users"))
         .select(lit(idx).as("stage_idx"), lit(name).as("stage"), col("users"))
     val rows = Seq.newBuilder[DataFrame]
     rows += stageCount(1, stages.head, reached)
     stages.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val inOrder = col("_ts") >= col("_t")
+      val inWindow = deadline
+        .map(d => inOrder && col("_ts") <= col("_t1") + d).getOrElse(inOrder)
       reached = e.filter(col("_ty") === st)
         .join(reached, "_u")
-        .filter(col("_ts") >= col("_t"))
-        .groupBy(col("_u")).agg(min(col("_ts")).as("_t"))
+        .filter(inWindow)
+        .groupBy(col("_u"))
+        .agg(min(col("_ts")).as("_t"), min(col("_t1")).as("_t1"))
       rows += stageCount(i + 1, st, reached)
     }
     rows.result().reduce(_ unionByName _)

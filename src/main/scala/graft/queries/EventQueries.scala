@@ -24,6 +24,13 @@ object EventQueries {
     "q_cohort_retention" -> ((s, dir) => {
       EventAnalytics.cohortRetention(t(s, dir, "events"))
         .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+    "q_funnel_window" -> ((s, dir) => {
+      // windowed-funnel conversion: every later stage within 1 day of
+      // the user's stage-1 first touch
+      EventAnalytics.funnel(t(s, dir, "events"),
+          stages = Seq("view", "click", "purchase"), maxSpan = Some("1 day"))
+        .orderBy(col("stage_idx"))
     })
   )
 
@@ -56,6 +63,24 @@ object EventQueries {
         |  s.cohort_size
         |FROM e JOIN c USING (u) JOIN s USING (cohort_day)
         |GROUP BY c.cohort_day, day_offset, s.cohort_size
-        |ORDER BY cohort_day, day_offset""".stripMargin
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+    "q_funnel_window" ->
+      """WITH e AS (SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type AS ty FROM events),
+        |s1 AS (SELECT u, min(ts) AS t FROM e WHERE ty = 'view' GROUP BY u),
+        |s2 AS (SELECT e.u, min(e.ts) AS t, min(s1.t) AS t1 FROM e
+        |  JOIN s1 ON e.u = s1.u AND e.ts >= s1.t
+        |    AND e.ts <= s1.t + INTERVAL 1 DAY
+        |  WHERE e.ty = 'click' GROUP BY e.u),
+        |s3 AS (SELECT e.u, min(e.ts) AS t FROM e
+        |  JOIN s2 ON e.u = s2.u AND e.ts >= s2.t
+        |    AND e.ts <= s2.t1 + INTERVAL 1 DAY
+        |  WHERE e.ty = 'purchase' GROUP BY e.u)
+        |SELECT 1 AS stage_idx, 'view' AS stage, CAST(count(*) AS BIGINT) AS users FROM s1
+        |UNION ALL
+        |SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+        |UNION ALL
+        |SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+        |ORDER BY stage_idx""".stripMargin
   )
 }

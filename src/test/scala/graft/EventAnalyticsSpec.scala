@@ -51,6 +51,23 @@ class EventAnalyticsSpec extends SparkSpec {
       "empty stages report 0, not a dropped row")
   }
 
+  test("windowed funnel: the deadline anchors to the stage-1 first touch") {
+    val events = Seq(
+      // A converts fully inside 10 min of the first view
+      ev(1, 1, "view"), ev(1, 3, "click"), ev(1, 8, "purchase"),
+      // B clicks in time, purchases AFTER the window → stage 2 only
+      ev(2, 1, "view"), ev(2, 5, "click"), ev(2, 30, "purchase"),
+      // C's click is outside the window even though ordered
+      ev(3, 1, "view"), ev(3, 20, "click"),
+      // D: boundary — click exactly AT first_view + 10 min counts
+      ev(4, 10, "view"), ev(4, 20, "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnel(events, Seq("view", "click", "purchase"),
+        maxSpan = Some("10 minutes"))
+      .orderBy("stage_idx").as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq((1, "view", 4L), (2, "click", 3L), (3, "purchase", 1L)))
+  }
+
   test("cohort retention anchors each user to their first day") {
     def e(u: Long, day: Int) = (u, Timestamp.valueOf(f"2026-01-$day%02d 09:00:00"))
     val events = Seq(

@@ -230,9 +230,12 @@ object LanguageModel {
     require(numMerges >= 1, "need at least one merge round")
     val spark = docs.sparkSession
     import spark.implicits._
+    // ONE action per round: the argmax collect itself materializes the
+    // round's persisted symbol table (reading the previous round's
+    // cache), so no separate count() job is spent pinning caches —
+    // the previous cache is released only AFTER that action has run.
     var words = symbolWords(docs, text).persist()
-    words.count()
-    var cachedPrev = words
+    var prev: DataFrame = null
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     try {
       var rank = 1
@@ -240,21 +243,23 @@ object LanguageModel {
       while (rank <= numMerges && !exhausted) {
         val best = pairCounts(words)
           .orderBy(col("freq").desc, col("left"), col("right"))
-          .limit(1).collect()
+          .limit(1).collect() // materializes `words`
+        if (prev ne null) { prev.unpersist(blocking = false); prev = null }
         if (best.isEmpty) exhausted = true // every word is one symbol
         else {
           val (l, r, c) = (best(0).getString(0), best(0).getString(1),
             best(0).getLong(2))
           merges += ((rank, l, r, c))
+          prev = words
           words = words.select(applyMerge(col("_syms"), l, r).as("_syms"),
             col("_f")).persist()
-          words.count()
-          cachedPrev.unpersist(blocking = false)
-          cachedPrev = words
           rank += 1
         }
       }
-    } finally cachedPrev.unpersist(blocking = false)
+    } finally {
+      if (prev ne null) prev.unpersist(blocking = false)
+      words.unpersist(blocking = false)
+    }
     spark.createDataset(merges.result())
       .toDF("rank", "left", "right", "freq")
   }

@@ -67,6 +67,37 @@ object EventAnalytics {
     rows.result().reduce(_ unionByName _)
   }
 
+  /** Top-`k` ordered event paths: the most frequent length-3 event
+    * sequences (path analysis — "what do users actually do") over
+    * each user's time-ordered stream, counting only triples whose
+    * whole span fits in `within` (so an overnight gap doesn't stitch
+    * unrelated visits into one path). Ties at the cut rank break on
+    * the full path, so the top-k is deterministic.
+    *
+    * One shuffle keyed by user; the lead window is a streaming frame
+    * (two rows of lookahead state per user, never the whole
+    * sequence), and the path rollup aggregates at most
+    * |event_types|³ rows — partial map-side, TakeOrdered for the cut.
+    */
+  def topEventPaths(events: DataFrame, k: Int, within: String = "30 minutes",
+      user: String = "user_id", ts: String = "ts", typ: String = "event_type",
+      eventId: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_u")).orderBy(col("_ts"), col("_eid"))
+    events.select(col(user).as("_u"), col(ts).as("_ts"),
+        col(eventId).as("_eid"), col(typ).as("_ty"))
+      .withColumn("_t2", lead(col("_ty"), 1).over(w))
+      .withColumn("_t3", lead(col("_ty"), 2).over(w))
+      .withColumn("_ts3", lead(col("_ts"), 2).over(w))
+      .filter(col("_t3").isNotNull &&
+        col("_ts3") <= col("_ts") + expr(s"INTERVAL $within"))
+      .groupBy(col("_ty").as("step1"), col("_t2").as("step2"),
+        col("_t3").as("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(k)
+  }
+
   /** Daily cohort retention: users grouped by the day of their FIRST
     * event; for each (cohort_day, day_offset) the count of that
     * cohort's users active `day_offset` days after joining, plus the

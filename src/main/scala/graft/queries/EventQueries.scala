@@ -31,6 +31,9 @@ object EventQueries {
       EventAnalytics.funnel(t(s, dir, "events"),
           stages = Seq("view", "click", "purchase"), maxSpan = Some("1 day"))
         .orderBy(col("stage_idx"))
+    }),
+    "q_event_paths" -> ((s, dir) => {
+      EventAnalytics.topEventPaths(t(s, dir, "events"), k = 10)
     })
   )
 
@@ -81,6 +84,18 @@ object EventQueries {
         |SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
         |UNION ALL
         |SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
-        |ORDER BY stage_idx""".stripMargin
+        |ORDER BY stage_idx""".stripMargin,
+    "q_event_paths" ->
+      """WITH e AS (SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_id AS eid, event_type AS ty FROM events),
+        |l AS (SELECT u, ty AS step1,
+        |    lead(ty, 1) OVER w AS step2, lead(ty, 2) OVER w AS step3,
+        |    ts, lead(ts, 2) OVER w AS ts3
+        |  FROM e WINDOW w AS (PARTITION BY u ORDER BY ts, eid))
+        |SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n
+        |FROM l
+        |WHERE step3 IS NOT NULL AND ts3 <= ts + INTERVAL 30 MINUTE
+        |GROUP BY step1, step2, step3
+        |ORDER BY n DESC, step1, step2, step3 LIMIT 10""".stripMargin
   )
 }

@@ -68,6 +68,23 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == Seq((1, "view", 4L), (2, "click", 3L), (3, "purchase", 1L)))
   }
 
+  test("topEventPaths: ordered triples per user, span-bounded, deterministic ties") {
+    def e(id: Long, u: Long, minute: Int, ty: String) =
+      (id, u, Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00"), ty)
+    val events = Seq(
+      // user 1: A B C D in 3 minutes → triples ABC, BCD
+      e(1, 1, 0, "A"), e(2, 1, 1, "B"), e(3, 1, 2, "C"), e(4, 1, 3, "D"),
+      // user 2: A B then C 40 min later → ABC span exceeds 30 min, dropped
+      e(5, 2, 0, "A"), e(6, 2, 1, "B"), e(7, 2, 41, "C"),
+      // user 3: another ABC inside the window
+      e(8, 3, 10, "A"), e(9, 3, 11, "B"), e(10, 3, 12, "C")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventAnalytics.topEventPaths(events, k = 10)
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(got == Seq(("A", "B", "C", 2L), ("B", "C", "D", 1L)),
+      "user 2's over-span triple must not count; ABC outranks BCD")
+  }
+
   test("cohort retention anchors each user to their first day") {
     def e(u: Long, day: Int) = (u, Timestamp.valueOf(f"2026-01-$day%02d 09:00:00"))
     val events = Seq(

@@ -140,6 +140,60 @@ object Dedup {
         coalesce(col("dup_spans"), lit(0L)).as("dup_spans"))
   }
 
+  /** Maximal duplicated RUNS per document — the cut list of
+    * fixed-window substring dedup: consecutive duplicated windows
+    * (start gap ≤ `windowTokens`, i.e. their token intervals touch or
+    * overlap) merge into one run, so `dup_tokens` is the EXACT size
+    * of the union of duplicated-window intervals (runs are disjoint
+    * by construction: a larger gap leaves ≥ 1 uncovered token).
+    * Returns (id, n_runs, max_run_tokens, dup_tokens), zeros for
+    * clean docs — the per-doc numbers a trim/cut policy thresholds
+    * on, where [[spanProfile]] only counts windows.
+    *
+    * Scale shape: same one-pass window enumeration as [[spanProfile]]
+    * (hash in the explode's projection, narrow rows to the shuffle);
+    * the occurrence total is a whole-partition window keyed by hash;
+    * the islands pass is a per-doc ordered window whose state is one
+    * document's duplicated-window list — bounded by document length. */
+  def spanRuns(docs: DataFrame, windowTokens: Int = 8,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowTokens >= 2, "window must span at least 2 tokens")
+    val toks = docs.select(col(id).as("_id"),
+      TextAnalysis.tokens(coalesce(col(text), lit(""))).as("_ts"))
+      .withColumn("_n", size(col("_ts")))
+    val spans = toks.filter(col("_n") >= windowTokens)
+      .select(col("_id"), col("_ts"),
+        explode(sequence(lit(1), col("_n") - windowTokens + 1)).as("_s"))
+      .select(col("_id"), col("_s"),
+        md5(concat_ws(" ", slice(col("_ts"), col("_s"), lit(windowTokens)))).as("_h"))
+    val flagged = spans
+      .withColumn("_tot", count(lit(1)).over(Window.partitionBy(col("_h"))))
+      .filter(col("_tot") > 1)
+    val byDoc = Window.partitionBy(col("_id")).orderBy(col("_s"))
+    val runs = flagged
+      // island break when the previous duplicated window's token
+      // interval no longer touches this one (first row: lag is null →
+      // otherwise-branch → new island)
+      .withColumn("_brk",
+        when(col("_s") - lag(col("_s"), 1).over(byDoc) <= windowTokens, 0)
+          .otherwise(1))
+      .withColumn("_run", sum(col("_brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("_id"), col("_run"))
+      .agg((max(col("_s")) - min(col("_s")) + windowTokens).cast("long").as("_len"))
+    toks.select(col("_id"))
+      .join(runs.groupBy(col("_id")).agg(
+          count(lit(1)).as("n_runs"),
+          max(col("_len")).as("max_run_tokens"),
+          sum(col("_len")).as("dup_tokens")),
+        Seq("_id"), "left")
+      .select(col("_id").as(id),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("max_run_tokens"), lit(0L)).as("max_run_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
   // ---- incremental (batch-vs-corpus) dedup ----
 
   /** Incremental dedup: drop rows of `newDocs` that duplicate the

@@ -91,6 +91,12 @@ object RetrievalQueries {
       Dedup.spanProfile(t(s, dir, "documents"), windowTokens = 8)
         .orderBy(col("doc_id"))
     }),
+    "q_dedup_span_runs" -> ((s, dir) => {
+      // maximal duplicated runs (interval-union token accounting) —
+      // the cut list the span profile only counts
+      Dedup.spanRuns(t(s, dir, "documents"), windowTokens = 8)
+        .orderBy(col("doc_id"))
+    }),
     "q_bpe_pairs" -> ((s, dir) => {
       // round-1 BPE pair statistics — the oracle-checked slice of the
       // training loop (the full loop below is iterative-greedy, not
@@ -237,6 +243,32 @@ object RetrievalQueries {
         |  FROM spans JOIN c USING (h) GROUP BY doc_id)
         |SELECT n.doc_id, CAST(greatest(n - 8 + 1, 0) AS BIGINT) AS total_spans,
         |  coalesce(d.dup_spans, 0) AS dup_spans
+        |FROM n LEFT JOIN d USING (doc_id) ORDER BY n.doc_id""".stripMargin,
+    "q_dedup_span_runs" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, $toksRawSql AS ts FROM documents),
+        |n AS (SELECT doc_id, ts, len(ts) AS n FROM toks),
+        |starts AS (
+        |  SELECT doc_id, ts, unnest(range(1, CAST(n - 8 + 2 AS BIGINT))) AS s
+        |  FROM n WHERE n >= 8),
+        |spans AS (
+        |  SELECT doc_id, s, md5(array_to_string(ts[s : s + 7], ' ')) AS h
+        |  FROM starts),
+        |c AS (SELECT h FROM spans GROUP BY h HAVING count(*) > 1),
+        |f AS (SELECT doc_id, s FROM spans JOIN c USING (h)),
+        |b AS (SELECT doc_id, s,
+        |  CASE WHEN s - lag(s) OVER (PARTITION BY doc_id ORDER BY s) <= 8
+        |       THEN 0 ELSE 1 END AS brk FROM f),
+        |r AS (SELECT doc_id, s, SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+        |  ROWS UNBOUNDED PRECEDING) AS run FROM b),
+        |g AS (SELECT doc_id, run, CAST(max(s) - min(s) + 8 AS BIGINT) AS len
+        |  FROM r GROUP BY doc_id, run),
+        |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+        |  max(len) AS max_run_tokens, CAST(sum(len) AS BIGINT) AS dup_tokens
+        |  FROM g GROUP BY doc_id)
+        |SELECT n.doc_id, coalesce(d.n_runs, 0) AS n_runs,
+        |  coalesce(d.max_run_tokens, 0) AS max_run_tokens,
+        |  coalesce(d.dup_tokens, 0) AS dup_tokens
         |FROM n LEFT JOIN d USING (doc_id) ORDER BY n.doc_id""".stripMargin,
     "q_bpe_pairs" ->
       s"""WITH toks AS (SELECT unnest($toksSql) AS w FROM documents),

@@ -218,6 +218,26 @@ class RetrievalSpec extends SparkSpec {
     assert(r == Map(("a", "b") -> 2L, ("b", "a") -> 1L))
   }
 
+  test("spanRuns: adjacent dup windows merge, distant ones split, coverage exact") {
+    val d = docs(
+      // 1 and 2 share the 5-token run "a b c d e" → one run of 5
+      1L -> "a b c d e x y z",
+      2L -> "q a b c d e r s",
+      // back-to-back self-repeat: both interval halves touch → ONE
+      // 8-token run covering the whole doc
+      3L -> "m n o p m n o p",
+      // the same 4-gram repeated 9 tokens apart → two disjoint runs
+      4L -> "a b c d z1 z2 z3 z4 z5 a b c d",
+      5L -> "u v w")
+    val r = Dedup.spanRuns(d, windowTokens = 4).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L) == ((1L, 5L, 5L)))
+    assert(r(2L) == ((1L, 5L, 5L)))
+    assert(r(3L) == ((1L, 8L, 8L)), "touching intervals union into one run")
+    assert(r(4L) == ((2L, 4L, 8L)), "gap > window leaves two disjoint runs")
+    assert(r(5L) == ((0L, 0L, 0L)), "below-window doc still emits a zero row")
+  }
+
   test("spanProfile: case is NOT folded — 'A b c d' and 'a b c d' differ") {
     val d = docs(1L -> "A b c d", 2L -> "a b c d")
     val r = Dedup.spanProfile(d, windowTokens = 4).collect().map(x =>

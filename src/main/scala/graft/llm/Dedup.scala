@@ -194,6 +194,65 @@ object Dedup {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
   }
 
+  /** APPLY fixed-window substring dedup (Lee et al. 2022's transform,
+    * not just its profile): every duplicated window except the
+    * globally FIRST occurrence of its hash — (id, start) order, the
+    * dedupLines convention — contributes its token interval to a cut
+    * set, and each document is rebuilt without its cut tokens.
+    * Returns (id, text rebuilt space-joined, n_cut) with every input
+    * doc present (empty/short docs pass through with n_cut 0).
+    *
+    * When cut intervals of different hashes overlap a kept window's
+    * tokens, the cut wins — the union-of-intervals semantics the
+    * published implementation applies; the survivor of a duplicate
+    * class therefore keeps its text only where no OTHER duplicated
+    * run claims the same tokens.
+    *
+    * Scale shape: the window/hash enumeration is the one-pass
+    * spanProfile pipeline; the global-first mark is a row_number over
+    * the hash key (state = one hash's occurrence list); cut intervals
+    * explode into at most Σ run-length (≤ corpus tokens) narrow
+    * (id, pos) rows that anti-join the token stream on the EQUI key
+    * (id, pos) — never a non-equi interval join; the rebuild is the
+    * dedupLines flag-style conditional aggregation, one pass over the
+    * exploded tokens. */
+  def cutDupSpans(docs: DataFrame, windowTokens: Int = 8,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowTokens >= 2, "window must span at least 2 tokens")
+    val toks = docs.select(col(id).as("_id"),
+      TextAnalysis.tokens(coalesce(col(text), lit(""))).as("_ts"))
+      .withColumn("_n", size(col("_ts")))
+    val spans = toks.filter(col("_n") >= windowTokens)
+      .select(col("_id"), col("_ts"),
+        explode(sequence(lit(1), col("_n") - windowTokens + 1)).as("_s"))
+      .select(col("_id"), col("_s"),
+        md5(concat_ws(" ", slice(col("_ts"), col("_s"), lit(windowTokens)))).as("_h"))
+    val wH = Window.partitionBy(col("_h")).orderBy(col("_id"), col("_s"))
+    val cutPos = spans
+      .withColumn("_tot", count(lit(1)).over(Window.partitionBy(col("_h"))))
+      .withColumn("_rn", row_number().over(wH))
+      .filter(col("_tot") > 1 && col("_rn") > 1)
+      .select(col("_id"),
+        explode(sequence(col("_s"), col("_s") + windowTokens - 1)).as("_p"))
+      .distinct()
+    // outer posexplode keeps token-less docs as a null-token row so
+    // every input id survives the rebuild aggregation
+    val tokenRows = toks
+      .select(col("_id"), posexplode_outer(col("_ts")).as(Seq("_p0", "_tok")))
+      .withColumn("_p", col("_p0") + 1)
+    tokenRows
+      .join(cutPos.withColumn("_cut", lit(true)), Seq("_id", "_p"), "left")
+      .withColumn("_cut", coalesce(col("_cut"), lit(false)))
+      .groupBy(col("_id")).agg(
+        array_join(transform(array_sort(collect_list(
+          when(!col("_cut") && col("_tok").isNotNull,
+            struct(col("_p"), col("_tok"))))),
+          x => x.getField("_tok")), " ").as("_text"),
+        sum(when(col("_cut"), 1L).otherwise(0L)).as("n_cut"))
+      .select(col("_id").as(id), col("_text").as(text), col("n_cut"))
+  }
+
   // ---- incremental (batch-vs-corpus) dedup ----
 
   /** Incremental dedup: drop rows of `newDocs` that duplicate the

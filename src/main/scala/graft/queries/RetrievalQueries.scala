@@ -97,6 +97,13 @@ object RetrievalQueries {
       Dedup.spanRuns(t(s, dir, "documents"), windowTokens = 8)
         .orderBy(col("doc_id"))
     }),
+    "q_dedup_cut" -> ((s, dir) => {
+      // APPLY the substring dedup: cut every duplicated window except
+      // its global first occurrence, rebuild (space-joined)
+      Dedup.cutDupSpans(t(s, dir, "documents"), windowTokens = 8)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("n_cut"))
+        .orderBy(col("doc_id"))
+    }),
     "q_bpe_pairs" -> ((s, dir) => {
       // round-1 BPE pair statistics — the oracle-checked slice of the
       // training loop (the full loop below is iterative-greedy, not
@@ -270,6 +277,35 @@ object RetrievalQueries {
         |  coalesce(d.max_run_tokens, 0) AS max_run_tokens,
         |  coalesce(d.dup_tokens, 0) AS dup_tokens
         |FROM n LEFT JOIN d USING (doc_id) ORDER BY n.doc_id""".stripMargin,
+    "q_dedup_cut" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, $toksRawSql AS ts FROM documents),
+        |n AS (SELECT doc_id, ts, len(ts) AS n FROM toks),
+        |starts AS (
+        |  SELECT doc_id, ts, unnest(range(1, CAST(n - 8 + 2 AS BIGINT))) AS s
+        |  FROM n WHERE n >= 8),
+        |spans AS (
+        |  SELECT doc_id, s, md5(array_to_string(ts[s : s + 7], ' ')) AS h
+        |  FROM starts),
+        |t2 AS (SELECT doc_id, s,
+        |  count(*) OVER (PARTITION BY h) AS tot,
+        |  row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+        |  FROM spans),
+        |cuts AS (SELECT DISTINCT doc_id, p FROM (
+        |  SELECT doc_id, unnest(range(s, s + 8)) AS p
+        |  FROM t2 WHERE tot > 1 AND rn > 1)),
+        |tok AS (SELECT doc_id, unnest(ts) AS tokn,
+        |  generate_subscripts(ts, 1) AS p FROM toks),
+        |flag AS (SELECT tok.doc_id, tok.p, tok.tokn,
+        |  cuts.p IS NOT NULL AS cut
+        |  FROM tok LEFT JOIN cuts ON tok.doc_id = cuts.doc_id AND tok.p = cuts.p),
+        |kept AS (SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN NOT cut THEN tokn END, ' ' ORDER BY p), '') AS txt,
+        |  CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cut
+        |  FROM flag GROUP BY doc_id)
+        |SELECT n.doc_id, md5(coalesce(k.txt, '')) AS text_md5,
+        |  coalesce(k.n_cut, 0) AS n_cut
+        |FROM n LEFT JOIN kept k USING (doc_id) ORDER BY n.doc_id""".stripMargin,
     "q_bpe_pairs" ->
       s"""WITH toks AS (SELECT unnest($toksSql) AS w FROM documents),
         |wf AS (SELECT w, count(*) AS f FROM toks GROUP BY w),

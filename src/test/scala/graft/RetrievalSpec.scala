@@ -238,6 +238,20 @@ class RetrievalSpec extends SparkSpec {
     assert(r(5L) == ((0L, 0L, 0L)), "below-window doc still emits a zero row")
   }
 
+  test("cutDupSpans: global first occurrence survives, later copies are cut") {
+    val d = docs(
+      1L -> "a b c d e x",          // owns the first "a b c d e" windows
+      2L -> "p q a b c d e",        // its copy of the run is cut
+      3L -> "m n o p m n o p",      // self-repeat: second half cut
+      4L -> "z z")                  // below window: untouched
+    val r = Dedup.cutDupSpans(d, windowTokens = 4).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(r(1L) == (("a b c d e x", 0L)), "first occurrence intact")
+    assert(r(2L) == (("p q", 5L)), "union of the two overlapping cut windows")
+    assert(r(3L) == (("m n o p", 4L)), "within-doc later copy cut")
+    assert(r(4L) == (("z z", 0L)))
+  }
+
   test("spanProfile: case is NOT folded — 'A b c d' and 'a b c d' differ") {
     val d = docs(1L -> "A b c d", 2L -> "a b c d")
     val r = Dedup.spanProfile(d, windowTokens = 4).collect().map(x =>

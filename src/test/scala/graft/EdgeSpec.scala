@@ -48,6 +48,19 @@ class EdgeSpec extends SparkSpec {
     assert(r(5L) == ((1L, 1L)) && r(6L) == ((1L, 1L)))
   }
 
+  test("spanRuns and cutDupSpans pass degenerate docs through with zeros") {
+    val runs = Dedup.spanRuns(docs, windowTokens = 2).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(3))).toMap
+    assert(runs.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(Seq(1L, 2L, 3L, 4L).forall(i => runs(i) == ((0L, 0L))))
+    val cut = Dedup.cutDupSpans(docs, windowTokens = 2).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(cut(1L) == (("", 0L)), "NULL doc rebuilds as empty, not dropped")
+    assert(cut(4L) == (("solo", 0L)))
+    assert(cut(5L) == (("two words", 0L)), "first occurrence keeps its text")
+    assert(cut(6L) == (("", 2L)), "exact-duplicate doc is cut to nothing")
+  }
+
   test("bpe training on a token-less / single-char corpus stops cleanly") {
     val empty = Seq[(java.lang.Long, String)]((1L, null), (2L, "  "))
       .toDF("doc_id", "text")

@@ -69,6 +69,49 @@ object StreamingOps {
       }
   }
 
+  final case class FunnelState(stage: Int, stageTs: Long, anchorTs: Long)
+  final case class FunnelProgress(user_id: Long, stage_idx: Int, stage: String,
+      ts: Long)
+
+  /** Streaming funnel: the per-user stage-progression state machine —
+    * each user's state is (stage reached, its time, the stage-1
+    * anchor), three longs regardless of event volume, and a
+    * stage-advance emits one FunnelProgress row (Append mode; count
+    * rows per stage_idx downstream for live conversion totals).
+    * `maxSpanMs` bounds later stages to the stage-1 anchor like the
+    * batch operator's conversion window.
+    *
+    * Matches `operators/EventAnalytics.funnel` on in-order streams
+    * (events are sorted by (ts, event_id) WITHIN each batch; an event
+    * arriving in a later batch with an earlier timestamp than an
+    * already-consumed stage is gone — the inherent single-pass
+    * tradeoff, same class as dedupStream's watermark horizon). */
+  def funnelStream(spark: SparkSession, events: Dataset[Event],
+      stages: Seq[String], maxSpanMs: Long = Long.MaxValue): Dataset[FunnelProgress] = {
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue, 0L))
+          val out = Seq.newBuilder[FunnelProgress]
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            if (st.stage < stages.length && e.event_type == stages(st.stage) &&
+                t >= st.stageTs &&
+                (st.stage == 0 || t - st.anchorTs <= maxSpanMs)) {
+              val anchor = if (st.stage == 0) t else st.anchorTs
+              st = FunnelState(st.stage + 1, t, anchor)
+              out += FunnelProgress(uid, st.stage, stages(st.stage - 1), t)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
 
   /** Streaming EXACT dedup with bounded state: the first occurrence

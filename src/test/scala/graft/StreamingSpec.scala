@@ -51,6 +51,51 @@ class StreamingSpec extends SparkSpec {
     assert(sess(7L).first_ts < sess(7L).last_ts)
   }
 
+  test("streaming funnel advances per-user stage state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // user 7 progresses view→click in batch 1, purchase in batch 2
+    // (state carries across); user 8's click BEFORE any view must not
+    // advance; user 9 views only
+    input.addData(
+      ev(1, 1, 7, "view", 0), ev(2, 2, 7, "click", 0),
+      ev(3, 1, 8, "click", 0), ev(4, 2, 8, "view", 0),
+      ev(5, 3, 9, "view", 0))
+    input.addData(
+      ev(6, 9, 7, "purchase", 0),
+      ev(7, 9, 9, "error", 0))
+    val q = StreamingOps.funnelStream(spark, input.toDS(),
+        Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("sfunnel").outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val reach = spark.sql("SELECT user_id, stage_idx FROM sfunnel")
+      .as[(Long, Int)].collect().groupBy(_._1).map { case (u, s) =>
+        u -> s.map(_._2).max }
+    assert(reach == Map(7L -> 3, 8L -> 1, 9L -> 1),
+      "7 converts across batches; 8's early click ignored; 9 stalls at view")
+    // per-stage live totals = count of progress rows per stage_idx
+    val byStage = spark.sql("SELECT stage_idx, count(*) FROM sfunnel GROUP BY 1")
+      .as[(Int, Long)].collect().toMap
+    assert(byStage == Map(1 -> 3L, 2 -> 1L, 3 -> 1L))
+  }
+
+  test("streaming funnel conversion window anchors to stage 1") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // click 4 min after view: inside a 5-min window; purchase 20 min
+    // after the anchor: outside
+    input.addData(ev(1, 0, 5, "view", 0), ev(2, 4, 5, "click", 0),
+      ev(3, 20, 5, "purchase", 0))
+    val q = StreamingOps.funnelStream(spark, input.toDS(),
+        Seq("view", "click", "purchase"), maxSpanMs = 5 * 60 * 1000)
+      .writeStream.format("memory").queryName("sfunnelw").outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val stages = spark.sql("SELECT stage_idx FROM sfunnelw").as[Int].collect().toSet
+    assert(stages == Set(1, 2), "purchase past the window must not advance")
+  }
+
   test("streaming exact dedup keeps first occurrence within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamingOps.Doc]

@@ -252,6 +252,30 @@ class RetrievalSpec extends SparkSpec {
     assert(r(4L) == (("z z", 0L)))
   }
 
+  test("span family consistency on the corpus: profile ⟺ runs ⟺ cut invariants") {
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    val k = 8
+    val joined = Dedup.spanProfile(docs, k)
+      .join(Dedup.spanRuns(docs, k), "doc_id")
+      .join(Dedup.cutDupSpans(docs, k).select(col("doc_id"), col("n_cut")), "doc_id")
+      .select("doc_id", "total_spans", "dup_spans", "n_runs", "max_run_tokens",
+        "dup_tokens", "n_cut")
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (total, dup, runs, maxRun, dupTok, cut) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert((dup > 0) == (runs > 0), s"doc ${r.getLong(0)}: dup windows ⟺ runs")
+      assert(dupTok >= runs * k, "every run covers at least one window")
+      assert(maxRun <= dupTok && dupTok <= total + k - 1,
+        "union coverage bounded by doc tokens")
+      assert(cut <= dupTok,
+        "cut positions are a subset of the duplicated-window union")
+    }
+    // and the corpus genuinely exercises the family
+    assert(joined.count(_.getLong(2) > 0) > 0, "corpus has duplicated spans")
+  }
+
   test("spanProfile: case is NOT folded — 'A b c d' and 'a b c d' differ") {
     val d = docs(1L -> "A b c d", 2L -> "a b c d")
     val r = Dedup.spanProfile(d, windowTokens = 4).collect().map(x =>

@@ -276,6 +276,59 @@ class RetrievalSpec extends SparkSpec {
     assert(joined.count(_.getLong(2) > 0) > 0, "corpus has duplicated spans")
   }
 
+  test("span family differential test vs a brute-force model on random corpora") {
+    // seeded word-soup over an 8-token alphabet: k=3 windows collide
+    // densely, exercising island merging, self-repeats and the
+    // first-occurrence cut far beyond the handpicked cases
+    val rnd = new scala.util.Random(42)
+    val corpus = (1L to 40L).map { i =>
+      i -> Seq.fill(rnd.nextInt(26))("t" + rnd.nextInt(8)).mkString(" ")
+    }.toMap
+    val k = 3
+    val toksM = corpus.map { case (i, t) =>
+      i -> t.split("\\s+").filter(_.nonEmpty).toSeq }
+    val windows = for {
+      (i, ts) <- toksM.toSeq; s <- 1 to ts.length - k + 1
+    } yield (i, s, ts.slice(s - 1, s + k - 1).mkString(" "))
+    val occ = windows.groupBy(_._3)
+    val dupW = windows.filter(w => occ(w._3).size > 1)
+    // model: profile
+    val mProfile = toksM.map { case (i, ts) =>
+      i -> (math.max(0, ts.length - k + 1).toLong, dupW.count(_._1 == i).toLong) }
+    // model: runs (interval union, gap > k splits)
+    val mRuns = toksM.keys.map { i =>
+      val starts = dupW.filter(_._1 == i).map(_._2).sorted
+      val islands = starts.foldLeft(List.empty[(Int, Int)]) {
+        case (Nil, s) => List((s, s))
+        case ((lo, hi) :: rest, s) =>
+          if (s - hi <= k) (lo, s) :: rest else (s, s) :: (lo, hi) :: rest
+      }.map { case (lo, hi) => hi - lo + k }
+      i -> (islands.size.toLong,
+        islands.maxOption.getOrElse(0).toLong, islands.sum.toLong)
+    }.toMap
+    // model: cut (global first occurrence per window text survives)
+    val firstOf = occ.view.mapValues(_.minBy(w => (w._1, w._2))).toMap
+    val mCut = toksM.map { case (i, ts) =>
+      val cutPos = dupW.filter(w => w._1 == i && firstOf(w._3) != w)
+        .flatMap(w => w._2 until w._2 + k).toSet
+      val keptTxt = ts.zipWithIndex.collect {
+        case (t, p) if !cutPos.contains(p + 1) => t }.mkString(" ")
+      i -> (keptTxt, cutPos.size.toLong)
+    }
+    import spark.implicits._
+    val d = corpus.toSeq.toDF("doc_id", "text")
+    val gotP = Dedup.spanProfile(d, k).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    val gotR = Dedup.spanRuns(d, k).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    val gotC = Dedup.cutDupSpans(d, k).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(gotP == mProfile, "profile ≡ model")
+    assert(gotR == mRuns, "runs ≡ model")
+    assert(gotC == mCut, "cut ≡ model")
+    assert(mProfile.values.exists(_._2 > 0), "generator produced real dups")
+  }
+
   test("spanProfile: case is NOT folded — 'A b c d' and 'a b c d' differ") {
     val d = docs(1L -> "A b c d", 2L -> "a b c d")
     val r = Dedup.spanProfile(d, windowTokens = 4).collect().map(x =>

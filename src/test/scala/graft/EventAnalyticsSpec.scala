@@ -85,6 +85,82 @@ class EventAnalyticsSpec extends SparkSpec {
       "user 2's over-span triple must not count; ABC outranks BCD")
   }
 
+  test("event family differential test vs driver-side models on random logs") {
+    // seeded log: 25 users, events clustered in a 2-hour window of a
+    // random day (dense enough for 30-min path triples, spread enough
+    // for multi-day cohorts), duplicate timestamps included
+    // (exercises the event_id tie-break)
+    val rnd = new scala.util.Random(7)
+    val base = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val log = (1L to 400L).map { eid =>
+      val u = 1L + rnd.nextInt(25)
+      val minute = rnd.nextInt(3) * 1440 + rnd.nextInt(120)
+      val ty = Seq("view", "click", "purchase", "error")(rnd.nextInt(4))
+      (eid, u, new Timestamp(base + minute * 60000L), ty)
+    }
+    val d = log.toDF("event_id", "user_id", "ts", "event_type")
+    val stages = Seq("view", "click", "purchase")
+    val spanMs = 6 * 60 * 60 * 1000L // "6 hours"
+
+    // model: first-touch funnel, optional deadline from the stage-1 anchor
+    def modelFunnel(deadline: Option[Long]): Seq[Long] = {
+      val byUser = log.groupBy(_._2)
+      def reach(u: Long): Int = {
+        val evs = byUser(u)
+        def firstAt(stage: String, atOrAfter: Long, anchor: Option[Long]): Option[Long] =
+          evs.filter(e => e._4 == stage && e._3.getTime >= atOrAfter &&
+              deadline.forall(dl => anchor.forall(a => e._3.getTime <= a + dl)))
+            .map(_._3.getTime).minOption
+        firstAt(stages(0), Long.MinValue, None) match {
+          case None => 0
+          case Some(t1) =>
+            firstAt(stages(1), t1, Some(t1)) match {
+              case None => 1
+              case Some(t2) => if (firstAt(stages(2), t2, Some(t1)).isDefined) 3 else 2
+            }
+        }
+      }
+      val reached = byUser.keys.toSeq.map(reach)
+      (1 to 3).map(k => reached.count(_ >= k).toLong)
+    }
+    def gotFunnel(span: Option[String]): Seq[Long] =
+      EventAnalytics.funnel(d, stages, maxSpan = span)
+        .orderBy("stage_idx").as[(Int, String, Long)].collect().map(_._3).toSeq
+    assert(gotFunnel(None) == modelFunnel(None), "plain funnel ≡ model")
+    assert(gotFunnel(Some("6 hours")) == modelFunnel(Some(spanMs)),
+      "windowed funnel ≡ model")
+
+    // model: cohort retention
+    val day = 24 * 60 * 60 * 1000L
+    val userDays = log.groupBy(_._2).view
+      .mapValues(_.map(e => (e._3.getTime - base) / day).distinct).toMap
+    val cohortOf = userDays.view.mapValues(_.min).toMap
+    val mCohort = (for {
+      (u, ds) <- userDays.toSeq; o <- ds.map(_ - cohortOf(u))
+    } yield (cohortOf(u), o, u)).groupBy(t => (t._1, t._2)).map { case ((c, o), xs) =>
+      (c, o) -> (xs.map(_._3).distinct.size.toLong,
+        cohortOf.values.count(_ == c).toLong)
+    }
+    val gotCohort = EventAnalytics.cohortRetention(d).collect().map { r =>
+      val c = (r.getDate(0).getTime - base) / day
+      (c, r.getInt(1).toLong) -> (r.getLong(2), r.getLong(3))
+    }.toMap
+    assert(gotCohort == mCohort, "cohort retention ≡ model")
+
+    // model: span-bounded path triples (count map — k large, no cut)
+    val within = 30 * 60 * 1000L
+    val mPaths = log.groupBy(_._2).values.flatMap { evs =>
+      val s = evs.sortBy(e => (e._3.getTime, e._1))
+      s.sliding(3).filter(_.size == 3)
+        .filter(w => w(2)._3.getTime <= w(0)._3.getTime + within)
+        .map(w => (w(0)._4, w(1)._4, w(2)._4))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val gotPaths = EventAnalytics.topEventPaths(d, k = 1000).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(gotPaths == mPaths, "event paths ≡ model")
+    assert(mPaths.nonEmpty && mCohort.nonEmpty)
+  }
+
   test("cohort retention anchors each user to their first day") {
     def e(u: Long, day: Int) = (u, Timestamp.valueOf(f"2026-01-$day%02d 09:00:00"))
     val events = Seq(

@@ -211,6 +211,41 @@ class RetrievalSpec extends SparkSpec {
       (2L, "lo") -> 1L, (2L, "w") -> 1L))
   }
 
+  test("bpeMerges differential test vs an independent model on random corpora") {
+    // driver-side reference trainer: same spec (count weighted pairs,
+    // argmax by (freq DESC, pair ASC), greedy left-to-right apply)
+    // implemented independently over plain collections
+    def modelBpe(freq: Map[String, Long], n: Int): Seq[(Int, String, String, Long)] = {
+      var words = freq.toSeq.map { case (w, f) => (w.map(_.toString).toList, f) }
+      (1 to n).flatMap { rank =>
+        val counts = words.flatMap { case (syms, f) =>
+          syms.zip(syms.drop(1)).map(p => p -> f)
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+        counts.sortBy { case ((l, r), c) => (-c, l, r) }.headOption.map {
+          case ((l, r), c) =>
+            words = words.map { case (syms, f) =>
+              val out = syms.foldLeft(List.empty[String]) { (acc, x) =>
+                if (acc.headOption.contains(l) && x == r) (l + r) :: acc.tail
+                else x :: acc
+              }.reverse
+              (out, f)
+            }
+            (rank, l, r, c)
+        }
+      }
+    }
+    val rnd = new scala.util.Random(11)
+    val words = Seq.fill(60)(Seq.fill(1 + rnd.nextInt(6))(
+      ('a' + rnd.nextInt(3)).toChar).mkString)
+    val text = words.mkString(" ")
+    val freq = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = LanguageModel.bpeMerges(docs(1L -> text), numMerges = 6)
+      .orderBy("rank").collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getString(2), x.getLong(3))).toSeq
+    assert(got == modelBpe(freq, 6), "trainer ≡ independent model incl. tie-breaks")
+    assert(got.size == 6, "3-char alphabet corpus sustains 6 merges")
+  }
+
   test("bpePairStats matches a hand count and weights by word frequency") {
     val d = docs(1L -> "ab ab ba")
     val r = LanguageModel.bpePairStats(d).collect()

@@ -34,7 +34,8 @@ object SparkEntry {
     (HygieneQueries.queries, HygieneQueries.oracle),
     (RetrievalQueries.queries, RetrievalQueries.oracle),
     (ClusterQueries.queries, ClusterQueries.oracle),
-    (EventQueries.queries, EventQueries.oracle)
+    (EventQueries.queries, EventQueries.oracle),
+    (RecursiveQueries.queries, RecursiveQueries.oracle)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -35,7 +35,8 @@ object SparkEntry {
     (RetrievalQueries.queries, RetrievalQueries.oracle),
     (ClusterQueries.queries, ClusterQueries.oracle),
     (EventQueries.queries, EventQueries.oracle),
-    (RecursiveQueries.queries, RecursiveQueries.oracle)
+    (RecursiveQueries.queries, RecursiveQueries.oracle),
+    (RelExtraQueries.queries, RelExtraQueries.oracle)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

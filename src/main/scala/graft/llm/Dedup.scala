@@ -796,6 +796,28 @@ object Dedup {
     docs.join(drop, docs(id) === drop("_id"), "left_anti")
   }
 
+  /** Near-dedup keeping the BEST doc per duplicate cluster under a
+    * caller-supplied score (ties → smaller id) instead of the minimum
+    * id — the keeper policy production pipelines actually want (keep
+    * the longest / highest-quality member; min-id keeps whichever
+    * crawl happened to come first). `score` is evaluated against
+    * `docs`' columns (e.g. `col("n_chars")`, or a computed quality
+    * expression — it runs inside the member scan, never per pair).
+    * Cost over `nearDedup`: the ranking window shuffles only CLUSTER
+    * MEMBERS (|docs in pairs| rows, keyed by component) — never the
+    * corpus; the drop side then anti-joins back as usual. */
+  def nearDedupBest(docs: DataFrame, pairs: DataFrame, score: Column,
+      id: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val members = docs.join(dupClusters(pairs), docs(id) === col("_id"))
+      .select(col("_id"), col("_comp"), score.as("_score"))
+    val w = Window.partitionBy(col("_comp"))
+      .orderBy(col("_score").desc, col("_id"))
+    val drop = members.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") > 1).select(col("_id"))
+    docs.join(drop, docs(id) === drop("_id"), "left_anti")
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash per document, as the native `simhash64` kernel

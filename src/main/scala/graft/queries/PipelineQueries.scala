@@ -55,6 +55,15 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
     }),
+    "q_dedup_keepbest" -> ((s, dir) => {
+      // near-dedup with the quality-keeper policy: keep each cluster's
+      // LONGEST member (n_chars, ties → min id) — integer-exact score
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardDupPairs(docs, threshold = 0.6)
+      Dedup.nearDedupBest(docs, pairs, col("n_chars"))
+        .select(col("doc_id"), col("n_chars"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
     "q_pipeline_e2e" -> ((s, dir) => {
       // The WHOLE training-data pipeline as one composed plan — the
       // flagship composition proof: every stage is an operator from
@@ -192,6 +201,37 @@ object PipelineQueries {
         |SELECT d.doc_id, d.lang, d.source
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         |WHERE c.doc_id IS NULL OR c.doc_id = c.cluster_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_dedup_keepbest" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |pr AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      len(list_intersect(a.s, b.s))::DOUBLE
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+        |  WHERE jaccard >= 0.6),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+        |          UNION ALL SELECT id_b, id_a FROM pr),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (
+        |  SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+        |  FROM reach GROUP BY src),
+        |k AS (
+        |  SELECT cluster_id, doc_id AS keep_id FROM (
+        |    SELECT c.cluster_id, c.doc_id, row_number() OVER (
+        |      PARTITION BY c.cluster_id
+        |      ORDER BY d.n_chars DESC, c.doc_id) AS rn
+        |    FROM comp c JOIN documents d USING (doc_id)) t
+        |  WHERE rn = 1)
+        |SELECT d.doc_id, d.n_chars, d.source
+        |FROM documents d
+        |LEFT JOIN comp c ON d.doc_id = c.doc_id
+        |LEFT JOIN k ON c.cluster_id = k.cluster_id
+        |WHERE c.doc_id IS NULL OR d.doc_id = k.keep_id
         |ORDER BY d.doc_id""".stripMargin,
     "q_pipeline_e2e" ->
       """WITH RECURSIVE

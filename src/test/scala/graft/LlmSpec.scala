@@ -76,6 +76,24 @@ class LlmSpec extends SparkSpec {
       s"prefix candidates $candPref vs full $candFull — filter must bite")
   }
 
+  test("nearDedupBest keeps the argmax-score member per cluster, ties to min id") {
+    import spark.implicits._
+    // two clusters {1,2,3} and {10,11}, singleton 20
+    val docs = Seq(
+      (1L, "a", 5L), (2L, "b", 9L), (3L, "c", 9L), // 2 and 3 tie: keep 2
+      (10L, "d", 1L), (11L, "e", 7L),              // keep 11
+      (20L, "f", 0L)                               // untouched singleton
+    ).toDF("doc_id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Dedup.nearDedupBest(docs, pairs, col("score"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 11L, 20L))
+    // min-id policy on the same input keeps different representatives
+    val minKept = Dedup.nearDedup(docs, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minKept == Set(1L, 10L, 20L))
+  }
+
   test("simhash banding has total recall: pairs == brute-force hamming <= maxDist") {
     // the pigeonhole contract: maxDist+1 bands lose NO qualifying pair
     for (maxDist <- Seq(3, 8)) {

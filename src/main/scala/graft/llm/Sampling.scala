@@ -38,6 +38,52 @@ object Sampling {
       salt: String = ""): DataFrame =
     df.filter(sampleHash(col(keyCol), fraction, salt))
 
+  /** Per-stratum keep rates for temperature-flattened sampling:
+    * stratum i's share of the sampled corpus ∝ (n_i)^alpha (the
+    * multilingual-LM mixture rule — alpha < 1 flattens head strata,
+    * boosting the tail), scaled so the expected kept total is
+    * `targetFrac` of the input; rates clip at 1 (a filter cannot
+    * upsample — the clipped stratum contributes everything it has).
+    * Computed as a vocabulary-sized aggregate joined to a 1-row
+    * global (N, Z) — no collect, broadcast-joined back to the scan.
+    * Exposed separately so callers (and tests) can audit the rates. */
+  def temperatureRates(df: DataFrame, stratumCol: String, alpha: Double,
+      targetFrac: Double): DataFrame = {
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).cast("double").as("_n"))
+    // N is a sum of exact integers (order-free in double); Z sums
+    // IRRATIONAL pow terms, so it folds in sorted-stratum order —
+    // bit-reproducible here and in the replaying oracle, independent
+    // of partitioning (a plain SUM's addition order is not)
+    val tot = counts.agg(sum(col("_n")).as("_tot"),
+      aggregate(array_sort(collect_list(struct(col(stratumCol).as("s"),
+          pow(col("_n"), lit(alpha)).as("p")))),
+        lit(0.0), (a, x) => a + x.getField("p")).as("_z"))
+    counts.crossJoin(broadcast(tot)).select(col(stratumCol),
+      least(lit(1.0), lit(targetFrac) * col("_tot") * pow(col("_n"), lit(alpha))
+        / (col("_z") * col("_n"))).as("_rate"))
+  }
+
+  /** Temperature sampling: deterministic md5-membership like
+    * `mixtureSample`, but the per-stratum fraction is DERIVED from
+    * the stratum counts by the alpha rule above rather than supplied.
+    * Membership compares the key digest prefix (as an integer)
+    * against floor(rate·2^32) — the arithmetic an independent engine
+    * reproduces exactly (IEEE doubles, same op order; the DuckDB
+    * oracle replays it term for term). Plan: one aggregate for the
+    * rates, then a broadcast join back — each row still decides
+    * membership inside its scan. */
+  def temperatureSample(df: DataFrame, stratumCol: String, keyCol: String,
+      alpha: Double = 0.7, targetFrac: Double = 0.5,
+      salt: String = ""): DataFrame = {
+    val keyHash = conv(substring(md5(concat(col(keyCol).cast("string"),
+      lit(salt))), 1, 8), 16, 10).cast("long")
+    df.join(broadcast(temperatureRates(df, stratumCol, alpha, targetFrac)),
+        stratumCol)
+      .filter(keyHash < floor(col("_rate") * lit(4294967296.0)).cast("long"))
+      .drop("_rate")
+  }
+
   /** Mixture (per-domain-weighted) deterministic sample — the
     * training-mixture knob: each stratum keeps its OWN fraction
     * (e.g. up-weight curated sources, down-weight crawl). Membership

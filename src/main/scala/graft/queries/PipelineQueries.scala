@@ -120,6 +120,14 @@ object PipelineQueries {
         .select(col("source"), col("doc_id"))
         .orderBy(col("source"), col("doc_id"))
     }),
+    "q_sample_temperature" -> ((s, dir) => {
+      // alpha-flattened mixture (n_i^0.7 shares at half the corpus):
+      // rates derived from counts, bit-reproduced by the oracle
+      Sampling.temperatureSample(t(s, dir, "documents"), "source", "doc_id",
+          alpha = 0.7, targetFrac = 0.5)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
     "q_sample_uniform" -> ((s, dir) => {
       Sampling.uniformSample(t(s, dir, "documents"), "doc_id", fraction = 0.1)
         .select(col("doc_id"), col("lang"), col("source"))
@@ -354,6 +362,25 @@ object PipelineQueries {
         |  FROM tok)
         |SELECT source, doc_id FROM c WHERE cum <= 500
         |ORDER BY source, doc_id""".stripMargin,
+    "q_sample_temperature" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n
+        |  FROM documents GROUP BY source),
+        |t AS (
+        |  SELECT SUM(n) AS tot,
+        |    list_reduce(list(pow(n, 0.7) ORDER BY source),
+        |      (a, b) -> a + b) AS z
+        |  FROM c),
+        |r AS (
+        |  SELECT c.source,
+        |    least(1.0, 0.5 * t.tot * pow(c.n, 0.7) / (t.z * c.n)) AS rate
+        |  FROM c, t)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT)
+        |    < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_sample_uniform" ->
       s"""SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5(doc_id::VARCHAR), 1, 8) < '${Sampling.hexThreshold(0.1)}'

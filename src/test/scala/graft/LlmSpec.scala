@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{AnnSearch, Dedup, Multimodal, TextAnalysis}
+import graft.llm.{AnnSearch, Dedup, Multimodal, Sampling, TextAnalysis}
 
 /** Semantic assertions for the operators the DuckDB oracle cannot
   * express (hash-based LSH, heuristics): planted near-duplicates are
@@ -331,6 +331,30 @@ class LlmSpec extends SparkSpec {
     // empty text: all counts zero, fails deterministically (no NaN/null)
     val empty = TextAnalysis.qualityRules(Seq((9L, "")).toDF("doc_id", "text")).head()
     assert(!empty.getAs[Boolean]("pass") && empty.getAs[Long]("n_tokens") == 0L)
+  }
+
+  test("temperature sampling: alpha=1 is uniform, alpha<1 boosts the tail, rates clip") {
+    import spark.implicits._
+    val docs = (1 to 900).map(i =>
+      (i.toLong, if (i <= 800) "head" else if (i <= 880) "mid" else "tail"))
+      .toDF("doc_id", "source")
+    def rates(alpha: Double, f: Double) =
+      Sampling.temperatureRates(docs, "source", alpha, f)
+        .as[(String, Double)].collect().toMap
+    // alpha = 1: every stratum keeps exactly targetFrac (algebraic identity)
+    assert(rates(1.0, 0.25).values.forall(_ == 0.25))
+    // alpha < 1: rate is strictly decreasing in stratum size
+    val r = rates(0.5, 0.3)
+    assert(r("tail") > r("mid") && r("mid") > r("head"))
+    // flat enough + big target => small strata clip at 1.0
+    assert(rates(0.01, 0.9)("tail") == 1.0)
+    // membership is the derived rate applied per stratum: kept fraction
+    // tracks the rate to within the 2^-32 hash quantization on counts
+    val kept = Sampling.temperatureSample(docs, "source", "doc_id",
+      alpha = 0.5, targetFrac = 0.3)
+    val got = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(got("tail") >= got.getOrElse("head", 0L) / 40,
+      s"tail must be over-represented relative to its 1/40 size share: $got")
   }
 
   test("hash split: exhaustive, group-coherent, stable under band resize") {

@@ -36,7 +36,8 @@ object SparkEntry {
     (ClusterQueries.queries, ClusterQueries.oracle),
     (EventQueries.queries, EventQueries.oracle),
     (RecursiveQueries.queries, RecursiveQueries.oracle),
-    (RelExtraQueries.queries, RelExtraQueries.oracle)
+    (RelExtraQueries.queries, RelExtraQueries.oracle),
+    (ResampleQueries.queries, ResampleQueries.oracle)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

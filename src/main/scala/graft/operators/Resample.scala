@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: dense per-key time grids and gap
+  * filling (LOCF + linear interpolation) — the resampling pass event
+  * and metric pipelines need before window math is meaningful
+  * (irregular observations → fixed-step series). The reference covers
+  * the calendar arithmetic (func_timestampdiff/period fns); the grid
+  * and fill are the Spark-native layer on top.
+  *
+  * Scale design: the grid is generated PER KEY from that key's own
+  * [min, max] span (`sequence` + explode inside the scan — never a
+  * cross join against a global calendar table), so grid volume is
+  * Σ_key span/step, and every fill is a per-key ordered window — ONE
+  * shuffle keyed by the series key, partial-aggregation-friendly
+  * upstream. Nothing global, nothing driver-side.
+  */
+object Resample {
+
+  /** Dense per-key grid: one row per `step` tick covering each key's
+    * observed [min(time), max(time)] span. `step` is an interval
+    * literal body, e.g. "1 day" / "6 hours". */
+  def timeGrid(obs: DataFrame, key: String, time: String,
+      step: String): DataFrame =
+    obs.groupBy(col(key)).agg(min(col(time)).as("_t0"), max(col(time)).as("_t1"))
+      .select(col(key),
+        explode(sequence(col("_t0"), col("_t1"), expr(s"interval $step"))).as(time))
+
+  /** Observations left-joined onto the dense grid — missing ticks
+    * surface as NULL measure columns, ready for a fill policy. */
+  def regularize(obs: DataFrame, key: String, time: String,
+      step: String): DataFrame =
+    timeGrid(obs, key, time, step).join(obs, Seq(key, time), "left")
+
+  /** LOCF (last observation carried forward) over each key's series
+    * for every column in `cols`. Leading NULLs (before the first
+    * observation) stay NULL. */
+  def fillForward(grid: DataFrame, key: String, time: String,
+      cols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(time))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols.foldLeft(grid) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+
+  /** Linear interpolation of `value` across gaps: a missing tick gets
+    * vp + (vn − vp)·(pos − pp)/(pn − pp) from the surrounding
+    * observations, where `pos` is a numeric position expression for
+    * the tick (days since epoch, unix seconds, ...) — the caller
+    * chooses the axis so date and timestamp grids both work. A
+    * trailing gap (no next observation) falls back to LOCF; observed
+    * ticks pass through bit-unchanged. Two per-key windows (backward
+    * carry, forward carry) — still one shuffle: same partitioning. */
+  def interpolate(grid: DataFrame, key: String, time: String,
+      value: String, pos: Column): DataFrame = {
+    val back = Window.partitionBy(col(key)).orderBy(col(time))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col(key)).orderBy(col(time))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsPos = when(col(value).isNotNull, pos)
+    val vp = last(col(value), ignoreNulls = true).over(back)
+    val pp = last(obsPos, ignoreNulls = true).over(back)
+    val vn = first(col(value), ignoreNulls = true).over(fwd)
+    val pn = first(obsPos, ignoreNulls = true).over(fwd)
+    grid.withColumn(value,
+      when(col(value).isNotNull, col(value))
+        .when(vn.isNull, vp)
+        .when(vp.isNull, vn)
+        .otherwise(vp + (vn - vp) *
+          ((pos - pp).cast("double") / (pn - pp).cast("double"))))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Resample
+
+/** Time-series regularization queries: per-user daily series from the
+  * events stream, gap-filled on a dense grid — LOCF for counts,
+  * linear interpolation for totals. Oracles rebuild the grid with
+  * generate_series + the same window carries; the interpolation
+  * formula is replayed term for term (integer day distances cast to
+  * double, identical op order) so doubles compare bit-exact.
+  */
+object ResampleQueries {
+  import Q._
+
+  val queries: Map[String, QFn] = Map(
+    "q_resample_locf" -> ((s, dir) => {
+      val obs = t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("n"))
+      Resample.fillForward(
+          Resample.regularize(obs, "user_id", "day", "1 day"),
+          "user_id", "day", Seq("n"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+    "q_resample_interp" -> ((s, dir) => {
+      val obs = t(s, dir, "events").filter(col("user_id") < 20)
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sumDec(col("value")).as("v"))
+      Resample.interpolate(
+          Resample.regularize(obs, "user_id", "day", "1 day"),
+          "user_id", "day", "v",
+          pos = datediff(col("day"), to_date(lit("2024-01-01"))))
+        .orderBy(col("user_id"), col("day"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_resample_locf" ->
+      """WITH obs AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE user_id < 50 GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |      FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |j AS (SELECT g.user_id, g.day, o.n
+        |      FROM grid g LEFT JOIN obs o
+        |        ON g.user_id = o.user_id AND g.day = o.day)
+        |SELECT user_id, day,
+        |  last_value(n IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+        |FROM j ORDER BY user_id, day""".stripMargin,
+    "q_resample_interp" ->
+      s"""WITH obs AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         ${oSumDec("value")} AS v
+        |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |      FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |j AS (SELECT g.user_id, g.day, o.v,
+        |        g.day - DATE '2024-01-01' AS pos
+        |      FROM grid g LEFT JOIN obs o
+        |        ON g.user_id = o.user_id AND g.day = o.day),
+        |w AS (SELECT user_id, day, v, pos,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+        |  last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+        |  first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+        |  first_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS pn
+        |  FROM j)
+        |SELECT user_id, day,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN vn IS NULL THEN vp
+        |       WHEN vp IS NULL THEN vn
+        |       ELSE vp + (vn - vp) *
+        |         (CAST(pos - pp AS DOUBLE) / CAST(pn - pp AS DOUBLE)) END AS v
+        |FROM w ORDER BY user_id, day""".stripMargin
+  )
+}

@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Date
+import org.apache.spark.sql.functions._
+import graft.operators.Resample
+
+/** Grid/fill semantics on handcrafted series — the cases the oracle
+  * hash-match can't isolate: grid bounds are per key, LOCF never
+  * leaks across keys, interpolation hits exact midpoints, and the
+  * trailing-gap fallback is LOCF not NULL. */
+class ResampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  test("timeGrid spans each key's own [min,max]; regularize nulls the gaps") {
+    val obs = Seq(
+      (1L, d("2024-01-01"), 10.0), (1L, d("2024-01-04"), 40.0),
+      (2L, d("2024-02-10"), 5.0)
+    ).toDF("k", "day", "v")
+    val grid = Resample.regularize(obs, "k", "day", "1 day")
+    val rows = grid.orderBy("k", "day")
+      .as[(Long, Date, Option[Double])].collect().toSeq
+    assert(rows.map(_._1).count(_ == 1L) == 4)      // jan 1..4
+    assert(rows.map(_._1).count(_ == 2L) == 1)      // single-point span
+    assert(rows.filter(_._1 == 1L).map(_._3) ==
+      Seq(Some(10.0), None, None, Some(40.0)))
+  }
+
+  test("fillForward carries per key and keeps leading nulls") {
+    val grid = Seq(
+      (1L, d("2024-01-01"), Option.empty[Double]), // leading null stays
+      (1L, d("2024-01-02"), Some(7.0)),
+      (1L, d("2024-01-03"), Option.empty[Double]),
+      (2L, d("2024-01-03"), Option.empty[Double])  // other key must not see 7.0
+    ).toDF("k", "day", "v")
+    val got = Resample.fillForward(grid, "k", "day", Seq("v"))
+      .orderBy("k", "day").as[(Long, Date, Option[Double])].collect().toSeq
+    assert(got.map(_._3) == Seq(None, Some(7.0), Some(7.0), None))
+  }
+
+  test("interpolate: exact midpoints, pass-through observations, trailing LOCF") {
+    val obs = Seq(
+      (1L, d("2024-01-01"), 10.0),
+      (1L, d("2024-01-05"), 30.0), // gap of 3 -> 15, 20, 25
+      (1L, d("2024-01-07"), 30.0)
+    ).toDF("k", "day", "v")
+    val reg = Resample.regularize(obs, "k", "day", "1 day")
+      // append a trailing grid row beyond the last obs to test fallback
+      .unionByName(Seq((1L, d("2024-01-08"), Option.empty[Double]))
+        .toDF("k", "day", "v"))
+    val got = Resample.interpolate(reg, "k", "day", "v",
+        pos = datediff(col("day"), to_date(lit("2024-01-01"))))
+      .orderBy("day").as[(Long, Date, Double)].collect().map(_._3).toSeq
+    assert(got == Seq(10.0, 15.0, 20.0, 25.0, 30.0, 30.0, 30.0, 30.0))
+  }
+}

@@ -19,14 +19,22 @@ object Bench {
       spark.sql("SELECT l_returnflag, count(*), sum(l_quantity) FROM lineitem " +
           "JOIN orders ON l_orderkey = o_orderkey GROUP BY l_returnflag ORDER BY 1")
         .write.format("noop").mode("overwrite").save()
-    calibRun()
+    // calibRun is best-effort: if the calibration tables themselves are
+    // broken the per-query loop must still run and report its own
+    // failures — a thrown calibration must never zero the round's bench
+    // (round 7: one bad table registration → rc=1, no timings at all).
+    try calibRun() catch { case e: Throwable =>
+      System.err.println(s"[bench] calib warmup failed: ${e.getMessage}")
+    }
     // calibration: median-of-3 of a FIXED workload, reported in the
     // JSON. Host CPU throughput shifts run to run (measured 3-4x on
     // identical code minutes apart); dividing per-query times by
     // calib makes round-over-round comparison machine-speed-relative.
     def medianOf3(run: () => Unit): Double = {
       val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+        val t0 = System.nanoTime()
+        try run() catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
       }
       ts.sorted.apply(1)
     }

@@ -17,16 +17,33 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
-      // The events table carries TIMESTAMP(NANOS) parquet timestamps,
-      // which Spark has no native type for. Read the raw int64 nanos
-      // and floor-divide to microseconds — the same truncation DuckDB
-      // applies when it narrows TIMESTAMP_NS to TIMESTAMP on read, so
-      // oracle comparisons see identical values. nanosAsLong is set in
+      // The events table has shipped with BOTH parquet timestamp
+      // encodings across driver testdata generations: TIMESTAMP(NANOS)
+      // (no native Spark type — surfaces as int64 under nanosAsLong)
+      // and TIMESTAMP(MICROS) (loads directly). Branch on the LOADED
+      // dtype rather than hard-coding either contract: a hard-coded
+      // nanos path cost round 7 its bench and 13 correctness entries
+      // when the fixture regenerated as micros. nanosAsLong is set in
       // GraftSession.builder; guard here for externally-built sessions.
       if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true"))
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // nanos file: floor-divide to micros — the same truncation
+          // DuckDB applies narrowing TIMESTAMP_NS on read, so oracle
+          // comparisons see identical values.
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // micros file without UTC adjustment: loads NTZ. Session tz is
+          // UTC (GraftSession), so casting to TIMESTAMP is value-
+          // preserving and keeps every downstream query + Verify dump on
+          // the same type the engine has always exposed.
+          df.withColumn("ts", df("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df // already TIMESTAMP — pass through
+      }
     case _ => spark.read.parquet(s"$dir/$name.parquet")
   }
 
@@ -36,10 +53,20 @@ object Tables {
   /** Register every table as a temp view (for spark.sql surface).
     * Idempotent per (session, dir): round-1 re-registered 10 parquet
     * views on every SQL-path query, which dominated the bench (the
-    * five slowest queries were all SQL-path). */
+    * five slowest queries were all SQL-path).
+    *
+    * Per-table isolation: one unreadable/contract-breaking table must
+    * cost only the queries that touch it, never the whole entry point —
+    * round 7's events-encoding drift escaped registerAll and zeroed the
+    * entire bench (BENCH_r07 rc=1, no timings). */
   def registerAll(spark: SparkSession, dir: String): Unit = {
     val key = (System.identityHashCode(spark), dir)
     if (registered.add(key))
-      all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+      all.foreach { n =>
+        try t(spark, dir, n).createOrReplaceTempView(n)
+        catch { case e: Throwable =>
+          System.err.println(s"[tables] register '$n' failed: ${e.getMessage}")
+        }
+      }
   }
 }

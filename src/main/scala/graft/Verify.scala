@@ -6,6 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
+    // Pin the TRAINED-oracle corpus dir to this run's sfDir so the
+    // oracle literals come from the same TrainedModels cache entries
+    // the query runs populate (see LlmQueries.oracleSfDir).
+    sys.props("graft.oracle.sfDir") = sfDir
     // optional 3rd arg: comma-separated name prefixes — local iteration
     // only (the driver always runs the full suite with 2 args)
     val keep: String => Boolean = args.lift(2) match {
@@ -24,6 +28,17 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A failed query must still surface in the driver's CORRECTNESS
+        // report: write a readable 1-row parquet whose schema can never
+        // match an oracle, so the failure shows as a red row instead of
+        // an absent one. Round 7 hid a 13-query regression inside an
+        // "0 failures" report by writing nothing here.
+        try {
+          import spark.implicits._
+          Seq(Option(e.getMessage).getOrElse(e.getClass.getName))
+            .toDF("_verify_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -16,33 +16,34 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
-  private val modules: Seq[(Map[String, Q.QFn], Map[String, String])] = Seq(
-    (CoreQueries.queries, CoreQueries.oracle),
-    (WindowQueries.queries, WindowQueries.oracle),
-    (Dbt3Queries.queries, Dbt3Queries.oracle),
-    (FunctionQueries.queries, FunctionQueries.oracle),
-    (JsonQueries.queries, JsonQueries.oracle),
-    (AggExtraQueries.queries, AggExtraQueries.oracle),
-    (LlmQueries.queries, LlmQueries.oracle),
-    (IngestQueries.queries, IngestQueries.oracle),
-    (MiscQueries.queries, MiscQueries.oracle),
-    (MiscQueries2.queries, MiscQueries2.oracle),
-    (AsOfQueries.queries, AsOfQueries.oracle),
-    (RangeQueries.queries, RangeQueries.oracle),
-    (SketchQueries.queries, SketchQueries.oracle),
-    (PipelineQueries.queries, PipelineQueries.oracle),
-    (HygieneQueries.queries, HygieneQueries.oracle),
-    (RetrievalQueries.queries, RetrievalQueries.oracle),
-    (ClusterQueries.queries, ClusterQueries.oracle),
-    (EventQueries.queries, EventQueries.oracle),
-    (RecursiveQueries.queries, RecursiveQueries.oracle),
-    (RelExtraQueries.queries, RelExtraQueries.oracle),
-    (ResampleQueries.queries, ResampleQueries.oracle)
-  )
+  // Queries and oracles are SEPARATE lazy lists: LlmQueries.oracle
+  // embeds TRAINED model literals (training runs on first access), so
+  // building the query map must not force the oracle maps — Bench
+  // never needs them, and Verify needs them only after the query runs
+  // have populated the TrainedModels cache.
+  private def queryModules: Seq[Map[String, Q.QFn]] = Seq(
+    CoreQueries.queries, WindowQueries.queries, Dbt3Queries.queries,
+    FunctionQueries.queries, JsonQueries.queries, AggExtraQueries.queries,
+    LlmQueries.queries, IngestQueries.queries, MiscQueries.queries,
+    MiscQueries2.queries, AsOfQueries.queries, RangeQueries.queries,
+    SketchQueries.queries, PipelineQueries.queries, HygieneQueries.queries,
+    RetrievalQueries.queries, ClusterQueries.queries, EventQueries.queries,
+    RecursiveQueries.queries, RelExtraQueries.queries, ResampleQueries.queries,
+    TypeMatrixQueries.queries)
+
+  private def oracleModules: Seq[Map[String, String]] = Seq(
+    CoreQueries.oracle, WindowQueries.oracle, Dbt3Queries.oracle,
+    FunctionQueries.oracle, JsonQueries.oracle, AggExtraQueries.oracle,
+    LlmQueries.oracle, IngestQueries.oracle, MiscQueries.oracle,
+    MiscQueries2.oracle, AsOfQueries.oracle, RangeQueries.oracle,
+    SketchQueries.oracle, PipelineQueries.oracle, HygieneQueries.oracle,
+    RetrievalQueries.oracle, ClusterQueries.oracle, EventQueries.oracle,
+    RecursiveQueries.oracle, RelExtraQueries.oracle, ResampleQueries.oracle,
+    TypeMatrixQueries.oracle)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.iterator.flatMap(_._1).toMap
+    queryModules.iterator.flatten.toMap
 
   def oracleSql: Map[String, String] =
-    modules.iterator.flatMap(_._2).toMap
+    oracleModules.iterator.flatten.toMap
 }

@@ -194,7 +194,12 @@ object AnnSearch {
       .select(col("vec_id"), col("_v"),
         col("_ce.i").as("_celli"), dot(col("_v"), col("_ce.c")).as("_cd"))
       .groupBy(col("vec_id"))
-      .agg(max_by(col("_celli"), col("_cd")).as("_cell"), first(col("_v")).as("_v"))
+      // ties toward the lower cell id: assignment must be a pure
+      // function of the vector, not of shuffle row order — the property
+      // that makes the cell usable as a persisted partition key and the
+      // whole probe oracle-replayable
+      .agg(max_by(col("_celli"), struct(col("_cd"), -col("_celli"))).as("_cell"),
+        first(col("_v")).as("_v"))
 
     val qw = Window.partitionBy(col("qid")).orderBy(col("_cd").desc, col("_celli"))
     val q = queries.select(col(qid).as("qid"), normalized(asDouble(col(qvec))).as("_q"))

@@ -198,7 +198,11 @@ object LlmQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
     "q_ann_lsh" -> ((s, dir) => {
-      // rows-only: bucketed ANN; spec asserts recall vs brute force
+      // Oracle-checked (r8): the production normalized path replays in
+      // DuckDB — unit-normalize (the fold q_ann_pq_seeded proved
+      // bit-identical), sign buckets over the normalized vector,
+      // 1-bit-flip probes, clamped-dot scoring. Recall vs brute force
+      // stays spec-asserted (LlmSpec).
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -208,11 +212,17 @@ object LlmQueries {
     }),
 
     "q_ann_ivf" -> ((s, dir) => {
-      // rows-only: IVF cell-probe ANN; spec asserts recall
+      // TRAINED IVF, oracle-checked (r8): Lloyd-trained centroids
+      // (TrainedModels — the query and the oracle builder share one
+      // cached array, embedded as literals on both sides) through the
+      // production normalized cell-probe path. Assignment ties break
+      // toward the lower cell id, so the whole query is a pure
+      // function of (corpus, centroids) and DuckDB replays it.
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      graft.llm.AnnSearch.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 6)
+      graft.llm.AnnSearch.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 6,
+          centroids0 = Some(graft.llm.TrainedModels.ivfCentroids(s, dir)))
         .select(col("qid"), col("vec_id"), col("cosine"), col("rank").cast("int").as("rnk"))
         .orderBy(col("qid"), col("rnk"))
     }),
@@ -248,16 +258,18 @@ object LlmQueries {
     }),
 
     "q_ann_pq" -> ((s, dir) => {
-      // rows-only: PQ-encode (8 subspaces × 16 centroids — 8 codes/
-      // vector, 32× smaller than float32) then ADC-shortlist + exact
-      // re-rank. Seeded codebooks here: pqTrain is the offline job
-      // (same contract as ivfTopK's centroids); QuantizeSpec proves
-      // training lifts recall and the pipeline's recall floor.
+      // TRAINED PQ, oracle-checked (r8): k-means-trained codebooks
+      // (TrainedModels — one cached array feeds both the query's Spark
+      // literals and the oracle's VALUES literals) through the
+      // fixed-order ADC + exact-rerank path, so DuckDB replays
+      // encode → ADC → shortlist → rerank with the trained model. The
+      // agg-ordered production ADC sum (pqRerankTopK) stays covered by
+      // QuantizeSpec; q_ann_pq_seeded keeps the seeded twin.
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val cb = Quantize.seededCodebooks(m = 8, ksub = 16, dsub = 8)
-      Quantize.pqRerankTopK(Quantize.pqEncode(emb, cb), cb, emb, queries,
+      val cb = graft.llm.TrainedModels.pqCodebooks(s, dir)
+      Quantize.pqRerankTopKExact(Quantize.pqEncode(emb, cb), cb, emb, queries,
           k = 10, shortlist = 50)
         .select(col("qid"), col("vec_id"), col("cosine"), col("rank").cast("int").as("rnk"))
         .orderBy(col("qid"), col("rnk"))
@@ -307,13 +319,17 @@ object LlmQueries {
     })
   )
 
-  /** The 16×64 seeded IVF centroids as DuckDB VALUES rows — embedded
-    * as full-precision literals (Double.toString round-trips; DuckDB
-    * parses to the identical IEEE double). */
-  private def ivfCentroidRows: String =
-    graft.llm.AnnSearch.seededCentroids(nlist = 16, dim = 64).zipWithIndex
+  /** Centroid set as DuckDB VALUES rows — embedded as full-precision
+    * literals (Double.toString round-trips; DuckDB parses to the
+    * identical IEEE double). */
+  private def centroidRows(cen: Array[Array[Double]]): String =
+    cen.zipWithIndex
       .map { case (c, i) => s"($i, [${c.mkString(", ")}]::DOUBLE[])" }
       .mkString(",\n")
+
+  /** The 16×64 seeded IVF centroids as DuckDB VALUES rows. */
+  private def ivfCentroidRows: String =
+    centroidRows(graft.llm.AnnSearch.seededCentroids(nlist = 16, dim = 64))
 
   /** The 8×6 seeded LSH hyperplanes as DuckDB VALUES rows
     * (table, plane-index, plane), full-precision literals. */
@@ -324,15 +340,81 @@ object LlmQueries {
       }
     }.mkString(",\n")
 
-  /** The 8×16 seeded PQ codebooks as DuckDB VALUES rows
-    * (sub, code, centroid, ‖c‖²) — ‖c‖² embedded as a literal so both
-    * engines use the identical Scala-folded value. */
-  private def pqCodebookRows: String =
-    graft.llm.Quantize.seededCodebooks(m = 8, ksub = 16, dsub = 8).zipWithIndex.flatMap {
+  /** Codebook set as DuckDB VALUES rows (sub, code, centroid, ‖c‖²) —
+    * ‖c‖² embedded as a literal so both engines use the identical
+    * Scala-folded value. */
+  private def codebookRows(cbs: Array[Array[Array[Double]]]): String =
+    cbs.zipWithIndex.flatMap {
       case (cb, s) => cb.zipWithIndex.map { case (c, i) =>
         s"($s, $i, [${c.mkString(", ")}]::DOUBLE[], ${c.map(x => x * x).sum})"
       }
     }.mkString(",\n")
+
+  /** The 8×16 seeded PQ codebooks as DuckDB VALUES rows. */
+  private def pqCodebookRows: String =
+    codebookRows(graft.llm.Quantize.seededCodebooks(m = 8, ksub = 16, dsub = 8))
+
+  /** The corpus dir the TRAINED oracle literals are built against.
+    * Verify pins this to its sfDir argument before dumping oracleSql,
+    * so the trained-model cache (populated by the query run) is hit
+    * and both sides embed the same array. Default = the driver's
+    * verification scale factor. */
+  private def oracleSfDir: String =
+    sys.props.getOrElse("graft.oracle.sfDir", "/root/testdata/sf0.01")
+
+  private def oracleSpark =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .getOrElse(graft.GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")))
+
+  /** The PQ encode → ADC → shortlist → exact-rerank replay
+    * (pqRerankTopKExact's arithmetic), parameterized by the codebook
+    * VALUES rows — shared by the seeded and trained oracle entries. */
+  private def pqOracleSql(cbRows: String): String =
+    s"""WITH cb(s, i, c, cc) AS (VALUES
+      |$cbRows),
+      |corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+      |cu AS (SELECT vec_id, v,
+      |         CASE WHEN sqrt(list_inner_product(v, v)) > 0
+      |           THEN list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+      |           ELSE v END AS u
+      |       FROM corp),
+      |subs(sub) AS (SELECT unnest(range(0, 8))),
+      |cs AS (SELECT vec_id, sub, u[sub*8+1 : sub*8+8] AS sv FROM cu CROSS JOIN subs),
+      |asg AS (
+      |  SELECT vec_id, sub, i AS code,
+      |    row_number() OVER (PARTITION BY vec_id, sub
+      |      ORDER BY (list_inner_product(sv, c) * 2 - cc) DESC, i) AS rn
+      |  FROM cs JOIN cb ON cb.s = cs.sub),
+      |codes AS (SELECT vec_id, sub, code FROM asg WHERE rn = 1),
+      |qu AS (SELECT qid, qv,
+      |         CASE WHEN sqrt(list_inner_product(qv, qv)) > 0
+      |           THEN list_transform(qv, x -> x / sqrt(list_inner_product(qv, qv)))
+      |           ELSE qv END AS u
+      |       FROM q),
+      |qs AS (SELECT qid, sub, u[sub*8+1 : sub*8+8] AS sv FROM qu CROSS JOIN subs),
+      |lut AS (SELECT qid, sub, i AS code, list_inner_product(sv, c) AS qdot
+      |        FROM qs JOIN cb ON cb.s = qs.sub),
+      |sc AS (
+      |  SELECT l.qid, co.vec_id,
+      |    SUM(CASE WHEN co.sub = 0 THEN l.qdot END) + SUM(CASE WHEN co.sub = 1 THEN l.qdot END)
+      |    + SUM(CASE WHEN co.sub = 2 THEN l.qdot END) + SUM(CASE WHEN co.sub = 3 THEN l.qdot END)
+      |    + SUM(CASE WHEN co.sub = 4 THEN l.qdot END) + SUM(CASE WHEN co.sub = 5 THEN l.qdot END)
+      |    + SUM(CASE WHEN co.sub = 6 THEN l.qdot END) + SUM(CASE WHEN co.sub = 7 THEN l.qdot END)
+      |      AS score
+      |  FROM codes co JOIN lut l ON co.sub = l.sub AND co.code = l.code
+      |  GROUP BY l.qid, co.vec_id),
+      |short AS (SELECT qid, vec_id FROM (
+      |  SELECT qid, vec_id,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+      |  FROM sc) t WHERE rn <= 50)
+      |SELECT qid, vec_id, cosine, CAST(rnk AS INT) AS rnk FROM (
+      |  SELECT short.qid, short.vec_id,
+      |    list_cosine_similarity(corp.v, q.qv) AS cosine,
+      |    row_number() OVER (PARTITION BY short.qid
+      |      ORDER BY list_cosine_similarity(corp.v, q.qv) DESC, short.vec_id) AS rnk
+      |  FROM short JOIN corp ON short.vec_id = corp.vec_id JOIN q ON short.qid = q.qid) t
+      |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
 
   /** The 60 per-bit sign terms of the md5-simhash oracle — generated,
     * not hand-spelled: bit j contributes 2^j iff its ±1 vote sum is
@@ -341,7 +423,13 @@ object LlmQueries {
     s"(CASE WHEN SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << j} ELSE 0 END)")
     .mkString(" + ")
 
-  val oracle: Map[String, String] = Map(
+  /** A `def`, not a `val`: the q_ann_ivf / q_ann_pq oracles embed
+    * TRAINED model literals, and training needs the corpus dir that
+    * only Verify knows (threaded via the graft.oracle.sfDir system
+    * property, with the query run having already populated the
+    * TrainedModels cache). Eager init would train against the default
+    * dir before Verify could pin it. */
+  def oracle: Map[String, String] = Map(
     "q_simhash_md5" ->
       s"""WITH toks AS (
         |  SELECT doc_id,
@@ -565,51 +653,79 @@ object LlmQueries {
         |  CAST(floor(len(list_filter(bins, x -> x = 6))::DOUBLE / greatest(1, n_bytes) * 1e9) AS BIGINT) AS f6,
         |  CAST(floor(len(list_filter(bins, x -> x = 7))::DOUBLE / greatest(1, n_bytes) * 1e9) AS BIGINT) AS f7
         |FROM h ORDER BY doc_id""".stripMargin,
-    "q_ann_pq_seeded" ->
-      s"""WITH cb(s, i, c, cc) AS (VALUES
-        |$pqCodebookRows),
+    "q_ann_pq_seeded" -> pqOracleSql(pqCodebookRows),
+    "q_ann_pq" ->
+      // TRAINED codebooks: same replay as the seeded twin, literals
+      // from the cached k-means training run (see TrainedModels)
+      pqOracleSql(codebookRows(
+        graft.llm.TrainedModels.pqCodebooks(oracleSpark, oracleSfDir))),
+    "q_ann_lsh" ->
+      // Production normalized LSH replay: unit-normalize (bit-matched
+      // fold), sign buckets over u, 1-bit-flip probes, clamped-dot
+      // scoring — the exact arithmetic of AnnSearch.lshTopK.
+      s"""WITH pl(t, i, p) AS (VALUES
+        |$lshPlaneRows),
         |corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
-        |cu AS (SELECT vec_id, v,
+        |cu AS (SELECT vec_id,
         |         CASE WHEN sqrt(list_inner_product(v, v)) > 0
         |           THEN list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
         |           ELSE v END AS u
         |       FROM corp),
-        |subs(sub) AS (SELECT unnest(range(0, 8))),
-        |cs AS (SELECT vec_id, sub, u[sub*8+1 : sub*8+8] AS sv FROM cu CROSS JOIN subs),
-        |asg AS (
-        |  SELECT vec_id, sub, i AS code,
-        |    row_number() OVER (PARTITION BY vec_id, sub
-        |      ORDER BY (list_inner_product(sv, c) * 2 - cc) DESC, i) AS rn
-        |  FROM cs JOIN cb ON cb.s = cs.sub),
-        |codes AS (SELECT vec_id, sub, code FROM asg WHERE rn = 1),
-        |qu AS (SELECT qid, qv,
-        |         CASE WHEN sqrt(list_inner_product(qv, qv)) > 0
-        |           THEN list_transform(qv, x -> x / sqrt(list_inner_product(qv, qv)))
-        |           ELSE qv END AS u
-        |       FROM q),
-        |qs AS (SELECT qid, sub, u[sub*8+1 : sub*8+8] AS sv FROM qu CROSS JOIN subs),
-        |lut AS (SELECT qid, sub, i AS code, list_inner_product(sv, c) AS qdot
-        |        FROM qs JOIN cb ON cb.s = qs.sub),
-        |sc AS (
-        |  SELECT l.qid, co.vec_id,
-        |    SUM(CASE WHEN co.sub = 0 THEN l.qdot END) + SUM(CASE WHEN co.sub = 1 THEN l.qdot END)
-        |    + SUM(CASE WHEN co.sub = 2 THEN l.qdot END) + SUM(CASE WHEN co.sub = 3 THEN l.qdot END)
-        |    + SUM(CASE WHEN co.sub = 4 THEN l.qdot END) + SUM(CASE WHEN co.sub = 5 THEN l.qdot END)
-        |    + SUM(CASE WHEN co.sub = 6 THEN l.qdot END) + SUM(CASE WHEN co.sub = 7 THEN l.qdot END)
-        |      AS score
-        |  FROM codes co JOIN lut l ON co.sub = l.sub AND co.code = l.code
-        |  GROUP BY l.qid, co.vec_id),
-        |short AS (SELECT qid, vec_id FROM (
-        |  SELECT qid, vec_id,
-        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
-        |  FROM sc) t WHERE rn <= 50)
+        |qu AS (SELECT vec_id AS qid, u FROM cu WHERE vec_id < 5),
+        |cb AS (
+        |  SELECT vec_id, t,
+        |    CAST(SUM(CASE WHEN list_inner_product(u, p) > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS b
+        |  FROM cu CROSS JOIN pl GROUP BY vec_id, t),
+        |qb AS (
+        |  SELECT qid, t,
+        |    CAST(SUM(CASE WHEN list_inner_product(u, p) > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS b
+        |  FROM qu CROSS JOIN pl GROUP BY qid, t),
+        |probes AS (
+        |  SELECT qid, t, CAST(xor(b, m) AS BIGINT) AS b
+        |  FROM qb CROSS JOIN (SELECT CAST(unnest([0, 1, 2, 4, 8, 16, 32]) AS BIGINT) AS m)),
+        |cand AS (SELECT DISTINCT p.qid, c.vec_id
+        |         FROM probes p JOIN cb c ON p.t = c.t AND p.b = c.b)
         |SELECT qid, vec_id, cosine, CAST(rnk AS INT) AS rnk FROM (
-        |  SELECT short.qid, short.vec_id,
-        |    list_cosine_similarity(corp.v, q.qv) AS cosine,
-        |    row_number() OVER (PARTITION BY short.qid
-        |      ORDER BY list_cosine_similarity(corp.v, q.qv) DESC, short.vec_id) AS rnk
-        |  FROM short JOIN corp ON short.vec_id = corp.vec_id JOIN q ON short.qid = q.qid) t
+        |  SELECT cand.qid, cand.vec_id,
+        |    least(greatest(list_inner_product(cu.u, qu.u), -1.0), 1.0) AS cosine,
+        |    row_number() OVER (PARTITION BY cand.qid
+        |      ORDER BY least(greatest(list_inner_product(cu.u, qu.u), -1.0), 1.0) DESC,
+        |        cand.vec_id) AS rnk
+        |  FROM cand JOIN cu ON cand.vec_id = cu.vec_id JOIN qu ON cand.qid = qu.qid) t
+        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+    "q_ann_ivf" ->
+      // TRAINED centroids through the production normalized cell-probe
+      // path: assignment argmax (ties → lower cell), nprobe=6 probe
+      // rank, clamped-dot scoring — AnnSearch.ivfTopK exactly.
+      s"""WITH cen(ci, c) AS (VALUES
+        |${centroidRows(graft.llm.TrainedModels.ivfCentroids(oracleSpark, oracleSfDir))}),
+        |corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cu AS (SELECT vec_id,
+        |         CASE WHEN sqrt(list_inner_product(v, v)) > 0
+        |           THEN list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+        |           ELSE v END AS u
+        |       FROM corp),
+        |qu AS (SELECT vec_id AS qid, u FROM cu WHERE vec_id < 5),
+        |asg AS (
+        |  SELECT vec_id, ci,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY list_inner_product(u, c) DESC, ci) AS rn
+        |  FROM cu CROSS JOIN cen),
+        |cells AS (SELECT vec_id, ci AS cell FROM asg WHERE rn = 1),
+        |pr AS (
+        |  SELECT qid, ci,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY list_inner_product(u, c) DESC, ci) AS rn
+        |  FROM qu CROSS JOIN cen),
+        |probes AS (SELECT qid, ci AS cell FROM pr WHERE rn <= 6),
+        |cand AS (SELECT p.qid, cl.vec_id FROM probes p JOIN cells cl ON p.cell = cl.cell)
+        |SELECT qid, vec_id, cosine, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT cand.qid, cand.vec_id,
+        |    least(greatest(list_inner_product(cu.u, qu.u), -1.0), 1.0) AS cosine,
+        |    row_number() OVER (PARTITION BY cand.qid
+        |      ORDER BY least(greatest(list_inner_product(cu.u, qu.u), -1.0), 1.0) DESC,
+        |        cand.vec_id) AS rnk
+        |  FROM cand JOIN cu ON cand.vec_id = cu.vec_id JOIN qu ON cand.qid = qu.qid) t
         |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
     "q_ann_lsh_seeded" ->
       s"""WITH pl(t, i, p) AS (VALUES

@@ -224,7 +224,12 @@ object LanguageModel {
     * left-to-right `aggregate` fold over each word's symbols — no
     * shuffle, no quadratic step. Rounds persist their output and
     * release the previous cache (the dupClusters discipline), so
-    * lineage stays O(1) per round. */
+    * lineage stays O(1) per round.
+    *
+    * Cost note: one action per merge round means production merge
+    * counts (30k+) are scheduling-bound — use [[bpeMergesSampled]]
+    * there; this full trainer is the exact baseline it is specced
+    * against. */
   def bpeMerges(docs: DataFrame, numMerges: Int,
       text: String = "text"): DataFrame = {
     require(numMerges >= 1, "need at least one merge round")
@@ -262,6 +267,30 @@ object LanguageModel {
     }
     spark.createDataset(merges.result())
       .toDF("rank", "left", "right", "freq")
+  }
+
+  /** Sampled-corpus BPE training — the production-scale variant of
+    * [[bpeMerges]]. The full trainer's cost model is one driver action
+    * per merge round; at production merge counts (30k–50k) that is a
+    * scheduling-bound job regardless of cluster size. The published
+    * compromise (used by the SentencePiece/GPT-2 lineage of tokenizer
+    * trainers) is to train on a corpus SAMPLE: subword statistics are
+    * heavy-tailed, so a deterministic uniform document sample of a few
+    * percent preserves the high-frequency pair ranking that early
+    * merges (the ones every token passes through) are built from,
+    * while cutting the per-round aggregate input by 1/fraction.
+    *
+    * The sample is `Sampling.uniformSample` on the id column — an
+    * md5-threshold codegen filter at the scan, deterministic across
+    * runs/executors/restarts, so the trained table is reproducible.
+    * Divergence vs the full trainer appears only in the tail ranks
+    * where pair frequencies approach the sampling noise floor;
+    * LlmSpec asserts head-rank agreement on a planted corpus. */
+  def bpeMergesSampled(docs: DataFrame, numMerges: Int, fraction: Double,
+      id: String = "doc_id", text: String = "text",
+      salt: String = "bpe"): DataFrame = {
+    require(fraction > 0 && fraction <= 1, "fraction must be in (0, 1]")
+    bpeMerges(Sampling.uniformSample(docs, id, fraction, salt), numMerges, text)
   }
 
   /** Tokenize with a TRAINED merge list: replay `merges` in rank

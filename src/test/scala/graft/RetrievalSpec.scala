@@ -246,6 +246,38 @@ class RetrievalSpec extends SparkSpec {
     assert(got.size == 6, "3-char alphabet corpus sustains 6 merges")
   }
 
+  test("bpeMergesSampled: fraction 1.0 ≡ full trainer; sample preserves head ranks") {
+    // 40 identical copies of the Sennrich corpus spread across doc ids:
+    // any nonempty uniform sample has the same word DISTRIBUTION as the
+    // full corpus, so the sampled trainer must reproduce the full
+    // trainer's merge sequence exactly (frequencies scale, ranking
+    // doesn't) — the head-rank-preservation property the production
+    // variant relies on.
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val d = docs((1L to 40L).map(_ -> text): _*)
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect()
+        .map(x => (x.getInt(0), x.getString(1), x.getString(2))).toSeq
+    val full = table(LanguageModel.bpeMerges(d, numMerges = 3))
+    assert(full.map { case (_, l, r) => (l, r) } ==
+      Seq(("e", "s"), ("es", "t"), ("l", "o")))
+    // fraction 1.0: identical table including frequencies
+    val all = LanguageModel.bpeMergesSampled(d, numMerges = 3, fraction = 1.0)
+      .orderBy("rank").collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getString(2), x.getLong(3))).toSeq
+    val fullF = LanguageModel.bpeMerges(d, numMerges = 3)
+      .orderBy("rank").collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getString(2), x.getLong(3))).toSeq
+    assert(all == fullF, "fraction=1.0 must be the full trainer")
+    // a real sample: deterministic md5 filter keeps a strict subset of
+    // docs, merge sequence (ranks + pairs) matches the full table
+    val sampled = table(LanguageModel.bpeMergesSampled(d, numMerges = 3, fraction = 0.4))
+    assert(sampled == full, "sampled head merges must match the full trainer")
+    val kept = graft.llm.Sampling.uniformSample(d, "doc_id", 0.4, "bpe").count()
+    assert(kept > 0 && kept < 40, s"sample must be a strict subset, kept=$kept")
+  }
+
   test("bpePairStats matches a hand count and weights by word frequency") {
     val d = docs(1L -> "ab ab ba")
     val r = LanguageModel.bpePairStats(d).collect()

@@ -4,6 +4,11 @@ import org.apache.spark.sql.SparkSession
 
 /** Session factory with the engine's scale-oriented defaults.
   *
+  * Memory governance: the mapping from the reference's ResourceManager
+  * knobs (`dbcon/joblist/resourcemanager.h`) to these configs — and to
+  * the Spark defaults deliberately left alone — is documented in
+  * `docs/MEMORY.md`, with the 100 TB rationale per knob family.
+  *
   * The reference splits planning (ExeMgr/JobList) from data-parallel
   * execution (PrimProc); on Spark that split is Catalyst + AQE on the
   * driver vs whole-stage-codegen'd tasks on executors (SURVEY.md §0).
@@ -41,9 +46,11 @@ object GraftSession {
       // ANALYZE statistics (plans/Analyze.scala); AQE still re-plans
       // from runtime stats where ANALYZE hasn't run.
       .config("spark.sql.cbo.joinReorder.enabled", "true")
-      // events.parquet carries TIMESTAMP(NANOS); read the raw int64 and
-      // truncate in the query layer (Tables.t) — set once here, not
-      // per-read, so concurrent reads never race on session config.
+      // Some testdata generations ship events.parquet as TIMESTAMP(NANOS);
+      // under this conf those read as raw int64 and Tables.t truncates to
+      // micros (it branches on the loaded dtype, so micros-encoded files
+      // are unaffected). Set once here, not per-read, so concurrent reads
+      // never race on session config.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 

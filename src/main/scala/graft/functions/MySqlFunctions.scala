@@ -325,9 +325,14 @@ object MySqlFunctions {
     }: _*)
   }
 
-  /** MySQL STR_TO_DATE(str, pattern) → timestamp. */
+  /** MySQL STR_TO_DATE(str, pattern) → timestamp. MySQL semantics:
+    * an illegal value yields NULL (never an error) — so zero dates
+    * ('0000-00-00') and out-of-calendar dates map to NULL here rather
+    * than throwing the ANSI parse error, the engine's documented
+    * stand-in for the reference's zero-date sentinel
+    * (`dataconvert.cpp`; divergence table in TypeMatrixQueries). */
   def strToDate(s: Column, mysqlPattern: String): Column =
-    to_timestamp(s, translateDatePattern(mysqlPattern))
+    try_to_timestamp(s, lit(translateDatePattern(mysqlPattern)))
 
   // ---- Oracle-mode variants (sql_mode=ORACLE; ref
   // func_concat_oracle.cpp, func_ltrim_oracle.cpp,

@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.MySqlFunctions
+
+/** Datatype × function edge matrix — the analog of the reference's
+  * autopilot per-function/datatype suites
+  * (`mysql-test/columnstore/autopilot/t/mcs4012_function_*`, 2,897
+  * golden files crossing every function with every column type).
+  * Here the crossing is two wide driver-hash-checked queries: every
+  * row of `lineitem` is projected into the engine's width ladder
+  * (TINYINT→BIGINT, DECIMAL(38,10), DOUBLE, DATE/TIMESTAMP,
+  * CHAR/VARCHAR) and a shared function battery is applied to each
+  * width, so integer-width promotion, decimal scale rules, saturating
+  * range clamps and date/string kernels are all pinned against DuckDB
+  * on every row of the table rather than sampled.
+  *
+  * Documented engine divergences this matrix had to route around —
+  * each cell spells the semantics explicitly on both sides instead of
+  * trusting the engine default:
+  *  - decimal→integer CAST: Spark (and MySQL/the reference,
+  *    `func_cast.cpp`) truncates toward zero; DuckDB ROUNDS. Oracle
+  *    spells `CAST(trunc(x) AS BIGINT)`.
+  *  - day-of-week numbering: Spark `dayofweek` is 1=Sunday,
+  *    `weekday` 0=Monday; DuckDB `dayofweek` 0=Sunday, `isodow`
+  *    1=Monday. Cells use weekday+1 ≡ isodow.
+  *  - hex case: Spark `hex` is uppercase, DuckDB `to_hex` lowercase —
+  *    oracle wraps in upper().
+  *  - saturating narrow casts (the reference saturates out-of-range
+  *    values on ingest, `dataconvert.cpp`): neither Spark ANSI (throws)
+  *    nor DuckDB (throws) saturates, so the MySQL semantics are
+  *    spelled as least/greatest clamps identically on both sides.
+  *  - zero dates ('0000-00-00'): the reference stores them; this
+  *    engine (ANSI Spark) yields NULL — asserted in EdgeSpec, not
+  *    here, since DuckDB also rejects them.
+  */
+object TypeMatrixQueries {
+  import Q._
+
+  val queries: Map[String, QFn] = Map(
+    // integer width ladder + decimal/double numeric battery
+    "q_type_matrix_num" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ti = col("l_linenumber").cast(ByteType)      // 1..7
+      val si = col("l_quantity").cast(ShortType)       // 1..50
+      val i = (col("l_partkey") % 100000).cast(IntegerType)
+      val bi = col("l_orderkey")                       // BIGINT
+      val de = col("l_extendedprice").cast(DecimalType(38, 10))
+      val db = col("l_discount")                       // DOUBLE
+      li.select(
+        col("l_orderkey").as("k1"), col("l_linenumber").cast("int").as("k2"),
+        // width promotion: every operand explicitly widened to BIGINT
+        (ti.cast(LongType) * 2 + si.cast(LongType)).as("ti_arith"),
+        (bi % 97).as("bi_mod"),
+        abs(i.cast(LongType) - 50000L).as("int_absdiff"),
+        signum(i.cast(LongType) - 50000L).cast(IntegerType).as("int_sign"),
+        greatest(ti.cast(LongType), si.cast(LongType), i.cast(LongType)).as("mix_greatest"),
+        least(ti.cast(LongType), si.cast(LongType), i.cast(LongType)).as("mix_least"),
+        (shiftleft(ti.cast(IntegerType), 2).cast(LongType)
+          .bitwiseOR(si.cast(LongType).bitwiseAND(lit(31L)))).as("bit_expr"),
+        // decimal battery: scales pinned by explicit casts on both sides
+        (de + lit(1.5).cast(DecimalType(2, 1))).cast(DecimalType(38, 10)).as("dec_add"),
+        round(de, 2).cast(DecimalType(38, 2)).as("dec_round"),
+        floor(de).cast(LongType).as("dec_floor_bi"),
+        // truncate-toward-zero: Spark CAST semantics; oracle must trunc()
+        de.cast(LongType).as("dec_trunc_bi"),
+        MySqlFunctions.truncateNum(de.cast(DoubleType), 1).as("dec_truncate1"),
+        // double battery: identical IEEE sequence on both engines
+        floor(db * 100).cast(LongType).as("dbl_mul_floor"),
+        // MySQL saturating narrow casts, spelled as clamps
+        least(greatest(i.cast(LongType) - 50000L, lit(-128L)), lit(127L))
+          .cast(IntegerType).as("sat_tiny"),
+        least(greatest(bi % 1000000L, lit(-32768L)), lit(32767L))
+          .cast(IntegerType).as("sat_small"),
+        // lenient string→number over a numeric-prefix string
+        MySqlFunctions.castSigned(concat(i, lit("x"), col("l_returnflag"))).as("str2num"),
+        MySqlFunctions.castSigned(col("l_returnflag")).as("str2num_none"))
+        .orderBy(col("k1"), col("k2"))
+    }),
+
+    // date/timestamp + char/varchar battery over the same rows
+    "q_type_matrix_datestr" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val dt = col("l_shipdate").cast(DateType)
+      val ch = col("l_returnflag")                     // CHAR(1) analog
+      val vc = concat(col("l_returnflag"), lit("/"), col("l_linestatus"))
+      li.select(
+        col("l_orderkey").as("k1"), col("l_linenumber").cast("int").as("k2"),
+        year(dt).as("d_year"), quarter(dt).as("d_quarter"),
+        month(dt).as("d_month"), dayofmonth(dt).as("d_day"),
+        (weekday(dt) + 1).as("d_isodow"),
+        dayofyear(dt).as("d_doy"),
+        last_day(dt).as("d_lastday"),
+        datediff(dt, lit("1995-01-01").cast(DateType)).cast(IntegerType).as("d_diff"),
+        date_add(dt, 30).as("d_add30"),
+        trunc(dt, "month").as("d_truncmon"),
+        // string battery across CHAR / VARCHAR widths
+        length(vc).as("s_len"),
+        upper(vc).as("s_upper"), lower(vc).as("s_lower"),
+        lpad(vc, 5, "*").as("s_lpad"),
+        substring(vc, 1, 1).as("s_sub"),
+        regexp_replace(vc, "/", "-").as("s_repl"),
+        instr(vc, "/").cast(IntegerType).as("s_instr"),
+        concat_ws("-", ch, vc).as("s_cws"),
+        reverse(vc).as("s_rev"),
+        repeat(ch, 3).as("s_rep"),
+        ascii(ch).as("s_ascii"),
+        hex(col("l_orderkey")).as("s_hex"),
+        concat(vc, lit(":"), (col("l_partkey") % 100000).cast(IntegerType)).as("s_mixnum"))
+        .orderBy(col("k1"), col("k2"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_type_matrix_num" ->
+      """SELECT l_orderkey AS k1, CAST(l_linenumber AS INT) AS k2,
+        |  CAST(l_linenumber AS BIGINT) * 2 + CAST(l_quantity AS BIGINT) AS ti_arith,
+        |  l_orderkey % 97 AS bi_mod,
+        |  abs(CAST(l_partkey % 100000 AS BIGINT) - 50000) AS int_absdiff,
+        |  CAST(sign(CAST(l_partkey % 100000 AS BIGINT) - 50000) AS INT) AS int_sign,
+        |  greatest(CAST(l_linenumber AS BIGINT), CAST(l_quantity AS BIGINT),
+        |           CAST(l_partkey % 100000 AS BIGINT)) AS mix_greatest,
+        |  least(CAST(l_linenumber AS BIGINT), CAST(l_quantity AS BIGINT),
+        |        CAST(l_partkey % 100000 AS BIGINT)) AS mix_least,
+        |  CAST(CAST(l_linenumber AS INT) << 2 AS BIGINT)
+        |    | (CAST(l_quantity AS BIGINT) & 31) AS bit_expr,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(38,10)) + CAST(1.5 AS DECIMAL(2,1))
+        |    AS DECIMAL(38,10)) AS dec_add,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(38,10)), 2) AS DECIMAL(38,2)) AS dec_round,
+        |  CAST(floor(CAST(l_extendedprice AS DECIMAL(38,10))) AS BIGINT) AS dec_floor_bi,
+        |  CAST(trunc(CAST(l_extendedprice AS DECIMAL(38,10))) AS BIGINT) AS dec_trunc_bi,
+        |  CASE WHEN l_extendedprice >= 0
+        |    THEN floor(l_extendedprice * 10) / 10
+        |    ELSE ceil(l_extendedprice * 10) / 10 END AS dec_truncate1,
+        |  CAST(floor(l_discount * 100) AS BIGINT) AS dbl_mul_floor,
+        |  CAST(least(greatest(CAST(l_partkey % 100000 AS BIGINT) - 50000, -128), 127)
+        |    AS INT) AS sat_tiny,
+        |  CAST(least(greatest(l_orderkey % 1000000, -32768), 32767) AS INT) AS sat_small,
+        |  COALESCE(NULLIF(regexp_extract(
+        |    CAST(l_partkey % 100000 AS INT) || 'x' || l_returnflag,
+        |    '^\s*[+-]?[0-9]+', 0), '')::BIGINT, 0) AS str2num,
+        |  COALESCE(NULLIF(regexp_extract(l_returnflag, '^\s*[+-]?[0-9]+', 0), '')::BIGINT, 0)
+        |    AS str2num_none
+        |FROM lineitem
+        |ORDER BY k1, k2""".stripMargin,
+    "q_type_matrix_datestr" ->
+      """SELECT l_orderkey AS k1, CAST(l_linenumber AS INT) AS k2,
+        |  CAST(year(l_shipdate) AS INT) AS d_year,
+        |  CAST(quarter(l_shipdate) AS INT) AS d_quarter,
+        |  CAST(month(l_shipdate) AS INT) AS d_month,
+        |  CAST(day(l_shipdate) AS INT) AS d_day,
+        |  CAST(isodow(l_shipdate) AS INT) AS d_isodow,
+        |  CAST(dayofyear(l_shipdate) AS INT) AS d_doy,
+        |  last_day(CAST(l_shipdate AS DATE)) AS d_lastday,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS INT) AS d_diff,
+        |  CAST(l_shipdate AS DATE) + 30 AS d_add30,
+        |  CAST(date_trunc('month', l_shipdate) AS DATE) AS d_truncmon,
+        |  CAST(length(l_returnflag || '/' || l_linestatus) AS INT) AS s_len,
+        |  upper(l_returnflag || '/' || l_linestatus) AS s_upper,
+        |  lower(l_returnflag || '/' || l_linestatus) AS s_lower,
+        |  lpad(l_returnflag || '/' || l_linestatus, 5, '*') AS s_lpad,
+        |  substr(l_returnflag || '/' || l_linestatus, 1, 1) AS s_sub,
+        |  replace(l_returnflag || '/' || l_linestatus, '/', '-') AS s_repl,
+        |  CAST(strpos(l_returnflag || '/' || l_linestatus, '/') AS INT) AS s_instr,
+        |  concat_ws('-', l_returnflag, l_returnflag || '/' || l_linestatus) AS s_cws,
+        |  reverse(l_returnflag || '/' || l_linestatus) AS s_rev,
+        |  repeat(l_returnflag, 3) AS s_rep,
+        |  CAST(ascii(l_returnflag) AS INT) AS s_ascii,
+        |  upper(to_hex(l_orderkey)) AS s_hex,
+        |  l_returnflag || '/' || l_linestatus || ':' ||
+        |    CAST(l_partkey % 100000 AS INT) AS s_mixnum
+        |FROM lineitem
+        |ORDER BY k1, k2""".stripMargin
+  )
+}

@@ -116,4 +116,32 @@ class EdgeSpec extends SparkSpec {
     // NULL-text benchmark contributes no shingles → nothing removed
     assert(Decontamination.decontaminate(docs, docs.filter(col("doc_id") === 1)).count() == 6)
   }
+
+  test("zero-date and saturating-cast edge semantics (documented divergences)") {
+    // MySQL/the reference STORE the zero date '0000-00-00'
+    // (dataconvert.cpp treats it as a sentinel); this engine is ANSI
+    // Spark: STR_TO_DATE yields NULL for it — same for any
+    // out-of-calendar date. Documented in TypeMatrixQueries.
+    import graft.functions.MySqlFunctions
+    val d = Seq("0000-00-00", "2024-02-30", "2024-02-29").toDF("s")
+      .select(col("s"), MySqlFunctions.strToDate(col("s"), "%Y-%m-%d").as("ts"))
+      .collect().map(r => r.getString(0) -> (r.get(1) != null)).toMap
+    assert(!d("0000-00-00"), "zero date maps to NULL, not a sentinel value")
+    assert(!d("2024-02-30"), "out-of-calendar date maps to NULL")
+    assert(d("2024-02-29"), "real leap day parses")
+
+    // MySQL saturates out-of-range narrow casts (CAST(400 AS ...)
+    // clamps at the type bound); ANSI Spark THROWS on overflowing
+    // cast, so the engine spells saturation as least/greatest clamps
+    // (the q_type_matrix_num sat_* cells). Assert both halves: the
+    // clamp reproduces MySQL, and the raw ANSI cast indeed refuses.
+    val vals = Seq(400L, -300L, 17L).toDF("v")
+    val clamped = vals.select(
+        least(greatest(col("v"), lit(-128L)), lit(127L)).cast("int").as("c"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(clamped == Seq(127, -128, 17), "clamp = MySQL saturation")
+    intercept[Exception] {
+      vals.select(col("v").cast("tinyint")).collect()
+    }
+  }
 }

@@ -109,6 +109,77 @@ object TypeMatrixQueries {
         hex(col("l_orderkey")).as("s_hex"),
         concat(vc, lit(":"), (col("l_partkey") % 100000).cast(IntegerType)).as("s_mixnum"))
         .orderBy(col("k1"), col("k2"))
+    }),
+
+    // aggregate × datatype: every aggregate family over every width,
+    // grouped — the mcs4007-style aggregate matrix. Doubles aggregate
+    // through exact DECIMAL (order-independent) per the Q discipline.
+    "q_type_matrix_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ti = col("l_linenumber").cast(ByteType)
+      val si = col("l_quantity").cast(ShortType)
+      val i = (col("l_partkey") % 100000).cast(IntegerType)
+      val bi = col("l_orderkey")
+      val de = col("l_extendedprice").cast(DecimalType(38, 10))
+      val dt = col("l_shipdate").cast(DateType)
+      val vc = concat(col("l_returnflag"), lit("/"), col("l_linestatus"))
+      li.groupBy(col("l_returnflag").as("flag"))
+        .agg(
+          count(lit(1)).as("n"),
+          // integer widths: SUM promotes to BIGINT explicitly
+          sum(ti.cast(LongType)).as("sum_ti"),
+          sum(si.cast(LongType)).as("sum_si"),
+          sum(i.cast(LongType)).as("sum_i"),
+          sum(bi).as("sum_bi"),
+          min(ti.cast(IntegerType)).as("min_ti"), max(ti.cast(IntegerType)).as("max_ti"),
+          min(bi).as("min_bi"), max(bi).as("max_bi"),
+          // decimal: exact sum at pinned scale; avg as exact-sum/count
+          sum(de).cast(DecimalType(38, 10)).as("sum_de"),
+          (sum(de).cast(DecimalType(38, 10)).cast(DoubleType) / count(lit(1)))
+            .as("avg_de"),
+          min(de).as("min_de"), max(de).as("max_de"),
+          // double via exact-decimal (order-independent across engines)
+          sumDec(col("l_discount")).as("sum_db"),
+          // temporal + string min/max
+          min(dt).as("min_dt"), max(dt).as("max_dt"),
+          min(vc).as("min_vc"), max(vc).as("max_vc"),
+          // distinct counts per width
+          countDistinct(ti).cast(LongType).as("cd_ti"),
+          countDistinct(i).cast(LongType).as("cd_i"),
+          countDistinct(vc).cast(LongType).as("cd_vc"))
+        .orderBy(col("flag"))
+    }),
+
+    // null-handling × datatype: COALESCE/NULLIF/null predicates over
+    // every width, with NULLs minted deterministically via NULLIF —
+    // the null-semantics slice of the autopilot matrices.
+    "q_type_matrix_null" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      // deterministic NULL injection: rows where l_linenumber == 1
+      // null out each typed column
+      val nti = nullif(col("l_linenumber").cast(IntegerType), lit(1)).cast(ByteType)
+      val nbi = when(col("l_linenumber") =!= 1, col("l_orderkey"))
+      val nde = when(col("l_linenumber") =!= 1,
+        col("l_extendedprice").cast(DecimalType(38, 10)))
+      val ndt = when(col("l_linenumber") =!= 1, col("l_shipdate").cast(DateType))
+      val nvc = when(col("l_linenumber") =!= 1, col("l_returnflag"))
+      li.select(
+        col("l_orderkey").as("k1"), col("l_linenumber").cast("int").as("k2"),
+        coalesce(nti.cast(LongType), lit(-1L)).as("co_ti"),
+        coalesce(nbi, lit(-1L)).as("co_bi"),
+        coalesce(nde, lit(-1).cast(DecimalType(38, 10)))
+          .cast(DecimalType(38, 10)).as("co_de"),
+        coalesce(ndt, lit("1970-01-01").cast(DateType)).as("co_dt"),
+        coalesce(nvc, lit("<null>")).as("co_vc"),
+        nbi.isNull.cast(IntegerType).as("isn_bi"),
+        nvc.isNotNull.cast(IntegerType).as("isnn_vc"),
+        // NULL propagation through arithmetic / concat per width
+        (nbi + lit(1L)).as("null_arith"),
+        concat(nvc, lit("!")).as("null_concat"),
+        // null-safe equality vs plain equality under NULL
+        (nbi <=> lit(null).cast(LongType)).cast(IntegerType).as("nseq"),
+        nullif(col("l_returnflag"), lit("N")).as("nullif_vc"))
+        .orderBy(col("k1"), col("k2"))
     })
   )
 
@@ -170,6 +241,52 @@ object TypeMatrixQueries {
         |  upper(to_hex(l_orderkey)) AS s_hex,
         |  l_returnflag || '/' || l_linestatus || ':' ||
         |    CAST(l_partkey % 100000 AS INT) AS s_mixnum
+        |FROM lineitem
+        |ORDER BY k1, k2""".stripMargin,
+    "q_type_matrix_agg" ->
+      s"""SELECT l_returnflag AS flag,
+        |  COUNT(*) AS n,
+        |  SUM(CAST(l_linenumber AS BIGINT)) AS sum_ti,
+        |  SUM(CAST(l_quantity AS BIGINT)) AS sum_si,
+        |  SUM(CAST(l_partkey % 100000 AS BIGINT)) AS sum_i,
+        |  SUM(l_orderkey) AS sum_bi,
+        |  MIN(CAST(l_linenumber AS INT)) AS min_ti,
+        |  MAX(CAST(l_linenumber AS INT)) AS max_ti,
+        |  MIN(l_orderkey) AS min_bi, MAX(l_orderkey) AS max_bi,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DECIMAL(38,10)) AS sum_de,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DECIMAL(38,10))
+        |    AS DOUBLE) / COUNT(*) AS avg_de,
+        |  MIN(CAST(l_extendedprice AS DECIMAL(38,10))) AS min_de,
+        |  MAX(CAST(l_extendedprice AS DECIMAL(38,10))) AS max_de,
+        |  ${Q.oSumDec("l_discount")} AS sum_db,
+        |  MIN(CAST(l_shipdate AS DATE)) AS min_dt,
+        |  MAX(CAST(l_shipdate AS DATE)) AS max_dt,
+        |  MIN(l_returnflag || '/' || l_linestatus) AS min_vc,
+        |  MAX(l_returnflag || '/' || l_linestatus) AS max_vc,
+        |  COUNT(DISTINCT l_linenumber) AS cd_ti,
+        |  COUNT(DISTINCT l_partkey % 100000) AS cd_i,
+        |  COUNT(DISTINCT l_returnflag || '/' || l_linestatus) AS cd_vc
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY flag""".stripMargin,
+    "q_type_matrix_null" ->
+      """SELECT l_orderkey AS k1, CAST(l_linenumber AS INT) AS k2,
+        |  COALESCE(CAST(NULLIF(CAST(l_linenumber AS INT), 1) AS BIGINT), -1) AS co_ti,
+        |  COALESCE(CASE WHEN l_linenumber <> 1 THEN l_orderkey END, -1) AS co_bi,
+        |  CAST(COALESCE(CASE WHEN l_linenumber <> 1
+        |      THEN CAST(l_extendedprice AS DECIMAL(38,10)) END,
+        |    CAST(-1 AS DECIMAL(38,10))) AS DECIMAL(38,10)) AS co_de,
+        |  COALESCE(CASE WHEN l_linenumber <> 1 THEN CAST(l_shipdate AS DATE) END,
+        |    DATE '1970-01-01') AS co_dt,
+        |  COALESCE(CASE WHEN l_linenumber <> 1 THEN l_returnflag END, '<null>') AS co_vc,
+        |  CAST(CASE WHEN l_linenumber <> 1 THEN l_orderkey END IS NULL AS INT) AS isn_bi,
+        |  CAST(CASE WHEN l_linenumber <> 1 THEN l_returnflag END IS NOT NULL AS INT)
+        |    AS isnn_vc,
+        |  CASE WHEN l_linenumber <> 1 THEN l_orderkey END + 1 AS null_arith,
+        |  CASE WHEN l_linenumber <> 1 THEN l_returnflag END || '!' AS null_concat,
+        |  CAST(CASE WHEN l_linenumber <> 1 THEN l_orderkey END IS NOT DISTINCT FROM
+        |    CAST(NULL AS BIGINT) AS INT) AS nseq,
+        |  NULLIF(l_returnflag, 'N') AS nullif_vc
         |FROM lineitem
         |ORDER BY k1, k2""".stripMargin
   )

@@ -14,13 +14,14 @@ class PlanGuardSpec extends SparkSpec {
   // q_decontam_semantic (corpus × broadcast BENCHMARK — eval sets are
   // bounded-small by contract, so |corpus|·|bench| pairs is the
   // intended one-scan shape; see Decontamination.semanticScores).
-  // q_bm25_topk / q_lm_entropy / q_importance_weights join a 1-ROW
-  // broadcast global-statistics frame (N/avgdl, totals/vocab) — the
+  // q_bm25_topk / q_lm_entropy / q_importance_weights /
+  // q_sample_temperature join a 1-ROW broadcast global-statistics
+  // frame (N/avgdl, totals/vocab, the temperature (N, Z) pair) — the
   // same bounded shape as q_sketch_approx.
   private val allowNestedLoop =
     Set("q_join_cross", "q_ann_brute", "q_sketch_approx", "q_const_projection",
       "q_decontam_semantic", "q_bm25_topk", "q_lm_entropy", "q_importance_weights",
-      "q_source_kl", "q_lm_bigram")
+      "q_source_kl", "q_lm_bigram", "q_sample_temperature")
 
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin in any query") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -384,6 +384,69 @@ object Quantize {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Oracle-replayable IVF ∘ PQ: the composed billion-vector search
+    * shape ([[ivfPqTopK]]) with every FP sequence pinned — cell
+    * assignment/probes on the normalized-dot argmax with lower-id
+    * ties ([[cellAssignments]]'s arithmetic), ADC as the FIXED-order
+    * m-term sum ([[pqRerankTopKExact]]'s arithmetic), exact-cosine
+    * rerank. With seeded centroids + codebooks the query is a pure
+    * function of the corpus, so the driver hash-checks
+    * prune → encode → ADC → shortlist → rerank end to end
+    * (q_ann_ivfpq_seeded); `ivfPqTopK` stays the production path. */
+  def ivfPqTopKExact(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      nprobe: Int = 4, shortlist: Int = 50, dim: Int = 64,
+      id: String = "vec_id", vec: String = "embedding",
+      qid: String = "qid", qvec: String = "qvec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = codebooks.length
+    val cenArr = array(centroids.zipWithIndex.map { case (cv, i) =>
+      struct(lit(i).as("i"), lit(cv).as("c"))
+    }.toIndexedSeq: _*)
+    val encoded = pqEncode(corpus, codebooks, dim, id, vec)
+      .join(cellAssignments(corpus, centroids, id, vec), "vec_id")
+    val corpusRows = encoded.select(col("vec_id"), col("_cell"),
+      posexplode(col("codes")).as(Seq("_sub", "_code")))
+    val qUnit = {
+      val v = col(qvec).cast(ArrayType(DoubleType))
+      val n = sqrt(call_function("vec_dot", v, v))
+      when(n > 0, transform(v, x => x / n)).otherwise(v)
+    }
+    val qw = Window.partitionBy(col("qid")).orderBy(col("_cd").desc, col("_celli"))
+    val probes = queries.select(col(qid).as("qid"), qUnit.as("_q"))
+      .select(col("qid"), explode(cenArr).as("_ce"), col("_q"))
+      .select(col("qid"), col("_ce.i").as("_celli"),
+        call_function("vec_dot", col("_q"), col("_ce.c")).as("_cd"))
+      .withColumn("_cr", row_number().over(qw)).filter(col("_cr") <= nprobe)
+      .select(col("qid"), col("_celli").as("_cell"))
+    val lut = subRows(queries, dim, m, qid, qvec)
+      .withColumnRenamed("_id", "qid")
+      .join(broadcast(
+          queries.sparkSession.range(1).select(explode(codebookArr(codebooks)).as("_cb"))
+            .select(col("_cb.s").as("_sub"), col("_cb.i").as("_code"), col("_cb.c").as("_c"))),
+        Seq("_sub"))
+      .select(col("qid"), col("_sub"), col("_code"),
+        call_function("vec_dot", col("_sv"), col("_c")).as("_qdot"))
+    // cell-restricted ADC with the deterministic fixed-order sum
+    val terms = (0 until m).map(s =>
+      sum(when(col("_sub") === s, col("_qdot"))).as(s"_s$s"))
+    val scored = corpusRows.join(broadcast(probes), Seq("_cell"))
+      .join(broadcast(lut), Seq("qid", "_sub", "_code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(terms.head, terms.tail: _*)
+      .select(col("qid"), col("vec_id"),
+        (0 until m).map(s => col(s"_s$s")).reduce(_ + _).as("score"))
+    val sw = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    val short = scored.withColumn("_sr", row_number().over(sw))
+      .filter(col("_sr") <= shortlist).select(col("qid"), col("vec_id"))
+    val c = corpus.select(col(id).as("vec_id"), col(vec).cast(ArrayType(DoubleType)).as("_v"))
+    val q = queries.select(col(qid).as("qid"), col(qvec).cast(ArrayType(DoubleType)).as("_q"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+    short.join(c, "vec_id").join(broadcast(q), "qid")
+      .select(col("qid"), col("vec_id"), AnnSearch.cosine(col("_v"), col("_q")).as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** ADC shortlist → exact re-rank: PQ scores pick `shortlist`
     * candidates per query from the codes alone; only those ids join
     * back to the FLOAT corpus for exact cosine — the standard

@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     def inject(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name), info(name), builder))
 
+    // DISTINCT-over-window rewrite (reference wf DISTINCT variants;
+    // Spark rejects them at analysis) — must run as a RESOLUTION rule
+    // so the rewrite lands before checkAnalysis. See WindowDistinct.
+    ext.injectResolutionRule(_ => WindowDistinctRewrite)
+
     inject("json_merge_patch", es => JsonMergePatch(es(0), es(1)))
     inject("json_insert", es => JsonModify(es(0), es(1), es(2), ModifyMode.Insert))
     inject("json_replace", es => JsonModify(es(0), es(1), es(2), ModifyMode.Replace))

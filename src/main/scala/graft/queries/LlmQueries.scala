@@ -293,6 +293,27 @@ object LlmQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    "q_ann_ivfpq_seeded" -> ((s, dir) => {
+      // Oracle-checked IVF∘PQ: the composed billion-vector search
+      // (coarse cells prune WHICH vectors are scored, PQ codes shrink
+      // WHAT a score costs) with pinned arithmetic throughout —
+      // normalized-dot cell argmax with lower-id ties, fixed-order
+      // 8-term ADC, exact-cosine rerank. Seeded centroids+codebooks
+      // make it a pure function of the corpus, so the driver
+      // hash-checks the full composition; ivfPqTopK stays the
+      // production path (QuantizeSpec asserts its recall + measured
+      // partition pruning of the persisted index).
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cen = AnnSearch.seededCentroids(nlist = 16, dim = 64)
+      val cb = Quantize.seededCodebooks(m = 8, ksub = 16, dsub = 8)
+      Quantize.ivfPqTopKExact(emb, queries, k = 10, cen, cb,
+          nprobe = 6, shortlist = 50)
+        .select(col("qid"), col("vec_id"), col("cosine"), col("rank").cast("int").as("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // ---- multimodal ----
     "q_mm_frames" -> ((s, dir) => {
       Multimodal.sampleFrames(Multimodal.attachPayload(t(s, dir, "documents")), step = 5)
@@ -726,6 +747,62 @@ object LlmQueries {
         |      ORDER BY least(greatest(list_inner_product(cu.u, qu.u), -1.0), 1.0) DESC,
         |        cand.vec_id) AS rnk
         |  FROM cand JOIN cu ON cand.vec_id = cu.vec_id JOIN qu ON cand.qid = qu.qid) t
+        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+    "q_ann_ivfpq_seeded" ->
+      s"""WITH cen(ci, c) AS (VALUES
+        |$ivfCentroidRows),
+        |cb(s, i, c, cc) AS (VALUES
+        |$pqCodebookRows),
+        |corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+        |cu AS (SELECT vec_id, v,
+        |         CASE WHEN sqrt(list_inner_product(v, v)) > 0
+        |           THEN list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+        |           ELSE v END AS u
+        |       FROM corp),
+        |qu AS (SELECT qid, qv,
+        |         CASE WHEN sqrt(list_inner_product(qv, qv)) > 0
+        |           THEN list_transform(qv, x -> x / sqrt(list_inner_product(qv, qv)))
+        |           ELSE qv END AS u
+        |       FROM q),
+        |cells AS (SELECT vec_id, ci AS cell FROM (
+        |  SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY list_inner_product(u, c) DESC, ci) AS rn
+        |  FROM cu CROSS JOIN cen) t WHERE rn = 1),
+        |probes AS (SELECT qid, ci AS cell FROM (
+        |  SELECT qid, ci, row_number() OVER (PARTITION BY qid
+        |    ORDER BY list_inner_product(u, c) DESC, ci) AS rn
+        |  FROM qu CROSS JOIN cen) t WHERE rn <= 6),
+        |subs(sub) AS (SELECT unnest(range(0, 8))),
+        |cs AS (SELECT vec_id, sub, u[sub*8+1 : sub*8+8] AS sv FROM cu CROSS JOIN subs),
+        |codes AS (SELECT vec_id, sub, code FROM (
+        |  SELECT vec_id, sub, i AS code, row_number() OVER (PARTITION BY vec_id, sub
+        |    ORDER BY (list_inner_product(sv, c) * 2 - cc) DESC, i) AS rn
+        |  FROM cs JOIN cb ON cb.s = cs.sub) t WHERE rn = 1),
+        |qs AS (SELECT qid, sub, u[sub*8+1 : sub*8+8] AS sv FROM qu CROSS JOIN subs),
+        |lut AS (SELECT qid, sub, i AS code, list_inner_product(sv, c) AS qdot
+        |        FROM qs JOIN cb ON cb.s = qs.sub),
+        |cand AS (SELECT p.qid, cl.vec_id FROM probes p JOIN cells cl ON p.cell = cl.cell),
+        |sc AS (
+        |  SELECT ca.qid, co.vec_id,
+        |    SUM(CASE WHEN co.sub = 0 THEN l.qdot END) + SUM(CASE WHEN co.sub = 1 THEN l.qdot END)
+        |    + SUM(CASE WHEN co.sub = 2 THEN l.qdot END) + SUM(CASE WHEN co.sub = 3 THEN l.qdot END)
+        |    + SUM(CASE WHEN co.sub = 4 THEN l.qdot END) + SUM(CASE WHEN co.sub = 5 THEN l.qdot END)
+        |    + SUM(CASE WHEN co.sub = 6 THEN l.qdot END) + SUM(CASE WHEN co.sub = 7 THEN l.qdot END)
+        |      AS score
+        |  FROM cand ca JOIN codes co ON co.vec_id = ca.vec_id
+        |       JOIN lut l ON l.qid = ca.qid AND l.sub = co.sub AND l.code = co.code
+        |  GROUP BY ca.qid, co.vec_id),
+        |short AS (SELECT qid, vec_id FROM (
+        |  SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+        |  FROM sc) t WHERE rn <= 50)
+        |SELECT qid, vec_id, cosine, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT short.qid, short.vec_id,
+        |    list_cosine_similarity(corp.v, q.qv) AS cosine,
+        |    row_number() OVER (PARTITION BY short.qid
+        |      ORDER BY list_cosine_similarity(corp.v, q.qv) DESC, short.vec_id) AS rnk
+        |  FROM short JOIN corp ON short.vec_id = corp.vec_id JOIN q ON short.qid = q.qid) t
         |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
     "q_ann_lsh_seeded" ->
       s"""WITH pl(t, i, p) AS (VALUES

@@ -34,6 +34,13 @@ import graft.functions.MySqlFunctions
   *  - zero dates ('0000-00-00'): the reference stores them; this
   *    engine (ANSI Spark) yields NULL — asserted in EdgeSpec, not
   *    here, since DuckDB also rejects them.
+  *  - SUM over integer widths: Spark returns BIGINT, DuckDB promotes
+  *    to DECIMAL(38,0) (HUGEINT-backed) — oracle casts back.
+  *  - DECIMAL(38,10) → DOUBLE cast can differ in the final ulp
+  *    between engines (38-digit mantissas exceed a double; the two
+  *    implementations round through different intermediate forms), so
+  *    double-valued averages go through the proven DECIMAL(18,2)
+  *    exact-sum pattern (Q.avgDec) instead of casting a wide decimal.
   */
 object TypeMatrixQueries {
   import Q._
@@ -133,10 +140,10 @@ object TypeMatrixQueries {
           sum(bi).as("sum_bi"),
           min(ti.cast(IntegerType)).as("min_ti"), max(ti.cast(IntegerType)).as("max_ti"),
           min(bi).as("min_bi"), max(bi).as("max_bi"),
-          // decimal: exact sum at pinned scale; avg as exact-sum/count
+          // decimal: exact sum at pinned scale; avg via the proven
+          // DECIMAL(18,2) pattern (38-digit→double casts diverge)
           sum(de).cast(DecimalType(38, 10)).as("sum_de"),
-          (sum(de).cast(DecimalType(38, 10)).cast(DoubleType) / count(lit(1)))
-            .as("avg_de"),
+          avgDec(col("l_extendedprice")).as("avg_de"),
           min(de).as("min_de"), max(de).as("max_de"),
           // double via exact-decimal (order-independent across engines)
           sumDec(col("l_discount")).as("sum_db"),
@@ -246,16 +253,15 @@ object TypeMatrixQueries {
     "q_type_matrix_agg" ->
       s"""SELECT l_returnflag AS flag,
         |  COUNT(*) AS n,
-        |  SUM(CAST(l_linenumber AS BIGINT)) AS sum_ti,
-        |  SUM(CAST(l_quantity AS BIGINT)) AS sum_si,
-        |  SUM(CAST(l_partkey % 100000 AS BIGINT)) AS sum_i,
-        |  SUM(l_orderkey) AS sum_bi,
+        |  CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sum_ti,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_si,
+        |  CAST(SUM(CAST(l_partkey % 100000 AS BIGINT)) AS BIGINT) AS sum_i,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_bi,
         |  MIN(CAST(l_linenumber AS INT)) AS min_ti,
         |  MAX(CAST(l_linenumber AS INT)) AS max_ti,
         |  MIN(l_orderkey) AS min_bi, MAX(l_orderkey) AS max_bi,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DECIMAL(38,10)) AS sum_de,
-        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DECIMAL(38,10))
-        |    AS DOUBLE) / COUNT(*) AS avg_de,
+        |  ${Q.oAvgDec("l_extendedprice")} AS avg_de,
         |  MIN(CAST(l_extendedprice AS DECIMAL(38,10))) AS min_de,
         |  MAX(CAST(l_extendedprice AS DECIMAL(38,10))) AS max_de,
         |  ${Q.oSumDec("l_discount")} AS sum_db,

@@ -101,6 +101,25 @@ object WindowQueries {
           col("n_supp"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
+    "q_window_distinct_rule" -> ((s, dir) => {
+      // The same semantics through the ENGINE's Catalyst rewrite
+      // (plans/WindowDistinct.scala): the SQL surface accepts
+      // COUNT/SUM(DISTINCT) OVER directly — whole-partition distincts
+      // become the bounded-state aggregate+join-back plan, the framed
+      // running COUNT(DISTINCT) becomes size(collect_set) over the
+      // frame. q_window_distinct keeps the hand-rewritten shape for
+      // comparison; this entry proves the rule end to end.
+      Q.sql(s, dir,
+        """SELECT l_orderkey, l_linenumber, l_returnflag,
+          |  COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_returnflag) AS n_supp,
+          |  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,2)))
+          |    OVER (PARTITION BY l_returnflag) AS DECIMAL(38,2)) AS sum_qty,
+          |  COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_returnflag
+          |    ORDER BY l_orderkey, l_linenumber, l_suppkey, l_partkey
+          |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS run_supp
+          |FROM lineitem WHERE l_orderkey < 200
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    }),
     "q_window_running_rev" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
@@ -171,6 +190,16 @@ object WindowQueries {
     "q_window_distinct" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,
         |  COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_returnflag) AS n_supp
+        |FROM lineitem WHERE l_orderkey < 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_window_distinct_rule" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_returnflag) AS n_supp,
+        |  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY l_returnflag) AS DECIMAL(38,2)) AS sum_qty,
+        |  COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_orderkey, l_linenumber, l_suppkey, l_partkey
+        |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS run_supp
         |FROM lineitem WHERE l_orderkey < 200
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_window_running_rev" ->

@@ -46,4 +46,17 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     oracleModules.iterator.flatten.toMap
+
+  /** Query names defined by more than one module — the flattening Map
+    * would silently keep only the LAST one, hiding an operator from
+    * the driver gate. ContractSpec pins this to empty. */
+  def duplicateQueryNames: Seq[String] =
+    queryModules.flatMap(_.keys).groupBy(identity)
+      .collect { case (k, vs) if vs.size > 1 => k }.toSeq.sorted
+
+  /** Oracle keys without a matching query — a typo here silently
+    * downgrades the query to a rows-only check. ContractSpec pins
+    * this to empty. */
+  def orphanOracleNames: Seq[String] =
+    (oracleSql.keySet -- queries.keySet).toSeq.sorted
 }

@@ -83,7 +83,10 @@ object TypeMatrixQueries {
         // lenient string→number over a numeric-prefix string
         MySqlFunctions.castSigned(concat(i, lit("x"), col("l_returnflag"))).as("str2num"),
         MySqlFunctions.castSigned(col("l_returnflag")).as("str2num_none"))
-        .orderBy(col("k1"), col("k2"))
+      // no ORDER BY: (k1,k2) identifies rows and the driver compare is
+      // order-insensitive — a global range-sort of the full wide
+      // projection would be the single most expensive (and least
+      // meaningful) operator in the query at corpus scale
     }),
 
     // date/timestamp + char/varchar battery over the same rows
@@ -115,7 +118,7 @@ object TypeMatrixQueries {
         ascii(ch).as("s_ascii"),
         hex(col("l_orderkey")).as("s_hex"),
         concat(vc, lit(":"), (col("l_partkey") % 100000).cast(IntegerType)).as("s_mixnum"))
-        .orderBy(col("k1"), col("k2"))
+      // no ORDER BY — see q_type_matrix_num
     }),
 
     // aggregate × datatype: every aggregate family over every width,
@@ -130,7 +133,16 @@ object TypeMatrixQueries {
       val de = col("l_extendedprice").cast(DecimalType(38, 10))
       val dt = col("l_shipdate").cast(DateType)
       val vc = concat(col("l_returnflag"), lit("/"), col("l_linestatus"))
-      li.groupBy(col("l_returnflag").as("flag"))
+      // Three distinct aggregates on DIFFERENT columns would plan as a
+      // 4-way Expand: every input row quadrupled — wide decimals and
+      // strings included — through the partial-aggregate shuffle. At
+      // corpus scale that is 4× the scan's bytes through one exchange.
+      // Instead: the non-distinct battery aggregates in ONE narrow
+      // pass, and each distinct count is its own two-column scan
+      // (pruned to flag + value, partial-aggregated by (flag, value) —
+      // shuffle bounded by NDV, not row count) broadcast-joined back
+      // onto the group-count-sized result.
+      val base = li.groupBy(col("l_returnflag").as("flag"))
         .agg(
           count(lit(1)).as("n"),
           // integer widths: SUM promotes to BIGINT explicitly
@@ -149,11 +161,16 @@ object TypeMatrixQueries {
           sumDec(col("l_discount")).as("sum_db"),
           // temporal + string min/max
           min(dt).as("min_dt"), max(dt).as("max_dt"),
-          min(vc).as("min_vc"), max(vc).as("max_vc"),
-          // distinct counts per width
-          countDistinct(ti).cast(LongType).as("cd_ti"),
-          countDistinct(i).cast(LongType).as("cd_i"),
-          countDistinct(vc).cast(LongType).as("cd_vc"))
+          min(vc).as("min_vc"), max(vc).as("max_vc"))
+      // distinct counts per width: one single-distinct agg each (no
+      // Expand), joined on the group key
+      def cd(c: org.apache.spark.sql.Column, as: String) =
+        li.groupBy(col("l_returnflag").as("flag"))
+          .agg(countDistinct(c).cast(LongType).as(as))
+      base
+        .join(broadcast(cd(ti, "cd_ti")), Seq("flag"))
+        .join(broadcast(cd(i, "cd_i")), Seq("flag"))
+        .join(broadcast(cd(vc, "cd_vc")), Seq("flag"))
         .orderBy(col("flag"))
     }),
 
@@ -186,7 +203,7 @@ object TypeMatrixQueries {
         // null-safe equality vs plain equality under NULL
         (nbi <=> lit(null).cast(LongType)).cast(IntegerType).as("nseq"),
         nullif(col("l_returnflag"), lit("N")).as("nullif_vc"))
-        .orderBy(col("k1"), col("k2"))
+      // no ORDER BY — see q_type_matrix_num
     })
   )
 
@@ -220,8 +237,7 @@ object TypeMatrixQueries {
         |    '^\s*[+-]?[0-9]+', 0), '')::BIGINT, 0) AS str2num,
         |  COALESCE(NULLIF(regexp_extract(l_returnflag, '^\s*[+-]?[0-9]+', 0), '')::BIGINT, 0)
         |    AS str2num_none
-        |FROM lineitem
-        |ORDER BY k1, k2""".stripMargin,
+        |FROM lineitem""".stripMargin,
     "q_type_matrix_datestr" ->
       """SELECT l_orderkey AS k1, CAST(l_linenumber AS INT) AS k2,
         |  CAST(year(l_shipdate) AS INT) AS d_year,
@@ -248,8 +264,7 @@ object TypeMatrixQueries {
         |  upper(to_hex(l_orderkey)) AS s_hex,
         |  l_returnflag || '/' || l_linestatus || ':' ||
         |    CAST(l_partkey % 100000 AS INT) AS s_mixnum
-        |FROM lineitem
-        |ORDER BY k1, k2""".stripMargin,
+        |FROM lineitem""".stripMargin,
     "q_type_matrix_agg" ->
       s"""SELECT l_returnflag AS flag,
         |  COUNT(*) AS n,
@@ -293,7 +308,6 @@ object TypeMatrixQueries {
         |  CAST(CASE WHEN l_linenumber <> 1 THEN l_orderkey END IS NOT DISTINCT FROM
         |    CAST(NULL AS BIGINT) AS INT) AS nseq,
         |  NULLIF(l_returnflag, 'N') AS nullif_vc
-        |FROM lineitem
-        |ORDER BY k1, k2""".stripMargin
+        |FROM lineitem""".stripMargin
   )
 }

@@ -853,6 +853,40 @@ object JsonFunctions {
       }.orNull
   }
 
+  /** JSON_TABLE analog (MariaDB 10.6 front end, `sql/json_table.cc`;
+    * the reference runs it through that front end). A JSON column
+    * becomes a relational rowset: scalar COLUMNS parse in ONE
+    * `from_json` projection; one NESTED PATH over an array field
+    * becomes `posexplode_outer` — per-source-row fan-out with 1-based
+    * FOR ORDINALITY, and a NULL row when the array is missing/empty
+    * (JSON_TABLE's outer semantics for empty NESTED paths).
+    *
+    * Scale shape: a generator inside the scan's own projection — no
+    * shuffle, no UDF; malformed documents yield NULL columns (the
+    * NULL ON ERROR default) via from_json's lenient mode.
+    *
+    * @param schemaDdl full document schema as Spark DDL, e.g.
+    *                  `"id BIGINT, name STRING, tags ARRAY<BIGINT>"`
+    * @param arrayField the NESTED PATH field inside schemaDdl; its
+    *                   element value surfaces as `valueCol`
+    */
+  def jsonTable(df: org.apache.spark.sql.DataFrame,
+      json: org.apache.spark.sql.Column, schemaDdl: String,
+      arrayField: String, ordCol: String = "ord",
+      valueCol: String = "value"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, from_json, posexplode_outer}
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    require(schema.fieldNames.contains(arrayField),
+      s"NESTED PATH field '$arrayField' not in schema $schemaDdl")
+    val scalars = schema.fieldNames.filterNot(_ == arrayField).toSeq
+    val parsed = df.withColumn("_jt_doc", from_json(json, schema))
+    parsed.select(scalars.map(f => parsed("_jt_doc." + f).as(f)) :+
+        posexplode_outer(parsed("_jt_doc." + arrayField)): _*)
+      .withColumn(ordCol, (col("pos") + 1).cast(IntegerType))
+      .drop("pos")
+      .withColumnRenamed("col", valueCol)
+  }
+
   /** Register the family into a session's FunctionRegistry so the SQL
     * surface (`selectExpr`, `spark.sql`) can call them by MySQL name —
     * the analog of funcexp's fFuncMap registration

@@ -106,6 +106,22 @@ object JsonQueries {
           "json_object_mysql('k1', o_orderstatus, 'k2', o_orderkey % 10) AS j_object",
           "json_array_mysql(o_orderkey % 10, o_orderstatus) AS j_array")
         .orderBy(col("o_orderkey"))
+    }),
+    "q_json_table" -> ((s, dir) => {
+      // JSON_TABLE (MariaDB 10.6 front end): a per-row document with a
+      // variable-length array relationalizes into scalar COLUMNS + one
+      // NESTED PATH row per element with FOR ORDINALITY. The document
+      // is built with to_json (guaranteed well-formed) from event
+      // columns; tags has 1..3 elements so the fan-out is ragged.
+      val e = col("event_id")
+      val tags = slice(array(e % 7, e % 5, e % 3), lit(1), (e % 3 + 1).cast("int"))
+      val src = t(s, dir, "events").filter(e < 300)
+        .select(to_json(struct(e.as("id"), tags.as("tags"),
+          col("event_type").as("name"))).as("doc"))
+      JsonFunctions.jsonTable(src, col("doc"),
+          "id BIGINT, name STRING, tags ARRAY<BIGINT>", "tags",
+          ordCol = "ord", valueCol = "tag")
+        .select(col("id"), col("name"), col("ord"), col("tag"))
     })
   )
 
@@ -164,6 +180,19 @@ object JsonQueries {
          |  ('{"a":[' || (o_orderkey % 10) || ',5],"b":{"c":"' || o_orderstatus || '"},"arr":[1,2,' || (o_orderkey % 5) || ',8]}') AS j_mergep,
          |  ('{"k1":"' || o_orderstatus || '","k2":' || (o_orderkey % 10) || '}') AS j_object,
          |  ('[' || (o_orderkey % 10) || ',"' || o_orderstatus || '"]') AS j_array
-         |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin
+         |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+    // JSON_TABLE replay: same ragged tags array, relationalized via a
+    // bounded ordinal join (u.ord <= len) — ordinality is explicit on
+    // both sides, rows compare order-insensitively.
+    "q_json_table" ->
+      """WITH src AS (
+        |  SELECT event_id AS id, event_type AS name,
+        |    ([event_id % 7, event_id % 5, event_id % 3])
+        |      [:CAST(event_id % 3 + 1 AS INT)] AS tags
+        |  FROM events WHERE event_id < 300)
+        |SELECT id, name, CAST(u.ord AS INT) AS ord,
+        |  tags[CAST(u.ord AS INT)] AS tag
+        |FROM src JOIN (SELECT unnest([1,2,3]) AS ord) u
+        |  ON u.ord <= len(tags)""".stripMargin
   )
 }

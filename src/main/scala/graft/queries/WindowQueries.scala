@@ -48,6 +48,24 @@ object WindowQueries {
           count(lit(1)).over(range).as("n_in_range"))
         .orderBy(col("o_orderpriority"), col("o_orderkey"))
     }),
+    "q_window_range_interval" -> ((s, dir) => {
+      // Time-INTERVAL frame bounds (SQL:2011; the reference's window
+      // step evaluates RANGE frames over temporal order keys —
+      // windowfunctionstep.cpp framing). Spark's rangeBetween is
+      // numeric-only, so the ordering column projects to
+      // days-since-epoch and the INTERVAL becomes a day count — same
+      // peer semantics, still one partition-keyed shuffle + sort.
+      val od = to_date(col("o_orderdate"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(unix_date(od))
+      val trail30 = w.rangeBetween(-30, 0)
+      val next7 = w.rangeBetween(0, 7)
+      t(s, dir, "orders").filter(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"), od.as("o_date"),
+          count(lit(1)).over(trail30).as("n_trail30"),
+          d(sum(dec(col("o_totalprice"))).over(trail30)).as("sum_trail30"),
+          count(lit(1)).over(next7).as("n_next7"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
     "q_window_leadlag" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -156,6 +174,17 @@ object WindowQueries {
         |     RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) AS n_in_range
         |FROM orders WHERE o_custkey < 40
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q_window_range_interval" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |  COUNT(*) OVER wt AS n_trail30,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER wt AS DOUBLE) AS sum_trail30,
+        |  COUNT(*) OVER wa AS n_next7
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW wt AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+        |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW),
+        |  wa AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+        |    RANGE BETWEEN CURRENT ROW AND INTERVAL 7 DAY FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_window_leadlag" ->
       """SELECT o_custkey, o_orderkey,
         |  LAG(o_totalprice, 1) OVER w AS prev_price,

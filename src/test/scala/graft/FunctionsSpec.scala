@@ -221,4 +221,27 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getLong(1) == 256L)
     assert(r.isNullAt(2) && r.isNullAt(3))
   }
+
+  test("jsonTable: ragged fan-out, ordinality, empty-array and malformed docs") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Seq(
+      """{"id":1,"name":"a","tags":[10,20]}""",
+      """{"id":2,"name":"b","tags":[]}""",   // empty NESTED PATH -> one NULL row
+      """{"id":3,"name":"c"}""",             // missing array -> one NULL row
+      """not json at all"""                  // NULL ON ERROR -> all-NULL row
+    ).toDF("doc")
+    val out = graft.functions.JsonFunctions.jsonTable(docs, col("doc"),
+      "id BIGINT, name STRING, tags ARRAY<BIGINT>", "tags",
+      ordCol = "ord", valueCol = "tag")
+      .select("id", "name", "ord", "tag")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(out == Set(
+      (Some(1L), Some("a"), Some(1), Some(10L)),
+      (Some(1L), Some("a"), Some(2), Some(20L)),
+      (Some(2L), Some("b"), None, None),
+      (Some(3L), Some("c"), None, None),
+      (None, None, None, None)))
+  }
 }

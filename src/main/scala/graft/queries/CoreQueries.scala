@@ -319,6 +319,21 @@ object CoreQueries {
         .except(t(s, dir, "supplier").filter(col("s_suppkey") < 5)
           .select(col("s_nationkey").as("k")))
         .orderBy(col("k"))
+    }),
+    // ALL variants (bag semantics — multiplicities subtract/min rather
+    // than dedup; SQL:1999, superset of the reference like
+    // INTERSECT/EXCEPT themselves)
+    "q_intersect_all" -> ((s, dir) => {
+      t(s, dir, "customer").filter(col("c_custkey") < 300)
+        .select(col("c_nationkey").as("k"))
+        .intersectAll(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+        .orderBy(col("k"))
+    }),
+    "q_except_all" -> ((s, dir) => {
+      t(s, dir, "customer").filter(col("c_custkey") < 300)
+        .select(col("c_nationkey").as("k"))
+        .exceptAll(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+        .orderBy(col("k"))
     })
   )
 
@@ -484,6 +499,12 @@ object CoreQueries {
     "q_except" ->
       """SELECT c_nationkey AS k FROM customer
         |EXCEPT SELECT s_nationkey FROM supplier WHERE s_suppkey < 5
-        |ORDER BY k""".stripMargin
+        |ORDER BY k""".stripMargin,
+    "q_intersect_all" ->
+      """SELECT c_nationkey AS k FROM customer WHERE c_custkey < 300
+        |INTERSECT ALL SELECT s_nationkey FROM supplier ORDER BY k""".stripMargin,
+    "q_except_all" ->
+      """SELECT c_nationkey AS k FROM customer WHERE c_custkey < 300
+        |EXCEPT ALL SELECT s_nationkey FROM supplier ORDER BY k""".stripMargin
   )
 }

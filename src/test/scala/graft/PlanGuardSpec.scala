@@ -34,4 +34,20 @@ class PlanGuardSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"nested-loop/cartesian plans: $offenders")
   }
+
+  // Row-level batteries must stay single-stage scan pipelines: one
+  // parquet scan, the whole battery in the scan's own projection, no
+  // Exchange of the wide projected rows. Round 8 removed the global
+  // ORDER BY that was range-shuffling the full projection of each —
+  // this pins the shape so it can't quietly come back.
+  test("row-level matrix/json_table queries plan without any Exchange") {
+    val exchangeFree = Seq("q_type_matrix_num", "q_type_matrix_datestr",
+      "q_type_matrix_null", "q_json_table")
+    val offenders = exchangeFree.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      if (plan.contains("Exchange")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"unexpected Exchange in: $offenders")
+  }
 }

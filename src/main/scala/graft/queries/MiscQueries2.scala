@@ -83,6 +83,30 @@ object MiscQueries2 {
           "left(repeat(concat(o_orderstatus, '-'), 5), 7) AS y_cycle")
         .orderBy(col("o_orderkey"))
     }),
+    "q_fn_extract" -> ((s, dir) => {
+      // EXTRACT(unit FROM ts) (func_extract.cpp), MICROSECOND
+      // (func_microsecond.cpp; fraction-of-second 0..999999 — DuckDB's
+      // microsecond() is sub-MINUTE, hence % 1e6 there), and the
+      // UNHEX(HEX(s)) roundtrip (func_hex/unhex). EXTRACT(SECOND) is
+      // integer seconds in MySQL; Spark's returns DECIMAL(8,6) with
+      // the fraction, so both sides cast through floor-to-INT.
+      t(s, dir, "events").filter(col("event_id") < 500)
+        .selectExpr(
+          "event_id",
+          "cast(extract(YEAR FROM ts) AS INT) AS e_year",
+          "cast(extract(QUARTER FROM ts) AS INT) AS e_quarter",
+          "cast(extract(MONTH FROM ts) AS INT) AS e_month",
+          "cast(extract(DAY FROM ts) AS INT) AS e_day",
+          "cast(extract(HOUR FROM ts) AS INT) AS e_hour",
+          "cast(extract(MINUTE FROM ts) AS INT) AS e_minute",
+          "cast(floor(extract(SECOND FROM ts)) AS INT) AS e_second",
+          "cast(unix_micros(ts) % 1000000 AS BIGINT) AS e_micro",
+          // MySQL EXTRACT(YEAR_MONTH) composite unit
+          "cast(extract(YEAR FROM ts) * 100 + extract(MONTH FROM ts) AS INT) AS e_yearmonth",
+          "cast(unhex(hex(event_type)) AS STRING) AS e_unhex_rt",
+          "hex(event_type) AS e_hexstr")
+        .orderBy(col("event_id"))
+    }),
     "q_fn_misc" -> ((s, dir) => {
       // inet functions come from GraftExtensions (native expressions)
       t(s, dir, "orders").filter(col("o_orderkey") < 500)
@@ -142,6 +166,20 @@ object MiscQueries2 {
         |  printf('%02d:%02d:%02d', o_orderkey % 24, o_orderkey % 60, o_orderkey % 60) AS y_maketime,
         |  left(repeat(o_orderstatus || '-', 5), 7) AS y_cycle
         |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+    "q_fn_extract" ->
+      """SELECT event_id,
+        |  CAST(extract(year FROM ts) AS INT) AS e_year,
+        |  CAST(extract(quarter FROM ts) AS INT) AS e_quarter,
+        |  CAST(extract(month FROM ts) AS INT) AS e_month,
+        |  CAST(extract(day FROM ts) AS INT) AS e_day,
+        |  CAST(extract(hour FROM ts) AS INT) AS e_hour,
+        |  CAST(extract(minute FROM ts) AS INT) AS e_minute,
+        |  CAST(floor(extract(second FROM ts)) AS INT) AS e_second,
+        |  CAST(microsecond(ts) % 1000000 AS BIGINT) AS e_micro,
+        |  CAST(extract(year FROM ts) * 100 + extract(month FROM ts) AS INT) AS e_yearmonth,
+        |  decode(unhex(hex(event_type))) AS e_unhex_rt,
+        |  hex(event_type) AS e_hexstr
+        |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
     "q_fn_misc" ->
       """SELECT o_orderkey,
         |  to_base(o_orderkey, 16) AS x_conv,

@@ -29,6 +29,30 @@ object IngestQueries {
         .agg(count(lit(1)).as("n_nations"),
           d(sum(col("n_nationkey").cast("decimal(18,2)"))).as("key_sum"))
         .orderBy(col("r_name"))
+    }),
+    "q_ingest_jsonl" -> ((s, dir) => {
+      // JSONL roundtrip — the training-data interchange format,
+      // first-class next to the CSV bulk loader (the reference's
+      // cpimport is delimiter-only). Write through the engine, read
+      // back with an EXPLICIT schema (schema inference is a second
+      // full scan at corpus scale), and prove content fidelity through
+      // JSON string escaping with per-source md5 checksums against the
+      // original table.
+      val jd = Files.createTempDirectory("graft_ingest_jsonl").toString
+      t(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").json(jd)
+      val back = s.read
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .json(jd)
+      back.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text")).cast("long")).as("sum_len"),
+          min(md5(col("text"))).as("min_md5"),
+          max(md5(col("text"))).as("max_md5"),
+          countDistinct(md5(col("text"))).cast("long").as("n_distinct"))
+        .orderBy(col("source"))
     })
   )
 
@@ -37,6 +61,13 @@ object IngestQueries {
       """SELECT r_name, COUNT(*) AS n_nations,
         |  CAST(SUM(CAST(n_nationkey AS DECIMAL(18,2))) AS DOUBLE) AS key_sum
         |FROM nation JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name ORDER BY r_name""".stripMargin
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_ingest_jsonl" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+        |  MIN(md5(text)) AS min_md5, MAX(md5(text)) AS max_md5,
+        |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -175,6 +175,33 @@ object TextNativeFunctions {
       nullSafeCodeGen(ctx, ev,
         c => s"${ev.value} = graft.functions.TextKernels.bpeCount($c.toString());")
   }
+
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD) — the canonical first
+    * pass of multilingual corpus cleaning (é as one codepoint vs
+    * e+combining-accent must dedup/shingle identically). Spark has no
+    * built-in; this wraps `java.text.Normalizer` as a codegen scalar
+    * with the form resolved at PLAN time (no per-row dispatch).
+    * Oracle: DuckDB `nfc_normalize` replays the NFC form exactly
+    * (both implement UAX #15). NULL → NULL. */
+  case class UnicodeNormalize(child: Expression, form: String) extends UnaryExpression {
+    require(Set("NFC", "NFD", "NFKC", "NFKD")(form),
+      s"unknown normalization form: $form")
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "unicode_normalize"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+    private val jform = java.text.Normalizer.Form.valueOf(form)
+    override def nullSafeEval(input: Any): Any =
+      UTF8String.fromString(java.text.Normalizer.normalize(
+        input.asInstanceOf[UTF8String].toString, jform))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+           |  java.text.Normalizer.normalize($c.toString(),
+           |    java.text.Normalizer.Form.$form));""".stripMargin)
+  }
 }
 
 /** Top-level (static-forwarder-visible) text kernels shared by the

@@ -332,6 +332,46 @@ object Dedup {
     exactNew.join(dupNew, exactNew(id) === dupNew("_idN"), "left_anti")
   }
 
+  /** Bloom-accelerated exact incremental dedup: `dedupAgainst`'s
+    * exact tier with the corpus membership test collapsed into a
+    * broadcast Bloom filter. Result is IDENTICAL to the plain
+    * anti-join (the filter's false positives are re-checked by an
+    * exact confirm join; false negatives don't exist), so the DuckDB
+    * oracle for it is the anti-join itself.
+    *
+    * Why it matters at 100 TB: a daily batch is ≪ the corpus, and
+    * almost all of it is novel. The plain anti-join shuffles
+    * |batch| + |corpus-distinct| hash rows EVERY day; here the corpus
+    * is folded ONCE into n·log₂(1/fpp)·1.44 bits (partial-aggregated
+    * builder, driver merge, broadcast out), the batch probes it in a
+    * map-only pass, and only the ~fpp·|batch| + |dups| survivors pay
+    * the confirm join — its left side shrinks by 1/fpp. At 10⁹ corpus
+    * docs and 1% fpp the filter is ~1.2 GB: raise fpp (the confirm
+    * join absorbs it) or shard the filter by key range before
+    * broadcast; the confirm join stays exact either way. The probe is
+    * a UDF by necessity (no Catalyst surface for sketch membership) —
+    * but over ONE xxhash64 long per row, not the text.
+    */
+  def dedupAgainstBloom(newDocs: DataFrame, corpus: DataFrame,
+      id: String = "doc_id", text: String = "text",
+      expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    val spark = newDocs.sparkSession
+    // count-star over parquet is row-group metadata, not a scan
+    val expected = if (expectedItems > 0) expectedItems
+      else math.max(corpus.count(), 1L)
+    val bf = corpus.select(xxhash64(col(text)).as("_k"))
+      .stat.bloomFilter("_k", expected, fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val might = udf((h: Long) => bfB.value.mightContainLong(h))
+    val keyed = newDocs.withColumn("_k", xxhash64(col(text)))
+    val novel = keyed.filter(!might(col("_k"))).drop("_k")
+    val candidates = keyed.filter(might(col("_k"))).drop("_k")
+    val confirmed = candidates.join(
+      corpus.select(md5(col(text)).as("_h")).distinct(),
+      md5(candidates(text)) === col("_h"), "left_anti")
+    novel.unionByName(confirmed)
+  }
+
   // ---- shingling + MinHash ----
 
   /** Word n-gram shingles (default 3). Short docs fall back to a

@@ -51,6 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       maxLen = es(3).eval(null).asInstanceOf[Int]))
     inject("json_arrayagg", es => JsonArrayAgg(es(0), es(1)))
 
+    inject("heavy_hitters", es => graft.functions.SpaceSavingTopK(es(0),
+      es.lift(1).map(_.eval(null).asInstanceOf[Int]).getOrElse(64)))
+
     inject("inet_aton", es => graft.functions.NetFunctions.InetAton(es.head))
     inject("inet_ntoa", es => graft.functions.NetFunctions.InetNtoa(es.head))
 
@@ -70,6 +73,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es.lift(1).map(_.eval(null).asInstanceOf[Int]).getOrElse(3)))
     inject("shingle_set", es => graft.functions.TextNativeFunctions.ShingleSet(es.head,
       es.lift(1).map(_.eval(null).asInstanceOf[Int]).getOrElse(3)))
+    inject("unicode_normalize",
+      es => graft.functions.TextNativeFunctions.UnicodeNormalize(es(0),
+        es.lift(1).map(e => sep(e).toUpperCase(java.util.Locale.ROOT)).getOrElse("NFC")))
     inject("bucket_rank", es => graft.sources.ZOrder.BucketRank(es.head,
       es(1).eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         .toDoubleArray()))

@@ -31,6 +31,42 @@ object AsOfQueries {
           col("_asof_ts").cast("timestamp_ntz").as("p_ts"))
         .orderBy(col("user_id"), col("click_id"))
     }),
+    "q_asof_forward" -> ((s, dir) => {
+      // Forward as-of: each click matched to the NEXT purchase at or
+      // after it — the label-lookahead join of outcome attribution.
+      // Oracle = DuckDB ASOF with the inequality reversed.
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val rn = Window.partitionBy(col("user_id"), col("ts")).orderBy(col("p_id").desc)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("p_id"), col("value").as("p_value"))
+        .withColumn("_rn", row_number().over(rn)).filter(col("_rn") === 1).drop("_rn")
+      AsOfJoin.forward(clicks, purchases, "user_id", "ts")
+        .select(col("user_id"), col("click_id"),
+          col("_asof.p_id").as("p_id"), col("_asof.p_value").as("p_value"),
+          col("_asof_ts").cast("timestamp_ntz").as("p_ts"))
+        .orderBy(col("user_id"), col("click_id"))
+    }),
+    "q_asof_nearest" -> ((s, dir) => {
+      // Nearest as-of (pandas merge_asof direction='nearest'): closer
+      // of the backward/forward candidates, backward on exact-distance
+      // ties. One shuffle, two in-partition sorts — never two joins.
+      // Oracle = two DuckDB ASOF joins + the same tie-breaking CASE,
+      // an independent formulation of the distance rule.
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val rn = Window.partitionBy(col("user_id"), col("ts")).orderBy(col("p_id").desc)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("p_id"), col("value").as("p_value"))
+        .withColumn("_rn", row_number().over(rn)).filter(col("_rn") === 1).drop("_rn")
+      AsOfJoin.nearest(clicks, purchases, "user_id", "ts")
+        .select(col("user_id"), col("click_id"),
+          col("_asof.p_id").as("p_id"), col("_asof.p_value").as("p_value"),
+          col("_asof_ts").cast("timestamp_ntz").as("p_ts"))
+        .orderBy(col("user_id"), col("click_id"))
+    }),
     "q_sessionize" -> ((s, dir) => {
       // BATCH sessionization — the gaps-and-islands op (conversation /
       // browsing-session assembly for a training pipeline) declared as
@@ -84,6 +120,46 @@ object AsOfQueries {
         |FROM clicks c ASOF LEFT JOIN purchases p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.user_id, c.click_id""".stripMargin,
+    "q_asof_forward" ->
+      """WITH clicks AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS p_id, value AS p_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+        |SELECT c.user_id, c.click_id, p.p_id, p.p_value, p.ts AS p_ts
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY c.user_id, c.click_id""".stripMargin,
+    "q_asof_nearest" ->
+      """WITH clicks AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS p_id, value AS p_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1),
+        |b AS (
+        |  SELECT c.user_id, c.click_id, c.ts, p.p_id, p.p_value, p.ts AS p_ts
+        |  FROM clicks c ASOF LEFT JOIN purchases p
+        |    ON c.user_id = p.user_id AND c.ts >= p.ts),
+        |f AS (
+        |  SELECT c.user_id, c.click_id, c.ts, p.p_id, p.p_value, p.ts AS p_ts
+        |  FROM clicks c ASOF LEFT JOIN purchases p
+        |    ON c.user_id = p.user_id AND c.ts <= p.ts)
+        |SELECT b.user_id, b.click_id,
+        |  CASE WHEN b.p_ts IS NULL THEN f.p_id
+        |       WHEN f.p_ts IS NULL THEN b.p_id
+        |       WHEN b.ts - b.p_ts <= f.p_ts - f.ts THEN b.p_id ELSE f.p_id END AS p_id,
+        |  CASE WHEN b.p_ts IS NULL THEN f.p_value
+        |       WHEN f.p_ts IS NULL THEN b.p_value
+        |       WHEN b.ts - b.p_ts <= f.p_ts - f.ts THEN b.p_value ELSE f.p_value END AS p_value,
+        |  CASE WHEN b.p_ts IS NULL THEN f.p_ts
+        |       WHEN f.p_ts IS NULL THEN b.p_ts
+        |       WHEN b.ts - b.p_ts <= f.p_ts - f.ts THEN b.p_ts ELSE f.p_ts END AS p_ts
+        |FROM b JOIN f ON b.click_id = f.click_id
+        |ORDER BY b.user_id, b.click_id""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |f AS (SELECT user_id, ts,

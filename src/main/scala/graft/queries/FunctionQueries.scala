@@ -80,6 +80,47 @@ object FunctionQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    "q_fn_unicode" -> ((s, dir) => {
+      // Unicode NFC normalization (UnicodeNormalize expression) — the
+      // canonical first pass of multilingual corpus cleaning. Input is
+      // document text salted with DECOMPOSED sequences (e +
+      // U+0301 combining acute; A + U+030A combining ring) so the
+      // normalizer has real work; oracle = DuckDB nfc_normalize (an
+      // independent UAX #15 implementation) + unicode-aware lower.
+      val mixed = concat(lit("Cafe\u0301 A\u030A "),
+        substring(col("text"), 1, 40))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          call_function("unicode_normalize", mixed).as("nfc_text"),
+          length(mixed).as("len_raw"),
+          length(call_function("unicode_normalize", mixed)).as("len_nfc"),
+          lower(lit("CAFE\u0301")).as("lower_acc"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_fn_url" -> ((s, dir) => {
+      // URL dissection (parse_url family) — the provenance pass of a
+      // web-corpus pipeline (host/registrable-domain/path/query-param
+      // feed dedup keys, domain mixtures, and blocklists). Testdata
+      // carries no URLs, so canonical ones are synthesized from
+      // columns; the oracle recomputes each part from the SAME
+      // columns — ground truth by construction, so the hash match
+      // pins parse_url's component semantics.
+      val url = concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+        col("doc_id"), lit("?ref="), col("lang"), lit("&v=2#sec"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .selectExpr("doc_id", "url",
+          "parse_url(url, 'HOST') AS host",
+          "parse_url(url, 'PATH') AS path",
+          "parse_url(url, 'QUERY') AS query",
+          "parse_url(url, 'QUERY', 'ref') AS ref",
+          "parse_url(url, 'REF') AS frag",
+          "parse_url(url, 'PROTOCOL') AS proto",
+          "substring_index(parse_url(url, 'HOST'), '.', -2) AS domain")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- math family (func_abs.cpp ... func_truncate.cpp) ----
     "q_fn_math" -> ((s, dir) => {
       t(s, dir, "orders").filter(col("o_orderkey") < 500)
@@ -364,6 +405,29 @@ object FunctionQueries {
         |       ELSE left(p_name, 1) || 'XY' || substring(p_name, 5) END AS c_ins,
         |  CAST(COALESCE(CAST(NULLIF(regexp_extract('  12' || p_type, '^\s*[+-]?[0-9]+'), '') AS BIGINT), 0) AS BIGINT) AS c_castsig
         |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin,
+    "q_fn_unicode" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    'Cafe' || chr(769) || ' A' || chr(778) || ' ' || substr(text, 1, 40) AS mixed
+        |  FROM documents)
+        |SELECT doc_id,
+        |  nfc_normalize(mixed) AS nfc_text,
+        |  CAST(length(mixed) AS INT) AS len_raw,
+        |  CAST(length(nfc_normalize(mixed)) AS INT) AS len_nfc,
+        |  lower('CAFE' || chr(769)) AS lower_acc
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_fn_url" ->
+      """SELECT doc_id,
+        |  'https://' || source || '.example.com/docs/' || doc_id
+        |    || '?ref=' || lang || '&v=2#sec' AS url,
+        |  source || '.example.com' AS host,
+        |  '/docs/' || doc_id AS path,
+        |  'ref=' || lang || '&v=2' AS query,
+        |  lang AS ref,
+        |  'sec' AS frag,
+        |  'https' AS proto,
+        |  'example.com' AS domain
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_fn_math" ->
       """SELECT o_orderkey,
         |  abs(o_totalprice - 150000.0) AS m_abs,

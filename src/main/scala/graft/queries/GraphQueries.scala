@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.GraphRank
+
+/** Graph-weighting queries over the part↔supplier link graph derived
+  * from lineitem — the corpus-curation analog of domain/host ranking
+  * (a crawl keeps documents by the rank of their host in the link
+  * graph). Oracle = the SAME exact-integer recurrence unrolled as
+  * DuckDB CTEs, so the hash match pins every division and damping
+  * step bit-for-bit. */
+object GraphQueries {
+  import Q._
+
+  val queries: Map[String, QFn] = Map(
+    "q_graph_rank" -> ((s, dir) => {
+      // bidirectional bipartite link graph: p:<part> <-> s:<supplier>
+      val li = t(s, dir, "lineitem").select(
+        concat(lit("p:"), col("l_partkey")).as("src"),
+        concat(lit("s:"), col("l_suppkey")).as("dst"))
+      val edges = li.union(li.select(col("dst").as("src"), col("src").as("dst")))
+      GraphRank.pageRank(edges, "src", "dst", iterations = 3)
+        .orderBy(col("node"))
+    }),
+    "q_graph_degree" -> ((s, dir) => {
+      // degree profile of the same graph — the skew audit that sizes
+      // the rank job's reduce keys (a 10^6-degree hub needs salting)
+      val li = t(s, dir, "lineitem").select(
+        concat(lit("p:"), col("l_partkey")).as("src"),
+        concat(lit("s:"), col("l_suppkey")).as("dst")).distinct()
+      val deg = li.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      deg.groupBy(col("outdeg")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("outdeg"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_graph_rank" ->
+      """WITH p AS (SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+        |           FROM lineitem),
+        |e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |params AS (SELECT ((1000000000000 // count(*)) * 15) // 100 AS base,
+        |                  1000000000000 // count(*) AS init FROM nodes),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, init AS rank FROM nodes CROSS JOIN params),
+        |r1 AS (SELECT nd.node,
+        |         CAST(pa.base + (coalesce(f.inflow, 0) * 85) // 100 AS BIGINT) AS rank
+        |       FROM nodes nd CROSS JOIN params pa LEFT JOIN (
+        |         SELECT e.dst AS node, sum(r.rank // d.outdeg) AS inflow
+        |         FROM r0 r JOIN deg d ON r.node = d.node JOIN e ON r.node = e.src
+        |         GROUP BY e.dst) f ON nd.node = f.node),
+        |r2 AS (SELECT nd.node,
+        |         CAST(pa.base + (coalesce(f.inflow, 0) * 85) // 100 AS BIGINT) AS rank
+        |       FROM nodes nd CROSS JOIN params pa LEFT JOIN (
+        |         SELECT e.dst AS node, sum(r.rank // d.outdeg) AS inflow
+        |         FROM r1 r JOIN deg d ON r.node = d.node JOIN e ON r.node = e.src
+        |         GROUP BY e.dst) f ON nd.node = f.node),
+        |r3 AS (SELECT nd.node,
+        |         CAST(pa.base + (coalesce(f.inflow, 0) * 85) // 100 AS BIGINT) AS rank
+        |       FROM nodes nd CROSS JOIN params pa LEFT JOIN (
+        |         SELECT e.dst AS node, sum(r.rank // d.outdeg) AS inflow
+        |         FROM r2 r JOIN deg d ON r.node = d.node JOIN e ON r.node = e.src
+        |         GROUP BY e.dst) f ON nd.node = f.node)
+        |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
+    "q_graph_degree" ->
+      """WITH e AS (SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+        |           FROM lineitem),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src)
+        |SELECT outdeg, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM deg GROUP BY outdeg ORDER BY outdeg""".stripMargin
+  )
+}

@@ -112,6 +112,18 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
     }),
+    "q_dedup_bloom" -> ((s, dir) => {
+      // bloom-accelerated exact incremental dedup: corpus folded into
+      // a broadcast bloom filter, batch probed map-only, survivors
+      // confirmed exactly — result ≡ the plain anti-join, which IS
+      // the oracle (the bloom is an accelerator, not a semantic).
+      val docs = t(s, dir, "documents")
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      Dedup.dedupAgainstBloom(batch, corpus)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
     "q_sample_budget" -> ((s, dir) => {
       // token-budget mixture sampling: the longest md5-ordered prefix
       // of each source whose token sum fits 500 tokens (a binding budget at every test SF)
@@ -350,6 +362,12 @@ object PipelineQueries {
         |SELECT e.doc_id, e.lang, e.source FROM ex e
         |LEFT JOIN dup ON e.doc_id = dup.doc_id
         |WHERE dup.doc_id IS NULL ORDER BY e.doc_id""".stripMargin,
+    "q_dedup_bloom" ->
+      """WITH nd AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+        |cp AS (SELECT * FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT nd.doc_id, nd.lang, nd.source FROM nd
+        |LEFT JOIN (SELECT DISTINCT md5(text) AS h FROM cp) ch ON md5(nd.text) = ch.h
+        |WHERE ch.h IS NULL ORDER BY nd.doc_id""".stripMargin,
     "q_sample_budget" ->
       """WITH tok AS (
         |  SELECT source, doc_id,

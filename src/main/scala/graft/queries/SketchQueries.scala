@@ -30,9 +30,30 @@ object SketchQueries {
           col("approx_supp"), col("p50_approx"), col("n"))
         .crossJoin(overall)
         .orderBy(col("l_returnflag"))
+    }),
+    "q_heavy_hitters" -> ((s, dir) => {
+      // SpaceSaving top-k over (returnflag, linestatus) combos, k=16 ≥
+      // the 6-value universe → no eviction fires and the sketch is
+      // EXACT, so the oracle is the plain GROUP BY — this pins the
+      // update/merge/eval plumbing through a real multi-partition
+      // aggregation; the eviction regime is spec'd in SketchSpec.
+      t(s, dir, "lineitem")
+        .select(concat(col("l_returnflag"), col("l_linestatus")).as("flag"))
+        .select(call_function("heavy_hitters", col("flag"), lit(16)).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("item"), col("e.est").as("est"),
+          col("e.err").as("err"))
+        .orderBy(col("est").desc, col("item"))
     })
   )
 
-  // approximate by design → no SQL oracle; bounds asserted in SketchSpec
-  val oracle: Map[String, String] = Map.empty
+  // HLL/percentile sketches approximate by design → no SQL oracle
+  // (bounds asserted in SketchSpec); heavy_hitters runs in its exact
+  // regime and IS oracle-checked.
+  val oracle: Map[String, String] = Map(
+    "q_heavy_hitters" ->
+      """SELECT l_returnflag || l_linestatus AS item,
+        |  CAST(count(*) AS BIGINT) AS est, CAST(0 AS BIGINT) AS err
+        |FROM lineitem GROUP BY 1 ORDER BY est DESC, item""".stripMargin
+  )
 }

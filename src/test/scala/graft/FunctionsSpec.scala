@@ -244,4 +244,23 @@ class FunctionsSpec extends SparkSpec {
       (Some(3L), Some("c"), None, None),
       (None, None, None, None)))
   }
+
+  test("unicode_normalize: all four forms + NULL + idempotence") {
+    // inputs as Scala literals: Spark SQL's char(n) wraps at 256
+    // (chr(769) = chr(1)), unlike DuckDB's codepoint chr()
+    val r = Seq(1).toDF("x").selectExpr(
+        "unicode_normalize('Café', 'NFC')  AS nfc",
+        "unicode_normalize('Caf\\u00e9', 'NFD')   AS nfd",
+        "unicode_normalize('\\ufb01t \\u00b2', 'NFKC') AS nfkc",
+        "unicode_normalize('\\ufb01t', 'NFKD')    AS nfkd",
+        "unicode_normalize(CAST(NULL AS STRING)) AS nul",
+        "unicode_normalize('plain ascii')        AS asc")
+      .collect()(0)
+    assert(r.getString(0) == "Caf\u00e9")          // composes
+    assert(r.getString(1) == "Café")         // decomposes
+    assert(r.getString(2) == "fit 2")              // compatibility folds
+    assert(r.getString(3) == "fit")
+    assert(r.isNullAt(4))
+    assert(r.getString(5) == "plain ascii")        // identity on ASCII
+  }
 }

@@ -34,4 +34,31 @@ class SketchSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(whole == merged)
   }
+
+  test("space-saving: exact regime, guarantee under eviction, merge floor") {
+    import spark.implicits._
+    // exact regime: k >= distinct -> exact counts, zero error
+    val exact = Seq("a", "b", "a", "c", "a", "b")
+      .toDF("x").coalesce(1)
+      .selectExpr("inline(heavy_hitters(x, 8))")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(exact == Seq(("a", 3L, 0L), ("b", 2L, 0L), ("c", 1L, 0L)))
+    // eviction regime (single partition -> deterministic): a true
+    // heavy hitter (freq > N/k) must be captured with est >= true
+    // count and est - err <= true count
+    val data = (1 to 400).map(_ => "hot") ++ (1 to 200).map(i => s"t$i")
+    val sk = data.toDF("x").coalesce(1)
+      .selectExpr("inline(heavy_hitters(x, 10))")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(sk.size == 10)
+    val hot = sk.find(_._1 == "hot").get
+    assert(hot._2 >= 400L && hot._2 - hot._3 <= 400L)
+    // mergeability: multi-partition run still captures the heavy
+    // hitter and over-approximates (est >= true count)
+    val skP = data.toDF("x").repartition(8)
+      .selectExpr("inline(heavy_hitters(x, 10))")
+      .as[(String, Long, Long)].collect().toSeq
+    val hotP = skP.find(_._1 == "hot").get
+    assert(hotP._2 >= 400L && hotP._2 - hotP._3 <= 400L)
+  }
 }

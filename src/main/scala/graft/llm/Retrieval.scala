@@ -90,4 +90,46 @@ object Retrieval {
       .filter(col("df") >= minDf)
       .select(col("_t").as("term"), col("df"), col("cf"), col("postings"))
   }
+
+  /** Distinctive-term tf-cosine similarity join: document pairs whose
+    * cosine over RAW term frequencies — restricted to terms with
+    * df ≤ `maxDf` — reaches `threshold`. The sparse-vector sibling of
+    * the embedding-cosine dedup (`AnnSearch`): same join topology as
+    * a PPJoin candidate stage, but the score is the full cosine, not
+    * Jaccard.
+    *
+    * Exactness: the df cap is a SEMANTIC (stopword-stripped cosine, à
+    * la SemHash's idf cut), not an approximation of something else —
+    * the oracle replays it verbatim. Dot products and norms are
+    * INTEGER sums (associative ⇒ partitioning-independent); the only
+    * float math is one sqrt+divide per surviving pair, rounded to the
+    * 1e-6 grid both engines share.
+    *
+    * Scale shape: the term self-join is the inverted-index join —
+    * Σ_kept df(t)² pairs, with the df cap cutting off exactly the
+    * stopword classes that would make it quadratic (the same bound
+    * SSJoin literature applies); norms ride a second |docs|-row join.
+    * Nothing is all-pairs, nothing collects. */
+  def tfCosinePairs(docs: DataFrame, threshold: Double, maxDf: Long = 50,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val tf = docs.select(col(id).as("_id"),
+        explode(TextAnalysis.tokens(lower(col(text)))).as("_t"))
+      .groupBy(col("_id"), col("_t")).agg(count(lit(1)).as("_tf"))
+    val kept = tf.join(
+      tf.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= maxDf).select(col("_t")), "_t")
+    val norms = kept.groupBy(col("_id"))
+      .agg(sum(col("_tf") * col("_tf")).as("_n2"))
+    val a = kept.select(col("_t"), col("_id").as("id_a"), col("_tf").as("_tfa"))
+    val b = kept.select(col("_t"), col("_id").as("id_b"), col("_tf").as("_tfb"))
+    a.join(b, Seq("_t")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("_tfa") * col("_tfb")).as("_dot"))
+      .join(norms.select(col("_id").as("id_a"), col("_n2").as("_na")), "id_a")
+      .join(norms.select(col("_id").as("id_b"), col("_n2").as("_nb")), "id_b")
+      .withColumn("cosine", round(col("_dot") /
+        sqrt(col("_na").cast("double") * col("_nb").cast("double")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
 }

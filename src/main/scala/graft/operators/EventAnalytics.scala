@@ -98,6 +98,66 @@ object EventAnalytics {
       .limit(k)
   }
 
+  /** First-order transition matrix of the event stream: for every
+    * consecutive (from → to) pair in each user's time-ordered
+    * sequence, the count and the exact transition probability
+    * (count / out-total of `from`, rounded to the 1e-6 grid — one
+    * float divide over two exact integers, cross-engine stable).
+    * The Markov-chain summary behind "what happens after X" and the
+    * input of next-event-prediction baselines.
+    *
+    * One shuffle keyed by user (lead window, 1 row of lookahead
+    * state), one |types|²-row rollup, one broadcast-sized totals
+    * join. Never quadratic, nothing driver-side. */
+  def transitionMatrix(events: DataFrame, user: String = "user_id",
+      ts: String = "ts", typ: String = "event_type",
+      eventId: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_u")).orderBy(col("_ts"), col("_eid"))
+    val pairs = events.select(col(user).as("_u"), col(ts).as("_ts"),
+        col(eventId).as("_eid"), col(typ).as("_ty"))
+      .withColumn("_next", lead(col("_ty"), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col("_ty").as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("_tot"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("_tot"), 6).as("p"))
+  }
+
+  /** Sequence-pattern match (MATCH_RECOGNIZE-lite): encode each
+    * user's time-ordered event types as one character per event (via
+    * `symbols`), then count non-overlapping regex matches of
+    * `pattern` over that string — "did view⁺ → click → purchase
+    * happen, and how often" as a single regular expression, the
+    * row-pattern surface SQL:2016 spells as MATCH_RECOGNIZE.
+    *
+    * Restrict `pattern` to constructs Java regex and RE2 share
+    * (literals, classes, `* + ? | ()`) and it is oracle-replayable.
+    * State per user = their encoded sequence (one char per event) —
+    * the GROUP_CONCAT state class; at 100 TB sessionize first (the
+    * session id becomes part of the key) so strings stay bounded.
+    * One shuffle keyed by user; the per-user sort happens inside the
+    * aggregate via sort_array over (ts, eid, char) structs. */
+  def matchPattern(events: DataFrame, pattern: String,
+      symbols: Map[String, String], user: String = "user_id",
+      ts: String = "ts", typ: String = "event_type",
+      eventId: String = "event_id"): DataFrame = {
+    val sym = symbols.foldLeft(lit(null).cast("string")) { case (acc, (k, v)) =>
+      when(col("_ty") === k, lit(v)).otherwise(acc)
+    }
+    events.select(col(user).as("_u"), col(ts).as("_ts"),
+        col(eventId).as("_eid"), col(typ).as("_ty"))
+      .withColumn("_ch", coalesce(sym, lit("~"))) // unmapped → '~' (keep symbol values to letters)
+      .groupBy(col("_u"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("_ts"), col("_eid"), col("_ch")))),
+        s => s("_ch")), "").as("seq"))
+      .select(col("_u").as(user), col("seq"),
+        regexp_count(col("seq"), lit(pattern)).as("n_matches"))
+  }
+
   /** Daily cohort retention: users grouped by the day of their FIRST
     * event; for each (cohort_day, day_offset) the count of that
     * cohort's users active `day_offset` days after joining, plus the

@@ -85,6 +85,23 @@ object AsOfQueries {
           col("n_events"))
         .orderBy(col("user_id"), col("first_ts"))
     }),
+    "q_window_hopping" -> ((s, dir) => {
+      // hopping (sliding) time windows: 1-hour windows every 30 min,
+      // each event lands in size/slide = 2 windows — the batch analog
+      // of the streaming hopping aggregate, declared with the same
+      // window() Spark uses under watermarks. Oracle replays the
+      // window assignment as pure timestamp arithmetic (trunc + half-
+      // hour offset, then both covering starts unnested). Exact sums
+      // via the DECIMAL(18,2) pattern. Scale: one partial-aggregable
+      // rollup at 2× the event count — no self-join, no calendar table.
+      val ev = t(s, dir, "events")
+      ev.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_value"))
+        .select(col("window.start").cast("timestamp_ntz").as("wstart"),
+          col("window.end").cast("timestamp_ntz").as("wend"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("wstart"), col("event_type"))
+    }),
     "q_drift_monitor" -> ((s, dir) => {
       // Ingest-drift monitor — the freshness/anomaly audit of a
       // continuously-fed corpus: per (event_type, day), today's count
@@ -175,6 +192,19 @@ object AsOfQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, first_ts""".stripMargin,
+    "q_window_hopping" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |b AS (SELECT event_type, value,
+        |    date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30
+        |      THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS b0
+        |  FROM e),
+        |x AS (SELECT event_type, value,
+        |    unnest([b0 - INTERVAL 30 MINUTE, b0]) AS wstart FROM b)
+        |SELECT wstart, wstart + INTERVAL 1 HOUR AS wend, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY wstart, event_type
+        |ORDER BY wstart, event_type""".stripMargin,
     "q_drift_monitor" ->
       """WITH d AS (
         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

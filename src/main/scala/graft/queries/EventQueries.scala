@@ -34,6 +34,21 @@ object EventQueries {
     }),
     "q_event_paths" -> ((s, dir) => {
       EventAnalytics.topEventPaths(t(s, dir, "events"), k = 10)
+    }),
+    "q_event_transitions" -> ((s, dir) => {
+      // first-order Markov transition matrix: integer bigram counts +
+      // one exact-integer-ratio float per row on the 1e-6 grid
+      EventAnalytics.transitionMatrix(t(s, dir, "events"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+    "q_event_pattern" -> ((s, dir) => {
+      // MATCH_RECOGNIZE-lite: view →(clicks/errors)*→ purchase counted
+      // per user as a regex over the symbol-encoded event sequence;
+      // the seq column pins the deterministic (ts, event_id) encoding
+      EventAnalytics.matchPattern(t(s, dir, "events"), "v[ce]*p",
+          symbols = Map("view" -> "v", "click" -> "c", "purchase" -> "p",
+            "signup" -> "s", "error" -> "e"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -96,6 +111,29 @@ object EventQueries {
         |FROM l
         |WHERE step3 IS NOT NULL AND ts3 <= ts + INTERVAL 30 MINUTE
         |GROUP BY step1, step2, step3
-        |ORDER BY n DESC, step1, step2, step3 LIMIT 10""".stripMargin
+        |ORDER BY n DESC, step1, step2, step3 LIMIT 10""".stripMargin,
+    "q_event_transitions" ->
+      """WITH e AS (SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_id AS eid, event_type AS ty FROM events),
+        |pr AS (SELECT ty AS from_type,
+        |    lead(ty) OVER (PARTITION BY u ORDER BY ts, eid) AS to_type FROM e),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  round(CAST(c.n AS DOUBLE) / t.tot, 6) AS p
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+    "q_event_pattern" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS eid,
+        |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |      WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+        |      WHEN 'error' THEN 'e' ELSE '~' END AS ch
+        |  FROM events),
+        |sq AS (SELECT user_id, string_agg(ch, '' ORDER BY ts, eid) AS seq
+        |       FROM e GROUP BY user_id)
+        |SELECT user_id, seq,
+        |  CAST(len(regexp_extract_all(seq, 'v[ce]*p')) AS INT) AS n_matches
+        |FROM sq ORDER BY user_id""".stripMargin
   )
 }

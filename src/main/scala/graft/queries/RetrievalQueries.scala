@@ -50,6 +50,13 @@ object RetrievalQueries {
       Retrieval.bm25TopK(t(s, dir, "documents"),
         terms = Seq("spark", "shuffle", "fast"), k = 20)
     }),
+    "q_tfidf_pairs" -> ((s, dir) => {
+      // distinctive-term tf-cosine similarity join (sparse-vector
+      // sibling of the embedding-cosine dedup): integer dot/norms,
+      // one float sqrt+divide per surviving pair on the 1e-6 grid
+      Retrieval.tfCosinePairs(t(s, dir, "documents"), threshold = 0.4, maxDf = 50)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_inverted_index" -> ((s, dir) => {
       Retrieval.invertedIndex(t(s, dir, "documents"), minDf = 50, maxPostings = 10)
         .orderBy(col("term"))
@@ -138,6 +145,23 @@ object RetrievalQueries {
         |  GROUP BY tf.doc_id)
         |SELECT doc_id, n_terms, bm25 FROM sc
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q_tfidf_pairs" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS t FROM documents),
+        |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY doc_id, t),
+        |kept AS (SELECT tf.* FROM tf
+        |         JOIN (SELECT t FROM tf GROUP BY t HAVING count(*) <= 50) d USING (t)),
+        |nrm AS (SELECT doc_id, sum(tf * tf) AS n2 FROM kept GROUP BY doc_id),
+        |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.tf * b.tf) AS dot
+        |         FROM kept a JOIN kept b ON a.t = b.t AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |sc AS (SELECT id_a, id_b,
+        |         round(dot / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) AS cosine
+        |       FROM dots JOIN nrm na ON dots.id_a = na.doc_id
+        |                 JOIN nrm nb ON dots.id_b = nb.doc_id)
+        |SELECT id_a, id_b, cosine FROM sc WHERE cosine >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_inverted_index" ->
       s"""WITH toks AS (
         |  SELECT doc_id, unnest($toksSql) AS t FROM documents),

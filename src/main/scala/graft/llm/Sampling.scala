@@ -191,4 +191,37 @@ object Sampling {
       .filter(col("_rn") <= ceil(lit(fraction) * col("_cnt")).cast("long"))
       .drop("_rn", "_cnt")
   }
+
+  /** Curriculum ordering: equi-depth difficulty buckets over an
+    * integer score (tie-broken by `keyCol` into a UNIQUE composite
+    * rank key), round-robin interleaved — easy→hard cycles so every
+    * training window sees the full difficulty mix (the anti-sorted
+    * schedule curriculum-learning work prescribes). Output adds
+    * `bucket` (0-based) and `pos` (1-based rank within bucket);
+    * train order = ORDER BY (pos, bucket).
+    *
+    * Exactness: bucket boundaries are percentile_disc values of the
+    * unique composite — deterministic, oracle-replayable (DuckDB
+    * quantile_disc, the q_agg_pctdisc-proven pairing); strict-less
+    * counting is unambiguous because the composite never ties.
+    *
+    * Scale: thresholds are ONE 1-row sort-aggregate broadcast back
+    * (swap in approx_percentile at 100 TB — boundaries move, the
+    * schedule survives); the within-bucket rank window parallelizes
+    * only B ways — run the Packing-style two-phase prefix rank when
+    * B ≪ cores at target scale. Composite packing assumes
+    * key < 10^7; widen the factor for larger id spaces. */
+  def curriculumOrder(df: DataFrame, score: Column, keyCol: String,
+      buckets: Int = 4): DataFrame = {
+    require(buckets >= 2, "curriculum needs >= 2 buckets")
+    val s = df.withColumn("_cu", score * lit(10000000L) + col(keyCol))
+    val thr = s.agg(array((1 until buckets).map { k =>
+      expr(s"percentile_disc(${k.toDouble / buckets}) WITHIN GROUP (ORDER BY _cu)")
+    }: _*).as("_thr"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("_cu"))
+    s.crossJoin(broadcast(thr))
+      .withColumn("bucket", size(filter(col("_thr"), t => t < col("_cu"))))
+      .withColumn("pos", row_number().over(w))
+      .drop("_thr", "_cu")
+  }
 }

@@ -24,6 +24,27 @@ object MiscQueries2 {
     // itself, whose surviving case variant is first-come. Window runs
     // over the 5 GROUPS (post-agg), so the global sort is trivially
     // small at any corpus scale. ----
+    "q_profile_columns" -> ((s, dir) => {
+      // column-profiling report — the ANALYZE-style data-quality
+      // audit (row counts, emptiness, cardinalities, ranges, exact
+      // mean length) a pipeline runs before committing a corpus
+      // version. One partial-aggregable pass; all-integer except one
+      // final exact-ratio divide.
+      val docs = t(s, dir, "documents")
+      docs.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+          .otherwise(0L)).as("n_empty_text"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+        .withColumn("avg_chars",
+          round(col("sum_chars").cast("double") / col("n_rows"), 6))
+    }),
     "q_collation" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val c = t(s, dir, "customer").filter(col("c_custkey") < 500)
@@ -146,6 +167,17 @@ object MiscQueries2 {
         |  strftime(CAST(o_orderdate AS DATE), '%d.%m.%Y') AS a_gf_eur
         |FROM (SELECT *, o_orderkey % 86400 AS sec FROM orders WHERE o_orderkey < 500)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_profile_columns" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_empty_text,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+        |FROM documents""".stripMargin,
     "q_collation" ->
       """SELECT rep, n, case_variants,
         |  CAST(dense_rank() OVER (ORDER BY k) AS INT) AS ci_rank,

@@ -124,6 +124,14 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
     }),
+    "q_curriculum" -> ((s, dir) => {
+      // curriculum schedule: 4 equi-depth difficulty buckets on
+      // n_chars (unique composite tie-break), round-robin interleave
+      Sampling.curriculumOrder(t(s, dir, "documents"), col("n_chars"),
+          "doc_id", buckets = 4)
+        .select(col("doc_id"), col("n_chars"), col("bucket"), col("pos"))
+        .orderBy(col("pos"), col("bucket"))
+    }),
     "q_sample_budget" -> ((s, dir) => {
       // token-budget mixture sampling: the longest md5-ordered prefix
       // of each source whose token sum fits 500 tokens (a binding budget at every test SF)
@@ -368,6 +376,19 @@ object PipelineQueries {
         |SELECT nd.doc_id, nd.lang, nd.source FROM nd
         |LEFT JOIN (SELECT DISTINCT md5(text) AS h FROM cp) ch ON md5(nd.text) = ch.h
         |WHERE ch.h IS NULL ORDER BY nd.doc_id""".stripMargin,
+    "q_curriculum" ->
+      """WITH s AS (SELECT doc_id, n_chars,
+        |    n_chars * 10000000 + doc_id AS cu FROM documents),
+        |t AS (SELECT [quantile_disc(cu, 0.25), quantile_disc(cu, 0.5),
+        |              quantile_disc(cu, 0.75)] AS thr FROM s),
+        |b AS (SELECT doc_id, n_chars, cu,
+        |    CAST(len(list_filter(t.thr, x -> x < cu)) AS INT) AS bucket
+        |  FROM s CROSS JOIN t),
+        |p AS (SELECT doc_id, n_chars, bucket,
+        |    CAST(row_number() OVER (PARTITION BY bucket ORDER BY cu) AS INT) AS pos
+        |  FROM b)
+        |SELECT doc_id, n_chars, bucket, pos FROM p
+        |ORDER BY pos, bucket""".stripMargin,
     "q_sample_budget" ->
       """WITH tok AS (
         |  SELECT source, doc_id,

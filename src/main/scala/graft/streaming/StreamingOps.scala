@@ -38,6 +38,26 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total"))
 
+  /** Streaming heavy hitters: the SpaceSaving sketch
+    * ([[graft.functions.SpaceSavingTopK]]) inside a watermarked
+    * windowed aggregate — per-window top keys with EXACTLY k counters
+    * of state per window, where a windowed exact count-DISTINCT-key
+    * aggregate would hold the key universe in the state store. The
+    * sketch's mergeable partials flow through the streaming
+    * aggregation like any typed aggregate; the watermark bounds how
+    * many windows are live. Same guarantee as batch: freq > N/k per
+    * window is always captured. */
+  def topKStream(events: DataFrame, k: Int = 8,
+      watermark: String = "1 hour", window_ : String = "15 minutes",
+      keyCol: String = "event_type"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_))
+      .agg(call_function("heavy_hitters", col(keyCol), lit(k)).as("_hh"))
+      .select(col("window.start").as("w_start"), explode(col("_hh")).as("_e"))
+      .select(col("w_start"), col("_e.item").as("item"),
+        col("_e.est").as("est"), col("_e.err").as("err"))
+
   /** Session assembly with explicit state + timeout — the
     * mapGroupsWithState path for custom stateful logic. */
   def sessionize(spark: SparkSession, events: Dataset[Event],

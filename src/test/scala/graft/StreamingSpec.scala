@@ -31,6 +31,33 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq(("click", 2L, 3.0), ("view", 1L, 3.0), ("click", 1L, 4.0)))
   }
 
+  test("streaming heavy hitters: per-window sketch across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingOps.topKStream(input.toDF(), k = 8,
+        watermark = "10 minutes", window_ = "15 minutes")
+      .writeStream.format("memory").queryName("hh")
+      .outputMode(OutputMode.Update).start()
+    // two batches into the same window: sketch state must merge
+    input.addData(ev(1, 1, 1, "click", 1.0), ev(2, 3, 1, "view", 1.0))
+    q.processAllAvailable()
+    input.addData(ev(3, 5, 2, "click", 1.0), ev(4, 16, 2, "view", 1.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT w_start, item, est, err FROM hh")
+      .as[(Timestamp, String, Long, Long)].collect().toSeq
+    q.stop()
+    // Update mode re-emits a window on every batch that touches it;
+    // the final state per (window, item) is the max est (counts only
+    // grow) — what a sink upsert retains. k >= universe -> exact.
+    val fin = rows.groupBy(r => (r._1, r._2))
+      .map { case (_, vs) => vs.maxBy(_._3) }
+      .map(r => (r._1.toString.substring(11, 16), r._2, r._3, r._4)).toSet
+    assert(fin == Set(
+      ("10:00", "click", 2L, 0L),
+      ("10:00", "view", 1L, 0L),
+      ("10:15", "view", 1L, 0L)))
+  }
+
   test("stateful sessionization with mapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

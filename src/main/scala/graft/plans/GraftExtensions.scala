@@ -53,6 +53,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     inject("heavy_hitters", es => graft.functions.SpaceSavingTopK(es(0),
       es.lift(1).map(_.eval(null).asInstanceOf[Int]).getOrElse(64)))
+    inject("top_k_per_group", es => graft.functions.TopKPerGroup(es(0), es(1),
+      es.lift(2).map(_.eval(null).asInstanceOf[Int]).getOrElse(10)))
 
     inject("inet_aton", es => graft.functions.NetFunctions.InetAton(es.head))
     inject("inet_ntoa", es => graft.functions.NetFunctions.InetNtoa(es.head))

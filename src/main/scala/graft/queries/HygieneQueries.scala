@@ -93,6 +93,26 @@ object HygieneQueries {
           requiredStopwords = Seq("the", "a", "key", "value", "table", "row"))
         .orderBy(col("doc_id"))
     }),
+    "q_outlier_mad" -> ((s, dir) => {
+      // robust outlier audit: median / MAD per event_type, rows with
+      // |x − med| > 3·MAD flagged — the heavy-tail-safe anomaly gate
+      // (stddev fences break under the very outliers they hunt).
+      // percentile_disc selects ACTUAL data values, so med/MAD and
+      // the flag are engine-exact; two partial-aggregable rollups +
+      // one broadcast-sized stats join, no window over the raw rows.
+      val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("med"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"), col("med"))
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(value - med))").as("mad"))
+      ev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"), col("med"), col("mad"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(abs(col("value") - col("med")) > col("mad") * 3, 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy(col("event_type"))
+    }),
     "q_corpus_report" -> ((s, dir) => {
       // the dataset-card audit: per source, docs / distinct contents /
       // exact-dup docs / tokens / quality-pass — a composition of
@@ -217,6 +237,21 @@ object HygieneQueries {
         |  AND n_alpha_tokens * 5 >= n_tokens * 4
         |  AND n_req_stopwords >= 2) AS pass
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_outlier_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_disc(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |mad AS (
+        |  SELECT e.event_type, m.med, quantile_disc(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN med m USING (event_type)
+        |  GROUP BY e.event_type, m.med)
+        |SELECT e.event_type, m.med, m.mad,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN abs(e.value - m.med) > m.mad * 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM events e JOIN mad m USING (event_type)
+        |GROUP BY e.event_type, m.med, m.mad
+        |ORDER BY e.event_type""".stripMargin,
     "q_corpus_report" ->
       """WITH b AS (
         |  SELECT doc_id, source, md5(text) AS h,

@@ -24,6 +24,20 @@ object MiscQueries2 {
     // itself, whose surviving case variant is first-come. Window runs
     // over the 5 GROUPS (post-agg), so the global sort is trivially
     // small at any corpus scale. ----
+    "q_fn_histogram" -> ((s, dir) => {
+      // equi-width histogram via width_bucket (12 buckets over
+      // [0, 600000), plus under/overflow buckets 0 and 13) — the
+      // one-pass distribution report behind the profiling family.
+      // DuckDB lacks width_bucket: the oracle replays the bucket rule
+      // as floor arithmetic (IEEE divide+floor, engine-exact).
+      t(s, dir, "orders")
+        .groupBy(expr("cast(width_bucket(o_totalprice, 0, 600000, 12) as int)")
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          d(min(col("o_totalprice"))).as("lo"),
+          d(max(col("o_totalprice"))).as("hi"))
+        .orderBy(col("bucket"))
+    }),
     "q_profile_columns" -> ((s, dir) => {
       // column-profiling report — the ANALYZE-style data-quality
       // audit (row counts, emptiness, cardinalities, ranges, exact
@@ -167,6 +181,14 @@ object MiscQueries2 {
         |  strftime(CAST(o_orderdate AS DATE), '%d.%m.%Y') AS a_gf_eur
         |FROM (SELECT *, o_orderkey % 86400 AS sec FROM orders WHERE o_orderkey < 500)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_fn_histogram" ->
+      """SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+        |       WHEN o_totalprice >= 600000 THEN 13
+        |       ELSE CAST(floor(o_totalprice / 50000) AS INT) + 1 END AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(o_totalprice) AS DOUBLE) AS lo,
+        |  CAST(max(o_totalprice) AS DOUBLE) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_profile_columns" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END)

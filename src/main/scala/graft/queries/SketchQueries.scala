@@ -44,6 +44,24 @@ object SketchQueries {
         .select(col("e.item").as("item"), col("e.est").as("est"),
           col("e.err").as("err"))
         .orderBy(col("est").desc, col("item"))
+    }),
+    "q_top_per_group" -> ((s, dir) => {
+      // bounded top-k per group: TopKPerGroup heap aggregate instead
+      // of the row_number window — map tasks ship ≤ k rows per group,
+      // never the whole group. Composite BIGINT key (price cents ·1e9
+      // + orderkey·10 + linenumber) is unique, so the top-3 set and
+      // hash are deterministic; oracle = the window formulation.
+      t(s, dir, "lineitem")
+        .withColumn("_ck", expr(
+          "cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)" +
+            " * 1000000000 + l_orderkey * 10 + l_linenumber"))
+        .groupBy(col("l_returnflag"))
+        .agg(call_function("top_k_per_group", col("_ck"),
+          concat_ws("-", col("l_orderkey"), col("l_linenumber")), lit(3)).as("tk"))
+        .select(col("l_returnflag"), posexplode(col("tk")))
+        .select(col("l_returnflag"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.key").as("key"), col("col.payload").as("payload"))
+        .orderBy(col("l_returnflag"), col("rank"))
     })
   )
 
@@ -51,6 +69,17 @@ object SketchQueries {
   // (bounds asserted in SketchSpec); heavy_hitters runs in its exact
   // regime and IS oracle-checked.
   val oracle: Map[String, String] = Map(
+    "q_top_per_group" ->
+      """WITH t AS (SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * 1000000000 + l_orderkey * 10 + l_linenumber AS ck,
+        |    l_orderkey || '-' || l_linenumber AS payload
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, ck, payload,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY ck DESC) AS rk
+        |  FROM t)
+        |SELECT l_returnflag, CAST(rk AS INT) AS rank, ck AS key, payload
+        |FROM r WHERE rk <= 3 ORDER BY l_returnflag, rank""".stripMargin,
     "q_heavy_hitters" ->
       """SELECT l_returnflag || l_linestatus AS item,
         |  CAST(count(*) AS BIGINT) AS est, CAST(0 AS BIGINT) AS err

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GraphRank
+
+/** PageRank invariants on hand-checkable graphs: exact-integer
+  * stability on a symmetric cycle, hub dominance + dangling-node
+  * semantics on a star, and mass conservation bounds. */
+class GraphRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val scale = 1000000000000L
+
+  test("2-cycle is a fixed point: both nodes keep exactly 1/N") {
+    val e = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val r = GraphRank.pageRank(e, "src", "dst", iterations = 4)
+      .as[(String, Long)].collect().toMap
+    // init = scale/2; each round: base + 0.85*(scale/2) = scale/2 exactly
+    assert(r == Map("a" -> scale / 2, "b" -> scale / 2))
+  }
+
+  test("star: hub collects both spokes' mass, spokes fall to base") {
+    // a -> b, c -> b; b dangling (drops its mass — documented)
+    val e = Seq(("a", "b"), ("c", "b")).toDF("src", "dst")
+    val r = GraphRank.pageRank(e, "src", "dst", iterations = 1)
+      .as[(String, Long)].collect().toMap
+    val init = scale / 3
+    val base = init * 15 / 100
+    assert(r("a") == base && r("c") == base)
+    assert(r("b") == base + (2 * init * 85) / 100)
+    // round 2: spokes' inflow is zero again; hub now collects 2*base
+    val r2 = GraphRank.pageRank(e, "src", "dst", iterations = 2)
+      .as[(String, Long)].collect().toMap
+    assert(r2("a") == base && r2("c") == base)
+    assert(r2("b") == base + (2 * base * 85) / 100)
+  }
+
+  test("total mass never exceeds scale (dangling drops, floors truncate)") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"))
+      .toDF("src", "dst")
+    val total = GraphRank.pageRank(e, "src", "dst", iterations = 3)
+      .agg(sum(col("rank"))).as[Long].collect().head
+    assert(total <= scale && total > 0)
+  }
+}

@@ -17,11 +17,12 @@ class PlanGuardSpec extends SparkSpec {
   // q_bm25_topk / q_lm_entropy / q_importance_weights /
   // q_sample_temperature join a 1-ROW broadcast global-statistics
   // frame (N/avgdl, totals/vocab, the temperature (N, Z) pair) — the
-  // same bounded shape as q_sketch_approx.
+  // same bounded shape as q_sketch_approx. q_curriculum crossJoins a
+  // 1-row broadcast percentile-thresholds frame (same class).
   private val allowNestedLoop =
     Set("q_join_cross", "q_ann_brute", "q_sketch_approx", "q_const_projection",
       "q_decontam_semantic", "q_bm25_topk", "q_lm_entropy", "q_importance_weights",
-      "q_source_kl", "q_lm_bigram", "q_sample_temperature")
+      "q_source_kl", "q_lm_bigram", "q_sample_temperature", "q_curriculum")
 
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin in any query") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -61,4 +61,20 @@ class SketchSpec extends SparkSpec {
     val hotP = skP.find(_._1 == "hot").get
     assert(hotP._2 >= 400L && hotP._2 - hotP._3 <= 400L)
   }
+
+  test("top_k_per_group: equals window formulation under any partitioning") {
+    import spark.implicits._
+    val data = (1 to 500).map(i => (s"g${i % 4}", i.toLong, s"p$i"))
+    for (parts <- Seq(1, 8)) {
+      val got = data.toDF("g", "k", "p").repartition(parts)
+        .groupBy($"g").agg(org.apache.spark.sql.functions.call_function(
+          "top_k_per_group", $"k", $"p", org.apache.spark.sql.functions.lit(5)).as("tk"))
+        .selectExpr("g", "inline(tk)")
+        .as[(String, Long, String)].collect().toSet
+      val want = data.groupBy(_._1).flatMap { case (g, vs) =>
+        vs.sortBy(-_._2).take(5).map(v => (g, v._2, v._3))
+      }.toSet
+      assert(got == want, s"parts=$parts")
+    }
+  }
 }

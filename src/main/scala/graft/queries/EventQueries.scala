@@ -41,6 +41,24 @@ object EventQueries {
       EventAnalytics.transitionMatrix(t(s, dir, "events"))
         .orderBy(col("from_type"), col("to_type"))
     }),
+    "q_event_islands" -> ((s, dir) => {
+      // gaps-and-islands: per-user runs of consecutive active days via
+      // the classic day-minus-row_number group key — all-integer
+      // arithmetic, one user-keyed shuffle, no self-join
+      import org.apache.spark.sql.expressions.Window
+      val days = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val rn = row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("day")))
+      days
+        .withColumn("_grp",
+          datediff(col("day"), to_date(lit("2024-01-01"))) - rn)
+        .groupBy(col("user_id"), col("_grp"))
+        .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+          count(lit(1)).as("n_days"))
+        .select(col("user_id"), col("start_day"), col("end_day"), col("n_days"))
+        .orderBy(col("user_id"), col("start_day"))
+    }),
     "q_event_pattern" -> ((s, dir) => {
       // MATCH_RECOGNIZE-lite: view →(clicks/errors)*→ purchase counted
       // per user as a regex over the symbol-encoded event sequence;
@@ -124,6 +142,17 @@ object EventQueries {
         |  round(CAST(c.n AS DOUBLE) / t.tot, 6) AS p
         |FROM c JOIN t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+    "q_event_islands" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |g AS (SELECT user_id, day,
+        |    (day - DATE '2024-01-01')
+        |      - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM d)
+        |SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+        |       CAST(count(*) AS BIGINT) AS n_days
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, start_day""".stripMargin,
     "q_event_pattern" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS eid,
         |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'

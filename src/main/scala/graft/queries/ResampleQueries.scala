@@ -23,6 +23,24 @@ object ResampleQueries {
           "user_id", "day", Seq("n"))
         .orderBy(col("user_id"), col("day"))
     }),
+    "q_resample_ohlc" -> ((s, dir) => {
+      // OHLC bars: weekly open/high/low/close per event type. Open and
+      // close are min_by/max_by over the total (ts, event_id) order —
+      // partial-aggregable (each map task ships ONE candidate row per
+      // group), where the window formulation the oracle replays would
+      // full-sort every partition. Total is the exact-decimal sum.
+      val e = t(s, dir, "events")
+      val ord = struct(col("ts"), col("event_id"))
+      e.groupBy(col("event_type"),
+          date_trunc("week", col("ts")).cast("timestamp_ntz").as("wk"))
+        .agg(min_by(col("value"), ord).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), ord).as("close"),
+          count(lit(1)).as("n"),
+          sumDec(col("value")).as("total"))
+        .orderBy(col("event_type"), col("wk"))
+    }),
     "q_resample_interp" -> ((s, dir) => {
       val obs = t(s, dir, "events").filter(col("user_id") < 20)
         .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
@@ -55,6 +73,22 @@ object ResampleQueries {
         |  last_value(n IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
         |FROM j ORDER BY user_id, day""".stripMargin,
+    "q_resample_ohlc" ->
+      s"""WITH e AS (SELECT event_type,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS wk,
+        |    CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events),
+        |w AS (SELECT event_type, wk, value,
+        |  first_value(value) OVER (PARTITION BY event_type, wk
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS op,
+        |  last_value(value) OVER (PARTITION BY event_type, wk
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cl
+        |  FROM e)
+        |SELECT event_type, wk, min(op) AS open, max(value) AS high,
+        |  min(value) AS low, min(cl) AS close,
+        |  CAST(count(*) AS BIGINT) AS n, ${oSumDec("value")} AS total
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_resample_interp" ->
       s"""WITH obs AS (
         |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

@@ -38,6 +38,25 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total"))
 
+  /** Streaming OHLC bars — the twin of batch `q_resample_ohlc`:
+    * per-(type, window) open/high/low/close where open/close ride
+    * `min_by`/`max_by` over the total (ts, event_id) order. The
+    * aggregate's partial state is ONE candidate row per live window
+    * per group (never a sorted buffer), so state store size is
+    * (watermark horizon / window) × key cardinality × O(1). */
+  def ohlcStream(events: DataFrame, watermark: String = "1 hour",
+      window_ : String = "15 minutes"): DataFrame = {
+    val ord = struct(col("ts"), col("event_id"))
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(min_by(col("value"), ord).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max_by(col("value"), ord).as("close"), count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+  }
+
   /** Streaming heavy hitters: the SpaceSaving sketch
     * ([[graft.functions.SpaceSavingTopK]]) inside a watermarked
     * windowed aggregate — per-window top keys with EXACTLY k counters

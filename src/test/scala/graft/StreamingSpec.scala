@@ -31,6 +31,27 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq(("click", 2L, 3.0), ("view", 1L, 3.0), ("click", 1L, 4.0)))
   }
 
+  test("streaming OHLC bars: open/close track the (ts, event_id) order across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingOps.ohlcStream(input.toDF(), watermark = "10 minutes",
+        window_ = "15 minutes")
+      .writeStream.format("memory").queryName("ohlc").outputMode(OutputMode.Update).start()
+    // batch 1: out-of-ts-order arrivals inside the 10:00 window
+    input.addData(ev(2, 5, 1, "click", 7.0), ev(1, 1, 1, "click", 3.0))
+    q.processAllAvailable()
+    // batch 2: an earlier-ts straggler (still above watermark) must
+    // RETAKE open, and a same-ts close tie resolves by event_id
+    input.addData(ev(3, 0, 2, "click", 9.0), ev(5, 5, 2, "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+        "SELECT open, high, low, close, n FROM ohlc WHERE event_type = 'click'")
+      .as[(Double, Double, Double, Double, Long)].collect().toSeq
+    q.stop()
+    // open = ts 10:00 (id 3), close = ts 10:05 tie → max id 5, value 1.0
+    assert(rows.lastOption.contains((9.0, 9.0, 1.0, 1.0, 4L)))
+  }
+
   test("streaming heavy hitters: per-window sketch across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

@@ -45,6 +45,22 @@ object SketchQueries {
           col("e.err").as("err"))
         .orderBy(col("est").desc, col("item"))
     }),
+    "q_sketch_quantiles" -> ((s, dir) => {
+      // percentile_approx in its EXACT regime (accuracy ≥ group size →
+      // the GK summary retains every value), so the oracle is DuckDB's
+      // exact discrete quantile — pinning the sketch's update/merge/
+      // query plumbing through a real multi-partition aggregation,
+      // exactly like q_heavy_hitters. Lower accuracies are the
+      // mergeable 100 TB path; SketchSpec bounds that regime's error.
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"),
+            array(lit(0.5), lit(0.9), lit(0.99)), lit(10000000)).as("q"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("q")(0).as("p50"),
+          col("q")(1).as("p90"), col("q")(2).as("p99"), col("n"))
+        .orderBy(col("event_type"))
+    }),
     "q_top_per_group" -> ((s, dir) => {
       // bounded top-k per group: TopKPerGroup heap aggregate instead
       // of the row_number window — map tasks ship ≤ k rows per group,
@@ -69,6 +85,13 @@ object SketchQueries {
   // (bounds asserted in SketchSpec); heavy_hitters runs in its exact
   // regime and IS oracle-checked.
   val oracle: Map[String, String] = Map(
+    "q_sketch_quantiles" ->
+      """SELECT event_type,
+        |  quantile_disc(value, 0.5) AS p50,
+        |  quantile_disc(value, 0.9) AS p90,
+        |  quantile_disc(value, 0.99) AS p99,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_top_per_group" ->
       """WITH t AS (SELECT l_returnflag,
         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)

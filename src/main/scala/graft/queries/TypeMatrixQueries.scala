@@ -204,6 +204,45 @@ object TypeMatrixQueries {
         (nbi <=> lit(null).cast(LongType)).cast(IntegerType).as("nseq"),
         nullif(col("l_returnflag"), lit("N")).as("nullif_vc"))
       // no ORDER BY — see q_type_matrix_num
+    }),
+
+    // string EDGE battery: empty string, unicode, repeated separators,
+    // leading/trailing space, negative/out-of-range positions — the
+    // corners the plain string battery (q_type_matrix_datestr) never
+    // touches. The base string is an adversarial CASE rotation built
+    // identically on both sides.
+    "q_type_matrix_stredge" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val m = col("doc_id") % 5
+      val base = when(m === 0, lit(""))
+        .when(m === 1, lit("héllo wörld"))
+        .when(m === 2, lit("a  b   c"))
+        .when(m === 3, concat(lit(" x "), substring(col("text"), 1, 9), lit(" ")))
+        .otherwise(substring(col("text"), 1, 17))
+      // overlay runs on a length-pinned pad so the cell tests OVERLAY
+      // splicing, not each engine's divergent short-input clamping
+      val padded = rpad(base, 8, ".")
+      d.select(
+        col("doc_id").as("k"),
+        base.as("base"),
+        length(base).cast(IntegerType).as("s_len"),
+        substring(base, -5, 3).as("s_subneg"),
+        trim(lower(base), "aeiou ").as("s_trimset"),
+        translate(base, "aeo", "430").as("s_transl"),
+        overlay(padded, lit("XX"), lit(3), lit(2)).as("s_overlay"),
+        try_element_at(split(base, " "), lit(2)).as("s_tok2"),
+        instr(base, "zzz").cast(IntegerType).as("s_posmiss"),
+        locate("b", base, 3).cast(IntegerType).as("s_locate3"),
+        rpad(base, 0, "x").as("s_rpad0"),
+        lpad(base, 4, "*").as("s_lpadtr"),
+        repeat(substring(base, 1, 2), 0).as("s_rep0"),
+        concat(base, lit(null).cast("string")).as("s_nullcat"),
+        md5(base).as("s_md5"),
+        ascii(base).cast(IntegerType).as("s_ascii"),
+        concat(expr("chr(233)"), lit("A")).as("s_chr"),
+        initcap(base).as("s_initcap"),
+        reverse(base).as("s_revuni"))
+      // no ORDER BY — see q_type_matrix_num
     })
   )
 
@@ -308,6 +347,55 @@ object TypeMatrixQueries {
         |  CAST(CASE WHEN l_linenumber <> 1 THEN l_orderkey END IS NOT DISTINCT FROM
         |    CAST(NULL AS BIGINT) AS INT) AS nseq,
         |  NULLIF(l_returnflag, 'N') AS nullif_vc
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+
+    // Engine-semantics notes per cell (MySQL/Spark rule spelled in
+    // DuckDB):
+    //  - SUBSTRING(s, -5, 3): negative pos counts from the end; |pos|
+    //    beyond the length yields '' (MySQL rule; NOT DuckDB's
+    //    "virtual positions before 1" rule, which would yield a
+    //    prefix) — spelled as the length-guarded CASE.
+    //  - LOCATE(sub, s, 3): DuckDB has no 3-arg locate — spelled via
+    //    strpos on the suffix, 0-preserved.
+    //  - concat with NULL: Spark/MySQL CONCAT is NULL-propagating, so
+    //    the oracle uses `||` (DuckDB's concat() skips NULLs).
+    //  - initcap: DuckDB has none — spelled as the per-word
+    //    upper/lower list transform (empty tokens from repeated
+    //    separators preserved).
+    //  - ascii(''): both return 0; unicode first char gives the
+    //    codepoint on both engines.
+    "q_type_matrix_stredge" ->
+      """WITH b AS (SELECT doc_id AS k,
+        |  CASE WHEN doc_id % 5 = 0 THEN ''
+        |       WHEN doc_id % 5 = 1 THEN 'héllo wörld'
+        |       WHEN doc_id % 5 = 2 THEN 'a  b   c'
+        |       WHEN doc_id % 5 = 3 THEN ' x ' || substr(text, 1, 9) || ' '
+        |       ELSE substr(text, 1, 17) END AS base
+        |  FROM documents)
+        |SELECT k, base,
+        |  CAST(length(base) AS INT) AS s_len,
+        |  CASE WHEN length(base) >= 5
+        |    THEN substr(base, length(base) - 4, 3) ELSE '' END AS s_subneg,
+        |  trim(lower(base), 'aeiou ') AS s_trimset,
+        |  translate(base, 'aeo', '430') AS s_transl,
+        |  substr(rpad(base, 8, '.'), 1, 2) || 'XX'
+        |    || substr(rpad(base, 8, '.'), 5) AS s_overlay,
+        |  list_extract(string_split(base, ' '), 2) AS s_tok2,
+        |  CAST(strpos(base, 'zzz') AS INT) AS s_posmiss,
+        |  CAST(CASE WHEN length(base) < 3 THEN 0
+        |    WHEN strpos(substr(base, 3), 'b') = 0 THEN 0
+        |    ELSE strpos(substr(base, 3), 'b') + 2 END AS INT) AS s_locate3,
+        |  rpad(base, 0, 'x') AS s_rpad0,
+        |  lpad(base, 4, '*') AS s_lpadtr,
+        |  repeat(substr(base, 1, 2), 0) AS s_rep0,
+        |  base || NULL AS s_nullcat,
+        |  md5(base) AS s_md5,
+        |  CAST(CASE WHEN base = '' THEN 0 ELSE ascii(base) END AS INT) AS s_ascii,
+        |  chr(233) || 'A' AS s_chr,
+        |  array_to_string(list_transform(string_split(base, ' '),
+        |    w -> CASE WHEN length(w) = 0 THEN ''
+        |      ELSE upper(w[1]) || lower(w[2:]) END), ' ') AS s_initcap,
+        |  reverse(base) AS s_revuni
+        |FROM b""".stripMargin
   )
 }

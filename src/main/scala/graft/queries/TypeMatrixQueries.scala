@@ -243,6 +243,112 @@ object TypeMatrixQueries {
         initcap(base).as("s_initcap"),
         reverse(base).as("s_revuni"))
       // no ORDER BY — see q_type_matrix_num
+    }),
+
+    // date/time EDGE battery: leap days (century + ordinary), year
+    // boundaries, epoch, proleptic year 1, year 9999, month-end
+    // clamping, strict-parser rejection — the calendar corners the
+    // plain date battery never reaches. The base date rotates through
+    // fixed edge dates plus the real shipdate, built identically on
+    // both sides.
+    "q_type_matrix_dtedge" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val m = (col("l_orderkey") * 7 + col("l_linenumber")) % 8
+      val base = when(m === 0, lit("2000-02-29").cast(DateType))
+        .when(m === 1, lit("1999-12-31").cast(DateType))
+        .when(m === 2, lit("2024-02-29").cast(DateType))
+        .when(m === 3, lit("1970-01-01").cast(DateType))
+        // extremes chosen so every derived cell (±13 months, +25h)
+        // stays inside [0001-01-01, 9999-12-31] — the compare tooling
+        // materializes dates as Python datetime.date, which cannot
+        // represent year 0 or year 10000
+        .when(m === 4, lit("9999-11-30").cast(DateType))
+        .when(m === 5, lit("0002-02-01").cast(DateType))
+        .when(m === 6, lit("2021-01-31").cast(DateType))
+        .otherwise(col("l_shipdate").cast(DateType))
+      val m2 = col("l_linenumber") % 4
+      // strict-parse inputs: one valid, one calendar-invalid (Feb 30 /
+      // month 13), one garbage — both parsers must agree on NULL
+      val str1 = when(m2 === 0, lit("2023-02-30"))
+        .when(m2 === 1, lit("2000-02-29"))
+        .when(m2 === 2, lit("not-a-date"))
+        .otherwise(lit("2024-12-31"))
+      val str2 = when(m2 === 0, lit("29/02/2000"))
+        .when(m2 === 1, lit("31/02/2001"))
+        .when(m2 === 2, lit("07/13/2001"))
+        .otherwise(lit("15/06/1995"))
+      val isodow = weekday(base) + 1
+      li.select(
+        col("l_orderkey").as("k1"), col("l_linenumber").cast("int").as("k2"),
+        base.as("base"),
+        // month-end clamping: Jan 31 + 1 month → Feb 28/29
+        add_months(base, 1).as("d_am1"),
+        add_months(base, -13).as("d_amneg"),
+        // strictly-next Monday (≡ base + (8 - isodow) — spelled that
+        // way in the oracle, DuckDB has no next_day)
+        next_day(base, "Mon").as("d_nextmon"),
+        weekofyear(base).as("d_week"),
+        // ISO year via the Thursday-of-week identity (≡ isoyear)
+        year(date_add(base, lit(4) - isodow)).as("d_isoyear"),
+        datediff(base, lit("1900-01-01").cast(DateType))
+          .cast(IntegerType).as("d_dd1900"),
+        // formatting guarded to the range both engines zero-pad
+        when(year(base).between(1970, 9998), date_format(base, "yyyy/MM/dd"))
+          .as("d_fmt"),
+        try_to_timestamp(str1, lit("yyyy-MM-dd")).cast(DateType).as("d_parse1"),
+        try_to_timestamp(str2, lit("dd/MM/yyyy")).cast(DateType).as("d_parse2"),
+        unix_timestamp(base.cast(TimestampType)).as("d_epoch"),
+        // end-of-day roundtrip through epoch seconds
+        to_date(timestamp_seconds(
+          unix_timestamp(base.cast(TimestampType)) + 86399)).as("d_fromepoch"),
+        trunc(base, "week").as("d_truncweek"),
+        last_day(base).as("d_lastday"),
+        // 25h1m1s across the day/year boundary (9999-12-31 → 10000)
+        (base.cast(TimestampType) + expr("INTERVAL '90061' SECOND"))
+          .cast(TimestampNTZType).as("d_tadd"))
+      // no ORDER BY — see q_type_matrix_num
+    }),
+
+    // decimal EDGE battery: signed values through every rounding mode
+    // (HALF_UP vs banker's), truncation-toward-zero vs floor, MySQL
+    // DIV semantics, modulo sign rules, saturating narrow cast,
+    // widening, multiplication at the precision ceiling, and decimal
+    // text formatting. Sign minted by parity so half the rows exercise
+    // the negative branches.
+    "q_type_matrix_decedge" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val price = dec(col("l_extendedprice"))
+      val de0 = when(col("l_orderkey") % 2 === 0, price * lit(-1))
+        .otherwise(price).cast(DecimalType(19, 2))
+      li.select(
+          col("l_orderkey").as("k1"), col("l_linenumber").cast("int").as("k2"),
+          de0.as("de"), col("l_quantity").cast(LongType).as("qty"),
+          (de0 * 100).cast(LongType).as("scents"))
+        .select(
+          col("k1"), col("k2"), col("de"),
+          // HALF_UP (away from zero) vs HALF_EVEN on the same .x5 cells
+          round(col("de"), 1).cast(DecimalType(19, 1)).as("d_round1"),
+          bround(col("de"), 1).cast(DecimalType(19, 1)).as("d_bround1"),
+          ceil(col("de")).cast(LongType).as("d_ceil"),
+          floor(col("de")).cast(LongType).as("d_floor"),
+          // decimal→integer CAST truncates toward zero (MySQL/reference
+          // rule; oracle spells trunc())
+          col("de").cast(LongType).as("d_trunc"),
+          // modulo takes the dividend's sign on both engines
+          (col("scents") % 700).as("d_mod"),
+          // MySQL DIV: integer division truncating toward zero —
+          // oracle spells the negative branch explicitly since
+          // DuckDB's // floors
+          expr("scents div qty").as("d_divq"),
+          // saturating narrow cast (reference dataconvert.cpp), as clamps
+          least(greatest(col("de"), lit("-99999.99").cast(DecimalType(19, 2))),
+            lit("99999.99").cast(DecimalType(19, 2)))
+            .cast(DecimalType(9, 2)).as("d_sat"),
+          col("de").cast(StringType).as("d_str"),
+          (col("de") * col("de")).cast(DecimalType(38, 4)).as("d_mul"),
+          col("de").cast(DecimalType(38, 10)).as("d_wide"),
+          abs(col("de")).cast(DecimalType(19, 2)).as("d_abs"))
+      // no ORDER BY — see q_type_matrix_num
     })
   )
 
@@ -396,6 +502,91 @@ object TypeMatrixQueries {
         |    w -> CASE WHEN length(w) = 0 THEN ''
         |      ELSE upper(w[1]) || lower(w[2:]) END), ' ') AS s_initcap,
         |  reverse(base) AS s_revuni
-        |FROM b""".stripMargin
+        |FROM b""".stripMargin,
+
+    // Engine-semantics notes:
+    //  - next_day: DuckDB has none — spelled as base + (8 - isodow)
+    //    (strictly-next Monday).
+    //  - ISO year: Spark has no isoyear builtin, so the Spark side
+    //    computes year(thursday-of-week); the oracle uses isoyear()
+    //    directly — the identity is what the cell verifies.
+    //  - strict parsing: Spark try_to_timestamp and DuckDB
+    //    try_strptime both reject calendar-invalid dates (Feb 30,
+    //    month 13) → NULL on both sides.
+    //  - epoch: both engines are proleptic Gregorian, so year-1 dates
+    //    agree on epoch seconds (-62135596800).
+    "q_type_matrix_dtedge" ->
+      """WITH b AS (SELECT l_orderkey AS k1, CAST(l_linenumber AS INT) AS k2,
+        |  CASE (l_orderkey * 7 + l_linenumber) % 8
+        |    WHEN 0 THEN DATE '2000-02-29' WHEN 1 THEN DATE '1999-12-31'
+        |    WHEN 2 THEN DATE '2024-02-29' WHEN 3 THEN DATE '1970-01-01'
+        |    WHEN 4 THEN DATE '9999-11-30' WHEN 5 THEN DATE '0002-02-01'
+        |    WHEN 6 THEN DATE '2021-01-31'
+        |    ELSE CAST(l_shipdate AS DATE) END AS base,
+        |  CASE l_linenumber % 4 WHEN 0 THEN '2023-02-30'
+        |    WHEN 1 THEN '2000-02-29' WHEN 2 THEN 'not-a-date'
+        |    ELSE '2024-12-31' END AS str1,
+        |  CASE l_linenumber % 4 WHEN 0 THEN '29/02/2000'
+        |    WHEN 1 THEN '31/02/2001' WHEN 2 THEN '07/13/2001'
+        |    ELSE '15/06/1995' END AS str2
+        |  FROM lineitem)
+        |SELECT k1, k2, base,
+        |  CAST(base + INTERVAL 1 MONTH AS DATE) AS d_am1,
+        |  CAST(base - INTERVAL 13 MONTH AS DATE) AS d_amneg,
+        |  base + CAST(8 - isodow(base) AS INT) AS d_nextmon,
+        |  CAST(weekofyear(base) AS INT) AS d_week,
+        |  CAST(isoyear(base) AS INT) AS d_isoyear,
+        |  CAST(date_diff('day', DATE '1900-01-01', base) AS INT) AS d_dd1900,
+        |  CASE WHEN year(base) BETWEEN 1970 AND 9998
+        |    THEN strftime(base, '%Y/%m/%d') END AS d_fmt,
+        |  CAST(try_strptime(str1, '%Y-%m-%d') AS DATE) AS d_parse1,
+        |  CAST(try_strptime(str2, '%d/%m/%Y') AS DATE) AS d_parse2,
+        |  CAST(epoch(CAST(base AS TIMESTAMP)) AS BIGINT) AS d_epoch,
+        |  CAST(make_timestamp((CAST(epoch(CAST(base AS TIMESTAMP)) AS BIGINT)
+        |    + 86399) * 1000000) AS DATE) AS d_fromepoch,
+        |  CAST(date_trunc('week', base) AS DATE) AS d_truncweek,
+        |  last_day(base) AS d_lastday,
+        |  CAST(base AS TIMESTAMP) + INTERVAL 90061 SECOND AS d_tadd
+        |FROM b""".stripMargin,
+
+    // Engine-semantics notes:
+    //  - round(): both engines round decimal halves away from zero.
+    //  - bround (half to even): DuckDB's roundbankers() casts DECIMAL
+    //    through DOUBLE, so x.45 becomes x.45000...728 and rounds UP —
+    //    the oracle spells banker's rounding exactly over integer
+    //    cents instead.
+    //  - DIV: Spark `div` truncates toward zero, DuckDB `//` floors —
+    //    the oracle spells the negative branch as -((-a) // b).
+    //  - %: both take the dividend's sign.
+    //  - decimal→VARCHAR: both print full scale with trailing zeros.
+    "q_type_matrix_decedge" ->
+      """WITH b AS (SELECT l_orderkey AS k1, CAST(l_linenumber AS INT) AS k2,
+        |  CAST(CASE WHEN l_orderkey % 2 = 0
+        |    THEN -CAST(l_extendedprice AS DECIMAL(18,2))
+        |    ELSE CAST(l_extendedprice AS DECIMAL(18,2)) END
+        |    AS DECIMAL(19,2)) AS de,
+        |  CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |c AS (SELECT *, CAST(de * 100 AS BIGINT) AS scents FROM b)
+        |SELECT k1, k2, de,
+        |  CAST(round(de, 1) AS DECIMAL(19,1)) AS d_round1,
+        |  CAST((CASE WHEN scents < 0 THEN -1 ELSE 1 END) *
+        |    ((abs(scents) // 10) + CASE WHEN abs(scents) % 10 > 5 THEN 1
+        |       WHEN abs(scents) % 10 < 5 THEN 0
+        |       ELSE (abs(scents) // 10) % 2 END) * 0.1
+        |    AS DECIMAL(19,1)) AS d_bround1,
+        |  CAST(ceil(de) AS BIGINT) AS d_ceil,
+        |  CAST(floor(de) AS BIGINT) AS d_floor,
+        |  CAST(trunc(de) AS BIGINT) AS d_trunc,
+        |  scents % 700 AS d_mod,
+        |  CASE WHEN scents >= 0 THEN scents // qty
+        |    ELSE -((-scents) // qty) END AS d_divq,
+        |  CAST(least(greatest(de, CAST('-99999.99' AS DECIMAL(19,2))),
+        |    CAST('99999.99' AS DECIMAL(19,2))) AS DECIMAL(9,2)) AS d_sat,
+        |  CAST(de AS VARCHAR) AS d_str,
+        |  CAST(de * de AS DECIMAL(38,4)) AS d_mul,
+        |  CAST(de AS DECIMAL(38,10)) AS d_wide,
+        |  CAST(abs(de) AS DECIMAL(19,2)) AS d_abs
+        |FROM c""".stripMargin
   )
 }

@@ -43,7 +43,8 @@ class PlanGuardSpec extends SparkSpec {
   // this pins the shape so it can't quietly come back.
   test("row-level matrix/json_table queries plan without any Exchange") {
     val exchangeFree = Seq("q_type_matrix_num", "q_type_matrix_datestr",
-      "q_type_matrix_null", "q_type_matrix_stredge", "q_json_table")
+      "q_type_matrix_null", "q_type_matrix_stredge", "q_type_matrix_dtedge",
+      "q_type_matrix_decedge", "q_json_table")
     val offenders = exchangeFree.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString

@@ -141,6 +141,29 @@ object HygieneQueries {
           defaultFraction = 0.05)
         .select(col("source"), col("doc_id"))
         .orderBy(col("source"), col("doc_id"))
+    }),
+    "q_winsorize" -> ((s, dir) => {
+      // winsorized mean per group: clip every value to the group's
+      // exact [p05, p95] (percentile_approx in its exact regime —
+      // accuracy ≥ group size) before averaging, the robust-mean rule
+      // that stops tail outliers from dominating a quality score.
+      // Shape: one group-count-sized percentile aggregate broadcast
+      // back onto the scan, then one exact-decimal aggregate — never
+      // a global sort, and the clip itself is a codegen'd
+      // least/greatest on the scan.
+      val ev = t(s, dir, "events")
+      val pct = ev.groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"), lit(0.05), lit(10000000)).as("p05"),
+          percentile_approx(col("value"), lit(0.95), lit(10000000)).as("p95"))
+      ev.join(broadcast(pct), "event_type")
+        .withColumn("v", least(greatest(col("value"), col("p05")), col("p95")))
+        .groupBy(col("event_type"))
+        .agg(first(col("p05")).as("p05"), first(col("p95")).as("p95"),
+          count(lit(1)).as("n"),
+          count(when(col("value") < col("p05"), 1)).as("n_lo"),
+          count(when(col("value") > col("p95"), 1)).as("n_hi"),
+          avgDec(col("v")).as("wmean"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -297,6 +320,18 @@ object HygieneQueries {
         |  WHEN 'src2' THEN '${Sampling.hexThreshold(0.3)}'
         |  WHEN 'src3' THEN '${Sampling.hexThreshold(0.2)}'
         |  ELSE '${Sampling.hexThreshold(0.05)}' END
-        |ORDER BY source, doc_id""".stripMargin
+        |ORDER BY source, doc_id""".stripMargin,
+    "q_winsorize" ->
+      s"""WITH p AS (SELECT event_type,
+        |    quantile_disc(value, 0.05) AS p05,
+        |    quantile_disc(value, 0.95) AS p95
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, p.p05, p.p95,
+        |  COUNT(*) AS n,
+        |  CAST(COUNT(CASE WHEN e.value < p.p05 THEN 1 END) AS BIGINT) AS n_lo,
+        |  CAST(COUNT(CASE WHEN e.value > p.p95 THEN 1 END) AS BIGINT) AS n_hi,
+        |  ${Q.oAvgDec("least(greatest(e.value, p.p05), p.p95)")} AS wmean
+        |FROM events e JOIN p USING (event_type)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
   )
 }

@@ -176,6 +176,21 @@ object PipelineQueries {
         .join(byGroup, "doc_id")
         .orderBy(col("doc_id"))
     }),
+    "q_split_leakfree" -> ((s, dir) => {
+      // dedup-aware split: band assignment keyed on the exact-dup
+      // cluster REPRESENTATIVE (min doc_id over identical content),
+      // so duplicate pairs can never straddle train/test — the
+      // contamination path a row-keyed split leaves open. One
+      // shuffle keyed by content hash (near-unique keys, no skew);
+      // the rep window is a partial-aggregable min.
+      val docs = t(s, dir, "documents")
+      val withRep = docs.withColumn("rep",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      Sampling.hashSplit(withRep, "rep",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "lf")
+        .select(col("doc_id"), col("rep"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
     "q_shuffle_det" -> ((s, dir) => {
       // reproducible epoch order: the emitted key IS the order (both
       // engines sort the same hex strings identically), so hash-
@@ -446,6 +461,18 @@ object PipelineQueries {
         |       WHEN substr(md5(source), 1, 8) < '$u2' THEN 'val'
         |       ELSE 'test' END AS group_split
         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "q_split_leakfree" -> {
+      val u1 = Sampling.hexThreshold(0.0 + 0.8)
+      val u2 = Sampling.hexThreshold(0.0 + 0.8 + 0.1)
+      s"""SELECT doc_id, rep,
+        |  CASE WHEN substr(md5(rep::VARCHAR || 'lf'), 1, 8) < '$u1' THEN 'train'
+        |       WHEN substr(md5(rep::VARCHAR || 'lf'), 1, 8) < '$u2' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin
     },
     "q_shuffle_det" ->
       """SELECT doc_id, md5(doc_id::VARCHAR || 'epoch1') AS _shuffle_key

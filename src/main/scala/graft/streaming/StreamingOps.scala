@@ -256,6 +256,40 @@ object StreamingOps {
       .start()
       .awaitTermination()
 
+  /** Stream-STREAM click attribution: join the click stream to the
+    * impression stream within an attribution horizon
+    * (imp_ts ≤ click_ts ≤ imp_ts + horizon), both sides watermarked.
+    *
+    * The time-range join condition is what makes this safe
+    * unbounded: it lets Spark derive a state-eviction bound for BOTH
+    * sides — an impression leaves the join state once the watermark
+    * passes imp_ts + horizon, a click once it passes click_ts — so
+    * state is (horizon + watermark) × arrival rate, independent of
+    * stream age. Without the range condition a stream-stream join
+    * must retain every row forever.
+    *
+    * `leftOuter = true` additionally emits never-attributed
+    * impressions (null click columns) once their horizon closes —
+    * the "no conversion" record, emitted exactly once, and only when
+    * the watermark proves no matching click can still arrive. */
+  def attributionStream(impressions: DataFrame, clicks: DataFrame,
+      watermark: String = "10 minutes", horizon: String = "30 minutes",
+      leftOuter: Boolean = false): DataFrame = {
+    val imp = impressions
+      .select(col("event_id").as("imp_id"), col("user_id").as("imp_user"),
+        col("ts").as("imp_ts"), col("value").as("imp_value"))
+      .withWatermark("imp_ts", watermark)
+    val clk = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+      .withWatermark("click_ts", watermark)
+    imp.join(clk,
+      col("imp_user") === col("click_user") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr(s"INTERVAL '$horizon'"),
+      if (leftOuter) "leftOuter" else "inner")
+  }
+
   /** Incremental-batch ingest: drain available input into parquet and
     * stop (AvailableNow), checkpointed for exactly-once resume. */
   def ingest(events: DataFrame, path: String, checkpoint: String): Unit =

@@ -234,6 +234,53 @@ class StreamingSpec extends SparkSpec {
       == "new_3")
   }
 
+  test("stream-stream attribution: clicks join impressions within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = StreamingOps.attributionStream(imps.toDF(), clicks.toDF(),
+        watermark = "5 minutes", horizon = "10 minutes")
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append).start()
+    // user 1: click 6 min after impression (inside horizon);
+    // user 2: click 20 min after (outside); user 3: click BEFORE the
+    // impression (range excludes); cross-user pairs excluded by key
+    imps.addData(ev(10, 1, 1, "imp", 0), ev(20, 5, 2, "imp", 0), ev(30, 30, 3, "imp", 0))
+    clicks.addData(ev(11, 7, 1, "click", 0), ev(21, 25, 2, "click", 0),
+      ev(31, 29, 3, "click", 0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT imp_id, click_id FROM attr")
+      .as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(rows == Set((10L, 11L)))
+  }
+
+  test("stream-stream left-outer attribution emits unmatched impressions after the horizon closes") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = StreamingOps.attributionStream(imps.toDF(), clicks.toDF(),
+        watermark = "5 minutes", horizon = "10 minutes", leftOuter = true)
+      .writeStream.format("memory").queryName("attr_outer")
+      .outputMode(OutputMode.Append).start()
+    imps.addData(ev(10, 1, 1, "imp", 0), ev(20, 2, 2, "imp", 0))
+    clicks.addData(ev(11, 7, 1, "click", 0))
+    q.processAllAvailable()
+    // advance BOTH watermarks far past imp_ts + horizon so the
+    // unmatched impression (user 2) is provably unattributable
+    imps.addData(ev(90, 55, 9, "imp", 0))
+    clicks.addData(ev(91, 55, 9, "click", 0))
+    q.processAllAvailable()
+    imps.addData(ev(92, 59, 8, "imp", 0))
+    clicks.addData(ev(93, 59, 8, "click", 0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT imp_id, click_id FROM attr_outer")
+      .as[(Long, Option[Long])].collect().toSet
+    q.stop()
+    assert(rows.contains((10L, Some(11L))))   // matched pair
+    assert(rows.contains((20L, None)))        // proven-unmatched emitted once
+  }
+
   test("AvailableNow ingest drains the stream into parquet exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val out = Files.createTempDirectory("graft_stream_out").toString

@@ -349,6 +349,59 @@ object TypeMatrixQueries {
           col("de").cast(DecimalType(38, 10)).as("d_wide"),
           abs(col("de")).cast(DecimalType(19, 2)).as("d_abs"))
       // no ORDER BY — see q_type_matrix_num
+    }),
+
+    // window × datatype EDGE battery: rank under order-by ties,
+    // IGNORE NULLS first/last over minted nulls, typed lag/lead
+    // defaults, bounded ROWS frames (including empty-frame NULL),
+    // and a 30-day RANGE frame over day-numbered dates. Partitioned
+    // by (flag, orderkey % 32) so parallelism survives the window
+    // shuffle at any scale — never a single global sort.
+    "q_type_matrix_winedge" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem")
+      val pk = concat(col("l_returnflag"), lit("#"), col("l_orderkey") % 32)
+      // l_shipdate is a TIMESTAMP in the fixture: order by its DATE
+      // cast, not the raw value — intra-day time would tie-break
+      // differently than the oracle's DATE ordering
+      val sdate = col("l_shipdate").cast(DateType)
+      val days = datediff(sdate, lit("1970-01-01").cast(DateType))
+      val de = dec(col("l_extendedprice"))
+      // deterministic nulls: every third line number
+      val nv = when(col("l_linenumber") % 3 =!= 0, de)
+      // (orderkey, linenumber) is NOT unique in the fixture — de is
+      // the final tie-breaker, after which tied rows agree on every
+      // projected column, so any residual tie order is value-neutral
+      val uniq = Window.partitionBy(pk)
+        .orderBy(sdate, col("l_orderkey"), col("l_linenumber"), de)
+      val ties = Window.partitionBy(pk).orderBy(sdate)
+      val ranged = Window.partitionBy(pk).orderBy(days).rangeBetween(-30, 0)
+      li.select(
+        col("l_orderkey").as("k1"), col("l_linenumber").cast("int").as("k2"),
+        row_number().over(uniq).cast(LongType).as("w_rn"),
+        rank().over(ties).cast(LongType).as("w_rk"),
+        dense_rank().over(ties).cast(LongType).as("w_drk"),
+        lag(de, 2, null).over(uniq).cast(DecimalType(18, 2)).as("w_lag2"),
+        coalesce(lag(de, 2).over(uniq), lit("-1").cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("w_lag2_def"),
+        lead(col("l_shipdate").cast(DateType), 1).over(uniq).as("w_lead_dt"),
+        first(nv, ignoreNulls = true)
+          .over(uniq.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DecimalType(18, 2)).as("w_fv_nn"),
+        last(nv, ignoreNulls = true)
+          .over(uniq.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+          .cast(DecimalType(18, 2)).as("w_lv_nn"),
+        nth_value(col("l_returnflag"), 2)
+          .over(uniq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("w_nth2"),
+        count(lit(1))
+          .over(uniq.rowsBetween(1, Window.unboundedFollowing)).as("w_cnt_after"),
+        // empty frame at partition start → NULL sum on both engines
+        sum(de).over(uniq.rowsBetween(-3, -1))
+          .cast(DecimalType(38, 2)).as("w_sum_prev3"),
+        min(col("l_shipdate").cast(DateType)).over(ranged).as("w_min_dt30"),
+        count(lit(1)).over(ranged).as("w_cnt30"))
+      // no output ORDER BY — (k1,k2) identifies rows
     })
   )
 
@@ -587,6 +640,44 @@ object TypeMatrixQueries {
         |  CAST(de * de AS DECIMAL(38,4)) AS d_mul,
         |  CAST(de AS DECIMAL(38,10)) AS d_wide,
         |  CAST(abs(de) AS DECIMAL(19,2)) AS d_abs
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    "q_type_matrix_winedge" ->
+      """WITH b AS (SELECT l_orderkey AS k1, CAST(l_linenumber AS INT) AS k2,
+        |  l_returnflag AS rf,
+        |  l_returnflag || '#' || (l_orderkey % 32) AS pk,
+        |  CAST(l_shipdate AS DATE) AS sd,
+        |  (CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS days,
+        |  CAST(l_extendedprice AS DECIMAL(18,2)) AS de,
+        |  CASE WHEN l_linenumber % 3 <> 0
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) END AS nv
+        |  FROM lineitem)
+        |SELECT k1, k2,
+        |  CAST(row_number() OVER uniq AS BIGINT) AS w_rn,
+        |  CAST(rank() OVER ties AS BIGINT) AS w_rk,
+        |  CAST(dense_rank() OVER ties AS BIGINT) AS w_drk,
+        |  CAST(lag(de, 2) OVER uniq AS DECIMAL(18,2)) AS w_lag2,
+        |  CAST(COALESCE(lag(de, 2) OVER uniq, CAST('-1' AS DECIMAL(18,2)))
+        |    AS DECIMAL(18,2)) AS w_lag2_def,
+        |  lead(sd, 1) OVER uniq AS w_lead_dt,
+        |  CAST(first_value(nv IGNORE NULLS) OVER (PARTITION BY pk
+        |    ORDER BY sd, k1, k2, de ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DECIMAL(18,2)) AS w_fv_nn,
+        |  CAST(last_value(nv IGNORE NULLS) OVER (PARTITION BY pk
+        |    ORDER BY sd, k1, k2, de ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |    AS DECIMAL(18,2)) AS w_lv_nn,
+        |  nth_value(rf, 2) OVER (PARTITION BY pk ORDER BY sd, k1, k2, de
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS w_nth2,
+        |  count(*) OVER (PARTITION BY pk ORDER BY sd, k1, k2, de
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS w_cnt_after,
+        |  CAST(sum(de) OVER (PARTITION BY pk ORDER BY sd, k1, k2, de
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS DECIMAL(38,2)) AS w_sum_prev3,
+        |  min(sd) OVER rangedw AS w_min_dt30,
+        |  count(*) OVER rangedw AS w_cnt30
+        |FROM b
+        |WINDOW uniq AS (PARTITION BY pk ORDER BY sd, k1, k2, de),
+        |  ties AS (PARTITION BY pk ORDER BY sd),
+        |  rangedw AS (PARTITION BY pk ORDER BY days
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""".stripMargin
   )
 }

@@ -334,6 +334,65 @@ object CoreQueries {
         .select(col("c_nationkey").as("k"))
         .exceptAll(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
         .orderBy(col("k"))
+    }),
+    // NULL-equality + multiplicity matrix across all six set ops: set
+    // operations treat NULLs as EQUAL (unlike comparison semantics),
+    // and the ALL variants subtract/min multiplicities rather than
+    // dedup — minted null keys and controlled duplicates pin both
+    // rules per (k, v) cell on both engines. Output is the per-cell
+    // COUNT per op, so the result stays group-sized however large the
+    // inputs get.
+    "q_setop_nulls" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def side(pred: org.apache.spark.sql.Column) = li.filter(pred).select(
+        when(col("l_linenumber") =!= 1, col("l_returnflag")).as("k"),
+        (col("l_orderkey") % 5).as("v"))
+      val a = side(col("l_orderkey") % 3 === 0)
+      val b = side(col("l_orderkey") % 3 =!= 2)
+      val ops: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+        "union" -> a.union(b).distinct(),
+        "union_all" -> a.union(b),
+        "intersect" -> a.intersect(b),
+        "intersect_all" -> a.intersectAll(b),
+        "except" -> a.except(b),
+        "except_all" -> a.exceptAll(b))
+      ops.map { case (name, df) =>
+          df.groupBy(col("k"), col("v")).agg(count(lit(1)).as("n"))
+            .select(lit(name).as("op"), col("k"), col("v"), col("n"))
+        }.reduce(_ union _)
+        .orderBy(col("op"), col("k"), col("v"))
+    }),
+    // join × NULL-key × duplicate-key matrix: every join type over
+    // sides with duplicated keys (controlled fan-out) and rare minted
+    // NULL keys. Pins in one query: NULL keys never equi-match but DO
+    // null-safe-match (the <=> product), anti keeps the NULL probe
+    // rows, semi dedups the fan-out, and outer joins null-extend
+    // exactly the unmatched multiplicities. Aggregated to one row per
+    // join type, so output stays constant-sized at any scale.
+    "q_join_nulldup" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def side(m: Int, nullLn: Int) = li.filter(col("l_orderkey") % 7 === m)
+        .select(when(col("l_orderkey") % 997 =!= nullLn, col("l_orderkey") % 1000)
+          .as(if (m == 0) "ka" else "kb"))
+      val a = side(0, 0)
+      val b = side(3, 3)
+      def one(name: String, df: org.apache.spark.sql.DataFrame,
+          unmatched: org.apache.spark.sql.Column) =
+        df.agg(count(lit(1)).as("n"), count(when(unmatched, 1)).as("n_unmatched"))
+          .select(lit(name).as("op"), col("n"), col("n_unmatched"))
+      val never = lit(false)
+      Seq(
+        one("inner", a.join(b, col("ka") === col("kb")), never),
+        one("nullsafe", a.join(b, col("ka") <=> col("kb")),
+          col("ka").isNull && col("kb").isNull),
+        one("left", a.join(b, col("ka") === col("kb"), "left"), col("kb").isNull),
+        one("right", a.join(b, col("ka") === col("kb"), "right"), col("ka").isNull),
+        one("full", a.join(b, col("ka") === col("kb"), "full"),
+          col("ka").isNull || col("kb").isNull),
+        one("semi", a.join(b, col("ka") === col("kb"), "left_semi"), col("ka").isNull),
+        one("anti", a.join(b, col("ka") === col("kb"), "left_anti"), col("ka").isNull))
+        .reduce(_ union _)
+        .orderBy(col("op"))
     })
   )
 
@@ -505,6 +564,50 @@ object CoreQueries {
         |INTERSECT ALL SELECT s_nationkey FROM supplier ORDER BY k""".stripMargin,
     "q_except_all" ->
       """SELECT c_nationkey AS k FROM customer WHERE c_custkey < 300
-        |EXCEPT ALL SELECT s_nationkey FROM supplier ORDER BY k""".stripMargin
+        |EXCEPT ALL SELECT s_nationkey FROM supplier ORDER BY k""".stripMargin,
+    "q_setop_nulls" ->
+      """WITH a AS (SELECT CASE WHEN l_linenumber <> 1 THEN l_returnflag END AS k,
+        |    l_orderkey % 5 AS v FROM lineitem WHERE l_orderkey % 3 = 0),
+        |b AS (SELECT CASE WHEN l_linenumber <> 1 THEN l_returnflag END AS k,
+        |    l_orderkey % 5 AS v FROM lineitem WHERE l_orderkey % 3 <> 2),
+        |all_ops AS (
+        |  SELECT 'union' AS op, k, v FROM (SELECT k, v FROM a UNION SELECT k, v FROM b)
+        |  UNION ALL
+        |  SELECT 'union_all', k, v FROM (SELECT k, v FROM a UNION ALL SELECT k, v FROM b)
+        |  UNION ALL
+        |  SELECT 'intersect', k, v FROM (SELECT k, v FROM a INTERSECT SELECT k, v FROM b)
+        |  UNION ALL
+        |  SELECT 'intersect_all', k, v
+        |    FROM (SELECT k, v FROM a INTERSECT ALL SELECT k, v FROM b)
+        |  UNION ALL
+        |  SELECT 'except', k, v FROM (SELECT k, v FROM a EXCEPT SELECT k, v FROM b)
+        |  UNION ALL
+        |  SELECT 'except_all', k, v
+        |    FROM (SELECT k, v FROM a EXCEPT ALL SELECT k, v FROM b))
+        |SELECT op, k, v, COUNT(*) AS n FROM all_ops
+        |GROUP BY 1, 2, 3
+        |ORDER BY op, k NULLS FIRST, v""".stripMargin,
+    "q_join_nulldup" ->
+      """WITH a AS (SELECT CASE WHEN l_orderkey % 997 <> 0
+        |      THEN l_orderkey % 1000 END AS ka
+        |    FROM lineitem WHERE l_orderkey % 7 = 0),
+        |b AS (SELECT CASE WHEN l_orderkey % 997 <> 3
+        |      THEN l_orderkey % 1000 END AS kb
+        |    FROM lineitem WHERE l_orderkey % 7 = 3),
+        |r AS (
+        |  SELECT 'inner' AS op, FALSE AS um FROM a JOIN b ON ka = kb
+        |  UNION ALL SELECT 'nullsafe', (ka IS NULL AND kb IS NULL)
+        |    FROM a JOIN b ON ka IS NOT DISTINCT FROM kb
+        |  UNION ALL SELECT 'left', kb IS NULL FROM a LEFT JOIN b ON ka = kb
+        |  UNION ALL SELECT 'right', ka IS NULL FROM a RIGHT JOIN b ON ka = kb
+        |  UNION ALL SELECT 'full', (ka IS NULL OR kb IS NULL)
+        |    FROM a FULL JOIN b ON ka = kb
+        |  UNION ALL SELECT 'semi', ka IS NULL FROM a
+        |    WHERE EXISTS (SELECT 1 FROM b WHERE b.kb = a.ka)
+        |  UNION ALL SELECT 'anti', ka IS NULL FROM a
+        |    WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.kb = a.ka))
+        |SELECT op, COUNT(*) AS n,
+        |  CAST(COUNT(CASE WHEN um THEN 1 END) AS BIGINT) AS n_unmatched
+        |FROM r GROUP BY 1 ORDER BY op""".stripMargin
   )
 }

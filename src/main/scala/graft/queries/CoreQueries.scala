@@ -362,6 +362,20 @@ object CoreQueries {
         }.reduce(_ union _)
         .orderBy(col("op"), col("k"), col("v"))
     }),
+    // ROLLUP over a NULLABLE group key: the data's own NULL group and
+    // the rollup-synthesized total row both print k = NULL — they are
+    // distinguishable ONLY via GROUPING(), the classic disambiguation
+    // rule, pinned here per output row on both engines.
+    "q_agg_nullgroup" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.select(
+          when(col("l_linenumber") =!= 1, col("l_returnflag")).as("k"),
+          col("l_quantity"))
+        .rollup(col("k"))
+        .agg(count(lit(1)).as("n"), sumDec(col("l_quantity")).as("qty"),
+          grouping(col("k")).cast("int").as("g"))
+        .orderBy(col("g"), col("k"))
+    }),
     // join × NULL-key × duplicate-key matrix: every join type over
     // sides with duplicated keys (controlled fan-out) and rare minted
     // NULL keys. Pins in one query: NULL keys never equi-match but DO
@@ -587,6 +601,13 @@ object CoreQueries {
         |SELECT op, k, v, COUNT(*) AS n FROM all_ops
         |GROUP BY 1, 2, 3
         |ORDER BY op, k NULLS FIRST, v""".stripMargin,
+    "q_agg_nullgroup" ->
+      s"""SELECT k, COUNT(*) AS n, ${Q.oSumDec("l_quantity")} AS qty,
+        |  CAST(GROUPING(k) AS INT) AS g
+        |FROM (SELECT CASE WHEN l_linenumber <> 1 THEN l_returnflag END AS k,
+        |        l_quantity FROM lineitem)
+        |GROUP BY ROLLUP(k)
+        |ORDER BY g, k NULLS FIRST""".stripMargin,
     "q_join_nulldup" ->
       """WITH a AS (SELECT CASE WHEN l_orderkey % 997 <> 0
         |      THEN l_orderkey % 1000 END AS ka

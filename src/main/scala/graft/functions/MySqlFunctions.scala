@@ -53,9 +53,15 @@ object MySqlFunctions {
 
   // ---- TIME-ish values (no native TIME type; HH:MM:SS strings) ----
 
-  /** MySQL SEC_TO_TIME(seconds) as an HH:MM:SS string. */
+  /** MySQL TIME range bound: 838:59:59 in seconds. SEC_TO_TIME and
+    * TIME arithmetic SATURATE here (ref `dataconvert.h` TIME limits,
+    * `func_sec_to_time.cpp`) rather than wrapping or erroring. */
+  val MaxTimeSec = 3020399L
+
+  /** MySQL SEC_TO_TIME(seconds) as an HH:MM:SS string, saturating at
+    * ±838:59:59 like the reference. */
   def secToTime(s: Column): Column = {
-    val sec = s.cast(LongType)
+    val sec = least(greatest(s.cast(LongType), lit(-MaxTimeSec)), lit(MaxTimeSec))
     val sign = when(sec < 0, lit("-")).otherwise(lit(""))
     val a = abs(sec)
     concat(sign, format_string("%02d:%02d:%02d",

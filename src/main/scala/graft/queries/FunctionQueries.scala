@@ -327,6 +327,24 @@ object FunctionQueries {
           castSignedRound(col("o_totalprice") / 1000).as("t_mysqlround"))
         .drop("o_orderstatus", "o_totalprice")
         .orderBy(col("o_orderkey"))
+    }),
+    // TIME-range saturation: SEC_TO_TIME and TIME arithmetic clamp at
+    // ±838:59:59 (MySQL TIME bound; ref dataconvert.h limits) — the
+    // seconds ramp spans ±3.5M so both clamp branches and the
+    // in-range path are exercised, and the roundtrip pins that
+    // TIME_TO_SEC sees the SATURATED value.
+    "q_fn_timesat" -> ((s, dir) => {
+      import graft.functions.MySqlFunctions._
+      val o = t(s, dir, "orders")
+      val sec = (col("o_orderkey") * 13 % 7000000) - lit(3500000L)
+      o.filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          secToTime(sec).as("t_sat"),
+          timeToSec(secToTime(sec)).as("t_roundtrip"),
+          addTime(secToTime(sec), lit("72:30:15")).as("t_addsat"),
+          secToTime(lit(3020399L)).as("t_max"),
+          secToTime(lit(-3020400L)).as("t_minclamp"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -543,6 +561,26 @@ object FunctionQueries {
         |  CAST(COALESCE(CAST(NULLIF(regexp_extract('9' || o_orderstatus, '^\s*[+-]?[0-9]+'), '') AS BIGINT), 0) AS BIGINT) AS t_lenient,
         |  CAST(CASE WHEN o_totalprice / 1000 >= 0 THEN floor(o_totalprice / 1000 + 0.5)
         |            ELSE ceil(o_totalprice / 1000 - 0.5) END AS BIGINT) AS t_mysqlround
-        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+    "q_fn_timesat" ->
+      """WITH b AS (SELECT o_orderkey,
+        |    (o_orderkey * 13 % 7000000) - 3500000 AS sec
+        |  FROM orders WHERE o_orderkey < 2000),
+        |c AS (SELECT o_orderkey,
+        |    CASE WHEN sec > 3020399 THEN 3020399
+        |         WHEN sec < -3020399 THEN -3020399 ELSE sec END AS cs FROM b),
+        |d AS (SELECT *, CASE WHEN cs + 261015 > 3020399 THEN 3020399
+        |         ELSE cs + 261015 END AS asum FROM c)
+        |SELECT o_orderkey,
+        |  CASE WHEN cs < 0 THEN '-' ELSE '' END ||
+        |    printf('%02d:%02d:%02d', abs(cs) // 3600,
+        |      (abs(cs) % 3600) // 60, abs(cs) % 60) AS t_sat,
+        |  cs AS t_roundtrip,
+        |  CASE WHEN asum < 0 THEN '-' ELSE '' END ||
+        |    printf('%02d:%02d:%02d', abs(asum) // 3600,
+        |      (abs(asum) % 3600) // 60, abs(asum) % 60) AS t_addsat,
+        |  '838:59:59' AS t_max,
+        |  '-838:59:59' AS t_minclamp
+        |FROM d ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -29,7 +29,8 @@ object SparkEntry {
     SketchQueries.queries, PipelineQueries.queries, HygieneQueries.queries,
     RetrievalQueries.queries, ClusterQueries.queries, EventQueries.queries,
     RecursiveQueries.queries, RelExtraQueries.queries, ResampleQueries.queries,
-    TypeMatrixQueries.queries, GraphQueries.queries, FuzzyQueries.queries)
+    TypeMatrixQueries.queries, GraphQueries.queries, FuzzyQueries.queries,
+    CatalogQueries.queries, ExtractionQueries.queries)
 
   private def oracleModules: Seq[Map[String, String]] = Seq(
     CoreQueries.oracle, WindowQueries.oracle, Dbt3Queries.oracle,
@@ -39,7 +40,8 @@ object SparkEntry {
     SketchQueries.oracle, PipelineQueries.oracle, HygieneQueries.oracle,
     RetrievalQueries.oracle, ClusterQueries.oracle, EventQueries.oracle,
     RecursiveQueries.oracle, RelExtraQueries.oracle, ResampleQueries.oracle,
-    TypeMatrixQueries.oracle, GraphQueries.oracle, FuzzyQueries.oracle)
+    TypeMatrixQueries.oracle, GraphQueries.oracle, FuzzyQueries.oracle,
+    CatalogQueries.oracle, ExtractionQueries.oracle)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     queryModules.iterator.flatten.toMap

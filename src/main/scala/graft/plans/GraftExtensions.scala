@@ -30,6 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // so the rewrite lands before checkAnalysis. See WindowDistinct.
     ext.injectResolutionRule(_ => WindowDistinctRewrite)
 
+    // Admission control (ResourceManager refusal analog) — prices the
+    // PRUNED plan, so it must run with the optimizer, after partition
+    // pruning. No-op unless spark.graft.admission.* is set.
+    ext.injectOptimizerRule(s => ResourceGovernor.AdmissionRule(s))
+
     inject("json_merge_patch", es => JsonMergePatch(es(0), es(1)))
     inject("json_insert", es => JsonModify(es(0), es(1), es(2), ModifyMode.Insert))
     inject("json_replace", es => JsonModify(es(0), es(1), es(2), ModifyMode.Replace))

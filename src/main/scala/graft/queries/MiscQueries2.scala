@@ -247,7 +247,9 @@ object MiscQueries2 {
         |  (o_orderkey % 256) * 65536 + (o_orderkey % 100) * 256 + (o_orderkey % 40) + 10 * 16777216 AS x_aton,
         |  ('10.' || (o_orderkey % 256) || '.' || (o_orderkey % 100) || '.' || (o_orderkey % 40)) AS x_roundtrip,
         |  CASE WHEN diff < 0 THEN '-' ELSE '' END ||
-        |    printf('%02d:%02d:%02d', abs(diff) // 3600, (abs(diff) % 3600) // 60, abs(diff) % 60) AS x_timediff
+        |    printf('%02d:%02d:%02d', LEAST(abs(diff), 3020399) // 3600,
+        |      (LEAST(abs(diff), 3020399) % 3600) // 60,
+        |      LEAST(abs(diff), 3020399) % 60) AS x_timediff
         |FROM (SELECT *, CAST(epoch(o_orderdate) AS BIGINT)
         |               - CAST(epoch(TIMESTAMP '1996-12-31 06:30:15') AS BIGINT) AS diff
         |      FROM orders WHERE o_orderkey < 500) t

@@ -57,6 +57,8 @@ object GraftSession {
   def get(cores: String = "32"): SparkSession = {
     val s = builder(cores).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // per-query stats ring (queryStats-table analog; plans/QueryStats)
+    graft.plans.QueryStats.install(s)
     s
   }
 }

@@ -37,7 +37,7 @@ import org.apache.spark.sql.functions._
   * the reference's block-level CoW provides — and the predicate-pushed
   * "which files match" scan reads only row-group stats for most files.
   */
-final class VersionedTable private (val location: String, spark: SparkSession) {
+final class VersionedTable private (val location: String, val spark: SparkSession) {
 
   private val fs: FileSystem =
     new HPath(location).getFileSystem(spark.sparkContext.hadoopConfiguration)

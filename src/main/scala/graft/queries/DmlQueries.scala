@@ -1,0 +1,90 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.dml.{IncrementalRollup, VersionedTable}
+
+/** DML + incremental-maintenance as ORACLE-CHECKED queries: each entry
+  * builds a scratch VersionedTable from the immutable testdata, drives
+  * a deterministic transaction mix through the engine's DML/CDC path,
+  * and returns state DuckDB re-derives from first principles over the
+  * SAME parquet — a hash match certifies insert/delete/update/merge
+  * semantics AND (for the rollup) that CDC-incremental == from-scratch.
+  * (Previously this family was ScalaTest-only: DmlSpec.) */
+object DmlQueries {
+  import Q._
+
+  val queries: Map[String, QFn] = Map(
+    // CoW DML mix + incremental rollup maintenance. The view refreshes
+    // from version deltas after EVERY transaction; the oracle computes
+    // the final rollup directly — equality proves the deltas composed.
+    "q_rollup_incremental" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft_rollup_q").toString
+      val base = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity"))
+      val vt = VersionedTable.create(s, s"$root/table", base)
+      val view = IncrementalRollup.create(vt, s"$root/view",
+        Seq("l_returnflag"), Seq("l_quantity"))
+      vt.insert(base.where(col("l_orderkey") % 7 === 0)
+        .withColumn("l_quantity", col("l_quantity") + 1))
+      view.refresh()
+      vt.delete(col("l_orderkey") % 5 === 0)
+      view.refresh()
+      vt.update(col("l_orderkey") % 3 === 1,
+        Map("l_quantity" -> (col("l_quantity") * 2)))
+      view.refresh()
+      view.read()
+        .select(col("l_returnflag"), col("_cnt").as("n"),
+          col("_sum_l_quantity").cast("double").as("sum_qty"),
+          round(col("_avg_l_quantity"), 6).as("avg_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Key-upsert MERGE: overlap takes source values, new keys insert.
+    "q_dml_merge" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft_merge_q").toString
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val vt = VersionedTable.create(s, s"$root/table",
+        orders.where(col("o_orderkey") < 2000))
+      vt.merge(orders.where(col("o_orderkey") >= 1000 && col("o_orderkey") < 3000)
+        .withColumn("o_totalprice", col("o_totalprice") + 1), "o_orderkey")
+      vt.read()
+        .groupBy((col("o_orderkey") % 10).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          d(sum(dec(col("o_totalprice")))).as("price_sum"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy(col("bucket"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q_rollup_incremental" ->
+      """WITH with_ins AS (
+        |  SELECT l_orderkey, l_returnflag, l_quantity FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_returnflag, l_quantity + 1 FROM lineitem
+        |  WHERE l_orderkey % 7 = 0),
+        |after_del AS (
+        |  SELECT * FROM with_ins WHERE l_orderkey % 5 <> 0),
+        |after_upd AS (
+        |  SELECT l_orderkey, l_returnflag,
+        |    CASE WHEN l_orderkey % 3 = 1 THEN l_quantity * 2
+        |         ELSE l_quantity END AS q
+        |  FROM after_del)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(q AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  ROUND(CAST(SUM(CAST(q AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty
+        |FROM after_upd GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_dml_merge" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1 AS price
+        |  FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey < 1000)
+        |SELECT CAST(o_orderkey % 10 AS INT) AS bucket, COUNT(*) AS n,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM merged GROUP BY 1 ORDER BY bucket""".stripMargin)
+}

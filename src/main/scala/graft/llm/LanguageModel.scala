@@ -113,6 +113,59 @@ object LanguageModel {
     * partial-aggregable) and the per-doc scoring join; unigram counts
     * and |V| ride the token pass [[crossEntropy]] already needs.
     * Output (id, n_bigrams, xent_bi) on the round-6 grid. */
+  /** Interpolated TRIGRAM cross-entropy — the next KenLM-gate rung
+    * after [[bigramCrossEntropy]] (Jelinek-Mercer interpolation, the
+    * published fixed-weight variant):
+    *
+    *   p(c | a,b) = λ3·c(abc)/c(ab) + λ2·c(bc)/c(b) + λ1·(c(c)+1)/(N+V)
+    *
+    * Scoring corpus = training corpus, so every numerator is ≥ 1 and
+    * the model needs no backoff machinery; the add-one unigram floor
+    * keeps p < 1 strictly positive. Three count tables fall out of the
+    * same token pass (unigram, bigram, trigram — each one
+    * partial-aggregable shuffle); scoring joins each trigram to its
+    * three contexts and folds −Σ ln p / n per document. Output
+    * (id, n_trigrams, xent_tri) rounded to 6 dp. */
+  def trigramCrossEntropy(docs: DataFrame,
+      id: String = "doc_id", text: String = "text",
+      l3: Double = 0.6, l2: Double = 0.3, l1: Double = 0.1): DataFrame = {
+    val ts = TextAnalysis.tokens(lower(col(text)))
+    val base = docs.select(col(id).as("_id"), ts.as("_ts"))
+    val tri = base.filter(size(col("_ts")) >= 3)
+      .select(col("_id"), explode(transform(sequence(lit(0), size(col("_ts")) - 3),
+        i => struct(col("_ts").getItem(i).as("a"),
+          col("_ts").getItem(i + 1).as("b"),
+          col("_ts").getItem(i + 2).as("c")))).as("_g"))
+      .select(col("_id"), col("_g.a").as("_a"), col("_g.b").as("_b"),
+        col("_g.c").as("_c"))
+    val bi = base.filter(size(col("_ts")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("_ts")) - 2),
+        i => struct(col("_ts").getItem(i).as("p"),
+          col("_ts").getItem(i + 1).as("c")))).as("_g"))
+      .select(col("_g.p").as("_p"), col("_g.c").as("_q"))
+    val c3 = tri.groupBy(col("_a"), col("_b"), col("_c")).agg(count(lit(1)).as("_c3"))
+    val c2 = bi.groupBy(col("_p"), col("_q")).agg(count(lit(1)).as("_c2"))
+    val cu = toks(docs, id, text).groupBy(col("_t")).agg(count(lit(1)).as("_cu"))
+    val nv = cu.agg(sum(col("_cu")).as("_n"), count(lit(1)).as("_v"))
+    val p =
+      lit(l3) * col("_c3") / col("_cab") +
+        lit(l2) * col("_cbc") / col("_cb") +
+        lit(l1) * (col("_cuc") + 1.0) / (col("_n") + col("_v"))
+    tri
+      .join(c3, Seq("_a", "_b", "_c"))
+      .join(c2.select(col("_p").as("_a"), col("_q").as("_b"), col("_c2").as("_cab")),
+        Seq("_a", "_b"))
+      .join(c2.select(col("_p").as("_b"), col("_q").as("_c"), col("_c2").as("_cbc")),
+        Seq("_b", "_c"))
+      .join(cu.select(col("_t").as("_b"), col("_cu").as("_cb")), "_b")
+      .join(cu.select(col("_t").as("_c"), col("_cu").as("_cuc")), "_c")
+      .crossJoin(broadcast(nv))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(-sum(log(p)) / count(lit(1)), 6).as("xent_tri"))
+      .select(col("_id").as(id), col("n_trigrams"), col("xent_tri"))
+  }
+
   def bigramCrossEntropy(docs: DataFrame,
       id: String = "doc_id", text: String = "text"): DataFrame = {
     val ts = TextAnalysis.tokens(lower(col(text)))

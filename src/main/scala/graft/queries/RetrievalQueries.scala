@@ -86,6 +86,10 @@ object RetrievalQueries {
       LanguageModel.bigramCrossEntropy(t(s, dir, "documents"))
         .orderBy(col("doc_id"))
     }),
+    "q_lm_trigram" -> ((s, dir) => {
+      LanguageModel.trigramCrossEntropy(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
     "q_dedup_lines" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), lined.as("text"))
       Dedup.dedupLines(docs)
@@ -224,6 +228,39 @@ object RetrievalQueries {
         |  round(sum(ln(cu.cu + v.v) - ln(cb.cb + 1.0)) / count(*), 6) AS xent_bi
         |FROM bf JOIN cb USING (p, c) JOIN cu ON bf.p = cu.t CROSS JOIN v
         |GROUP BY bf.doc_id ORDER BY bf.doc_id""".stripMargin,
+    // count CTEs are MATERIALIZED: without it DuckDB re-inlines each
+    // c2/cu reference back to its explode chain and the join-order
+    // search over the inlined tree goes pathological (minutes at
+    // sf0.001; 0.85 s materialized — measured)
+    "q_lm_trigram" ->
+      s"""WITH base AS MATERIALIZED (
+        |  SELECT doc_id, $toksSql AS ts FROM documents),
+        |tri AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+        |    i -> {'a': ts[i], 'b': ts[i+1], 'c': ts[i+2]})) AS g
+        |  FROM base WHERE len(ts) >= 3),
+        |tf AS MATERIALIZED (SELECT doc_id, g.a AS a, g.b AS b, g.c AS c FROM tri),
+        |c3 AS MATERIALIZED (SELECT a, b, c, count(*) AS c3 FROM tf GROUP BY a, b, c),
+        |bi AS (
+        |  SELECT unnest(list_transform(range(1, len(ts)),
+        |    i -> {'p': ts[i], 'q': ts[i+1]})) AS g
+        |  FROM base WHERE len(ts) >= 2),
+        |bf AS (SELECT g.p AS p, g.q AS q FROM bi),
+        |c2 AS MATERIALIZED (SELECT p, q, count(*) AS c2 FROM bf GROUP BY p, q),
+        |toks AS (SELECT unnest(ts) AS t FROM base),
+        |cu AS MATERIALIZED (SELECT t, count(*) AS cu FROM toks GROUP BY t),
+        |nv AS MATERIALIZED (SELECT sum(cu) AS n, count(*) AS v FROM cu)
+        |SELECT tf.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |  round(-sum(ln(0.6 * c3.c3 / cab.c2 + 0.3 * cbc.c2 / cb.cu
+        |    + 0.1 * (cuc.cu + 1.0) / (nv.n + nv.v))) / count(*), 6) AS xent_tri
+        |FROM tf
+        |JOIN c3 USING (a, b, c)
+        |JOIN c2 cab ON tf.a = cab.p AND tf.b = cab.q
+        |JOIN c2 cbc ON tf.b = cbc.p AND tf.c = cbc.q
+        |JOIN cu cb ON tf.b = cb.t
+        |JOIN cu cuc ON tf.c = cuc.t
+        |CROSS JOIN nv
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
     "q_source_kl" ->
       s"""WITH toks AS (
         |  SELECT source, unnest($toksSql) AS t FROM documents),

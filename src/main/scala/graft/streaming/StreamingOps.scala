@@ -256,6 +256,41 @@ object StreamingOps {
       .start()
       .awaitTermination()
 
+  /** Streaming ingest with a LIVE rollup: each micro-batch merges into
+    * the versioned table ([[upsertStream]] semantics), then the
+    * incremental rollup folds exactly that batch's CDC delta — so the
+    * materialized aggregate is current after every transaction without
+    * ever rescanning the table. This is the composed shape a 100 TB
+    * ingestion pipeline runs continuously: corpus-sized state only on
+    * disk, per-batch work proportional to the batch.
+    * AvailableNow + checkpoint: re-running after a crash replays only
+    * unprocessed batches; an already-merged batch re-merges
+    * idempotently (key upsert) and the rollup refresh is a no-op when
+    * the table version hasn't moved. */
+  def upsertStreamWithRollup(docs: DataFrame, table: graft.dml.VersionedTable,
+      key: String, rollup: graft.dml.IncrementalRollup,
+      checkpoint: String, maxRetries: Int = 5): Unit =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          var attempt = 0
+          var done = false
+          while (!done) {
+            try { table.merge(batch, key); done = true }
+            catch { case e: graft.dml.ConcurrentWriteException =>
+              attempt += 1
+              if (attempt > maxRetries) throw e
+            }
+          }
+          rollup.refresh()
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
   /** Stream-STREAM click attribution: join the click stream to the
     * impression stream within an attribution horizon
     * (imp_ts ≤ click_ts ≤ imp_ts + horizon), both sides watermarked.

@@ -234,6 +234,38 @@ class StreamingSpec extends SparkSpec {
       == "new_3")
   }
 
+  test("streaming upsert keeps a live rollup current per batch, and crash-replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_stream_rollup").toString
+    val ckpt = s"$root/ckpt"
+    val t = graft.dml.VersionedTable.create(spark, s"$root/table",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "grp", "v"))
+    val view = graft.dml.IncrementalRollup.create(t, s"$root/view",
+      Seq("grp"), Seq("v"))
+    def state(): Map[String, (Long, Double)] =
+      view.read().collect()
+        .map(r => r.getString(0) ->
+          (r.getAs[Long]("_cnt"),
+            r.getAs[java.math.BigDecimal]("_sum_v").doubleValue)).toMap
+    val input = MemoryStream[(Long, String, Double)]
+    // batch 1: update id=2 (b: 20→5), insert id=3 (a += 7)
+    input.addData((2L, "b", 5.0), (3L, "a", 7.0))
+    StreamingOps.upsertStreamWithRollup(
+      input.toDF().toDF("id", "grp", "v"), t, "id", view, ckpt)
+    assert(view.baseVersion == t.currentVersion)
+    assert(state() == Map("a" -> (2L, 17.0), "b" -> (1L, 5.0)))
+    // drained checkpoint: replay commits nothing, rollup untouched
+    val v1 = t.currentVersion
+    StreamingOps.upsertStreamWithRollup(
+      input.toDF().toDF("id", "grp", "v"), t, "id", view, ckpt)
+    assert(t.currentVersion == v1 && state()("a") == (2L, 17.0))
+    // batch 2 folds in as one more delta
+    input.addData((1L, "a", 100.0))
+    StreamingOps.upsertStreamWithRollup(
+      input.toDF().toDF("id", "grp", "v"), t, "id", view, ckpt)
+    assert(state() == Map("a" -> (2L, 107.0), "b" -> (1L, 5.0)))
+  }
+
   test("stream-stream attribution: clicks join impressions within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val imps = MemoryStream[Event]

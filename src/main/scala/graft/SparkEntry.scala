@@ -30,7 +30,8 @@ object SparkEntry {
     RetrievalQueries.queries, ClusterQueries.queries, EventQueries.queries,
     RecursiveQueries.queries, RelExtraQueries.queries, ResampleQueries.queries,
     TypeMatrixQueries.queries, GraphQueries.queries, FuzzyQueries.queries,
-    CatalogQueries.queries, ExtractionQueries.queries, DmlQueries.queries)
+    CatalogQueries.queries, ExtractionQueries.queries, DmlQueries.queries,
+    SsbQueries.queries)
 
   private def oracleModules: Seq[Map[String, String]] = Seq(
     CoreQueries.oracle, WindowQueries.oracle, Dbt3Queries.oracle,
@@ -41,7 +42,8 @@ object SparkEntry {
     RetrievalQueries.oracle, ClusterQueries.oracle, EventQueries.oracle,
     RecursiveQueries.oracle, RelExtraQueries.oracle, ResampleQueries.oracle,
     TypeMatrixQueries.oracle, GraphQueries.oracle, FuzzyQueries.oracle,
-    CatalogQueries.oracle, ExtractionQueries.oracle, DmlQueries.oracle)
+    CatalogQueries.oracle, ExtractionQueries.oracle, DmlQueries.oracle,
+    SsbQueries.oracle)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     queryModules.iterator.flatten.toMap

@@ -63,6 +63,18 @@ object TextExtraction {
     regexp_replace(apos, "&amp;", "&")
   }
 
+  /** Accent/diacritic stripping — the text-normalization sibling of
+    * [[decodeEntities]] (search keys, dedup keys and langid features
+    * usually fold diacritics). Spelled as NFD + drop-combining-marks
+    * (`\p{Mn}`), which is exactly the semantics DuckDB's independent
+    * `strip_accents` implements (verified: precomposed letters with a
+    * combining decomposition fold — café→cafe, ḡ→g — while atomic
+    * letters like ø and ł survive). Both stages are codegen'd
+    * (`unicode_normalize` is the engine's native kernel). */
+  def stripAccents(c: Column): Column =
+    regexp_replace(call_function("unicode_normalize", c, lit("NFD")),
+      "\\p{Mn}", "")
+
   /** Extracted-text yield audit: how much of the raw byte volume
     * survives extraction, per row. The standard corpus-triage signal
     * (boilerplate-heavy hosts yield near 0). */

@@ -83,7 +83,22 @@ object ExtractionQueries {
           // floor-grid the ratio: both engines divide exact ints, grid
           // kills any last-ulp double divergence
           floor(TextExtraction.extractionYield(mintSpark) * 10000)
-            .cast("long").as("yield_bp"))))
+            .cast("long").as("yield_bp"))),
+
+    // Accent folding vs DuckDB's INDEPENDENT strip_accents: mint
+    // diacritics by letter translation (all chosen letters carry
+    // combining-mark decompositions), strip, md5-compare. Stripping
+    // the minted text restores the original — len equality pins that.
+    "q_fn_accents" -> ((s, dir) => {
+      val minted = translate(col("text"), "aeiounc", "áèïôůñç")
+      Q.t(s, dir, "documents")
+        .where(col("doc_id") < 400)
+        .select(col("doc_id"),
+          md5(minted).as("minted_md5"),
+          md5(TextExtraction.stripAccents(minted)).as("strip_md5"),
+          (length(TextExtraction.stripAccents(minted)) === length(col("text")))
+            .as("len_roundtrip"))
+    }))
 
   def oracle: Map[String, String] = {
     val stripped = stripDuck(mintDuck("text"))
@@ -92,6 +107,13 @@ object ExtractionQueries {
         s"""SELECT doc_id, md5($stripped) AS clean_md5,
            |  CAST(length($stripped) AS BIGINT) AS clean_len
            |FROM documents WHERE doc_id < 400""".stripMargin,
+      "q_fn_accents" ->
+        """SELECT doc_id,
+          |  md5(translate(text, 'aeiounc', 'áèïôůñç')) AS minted_md5,
+          |  md5(strip_accents(translate(text, 'aeiounc', 'áèïôůñç'))) AS strip_md5,
+          |  length(strip_accents(translate(text, 'aeiounc', 'áèïôůñç')))
+          |    = length(text) AS len_roundtrip
+          |FROM documents WHERE doc_id < 400""".stripMargin,
       "q_extract_yield" ->
         s"""SELECT doc_id,
            |  CAST(floor(CASE WHEN length(${mintDuck("text")}) > 0

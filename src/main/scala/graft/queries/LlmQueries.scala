@@ -321,6 +321,20 @@ object LlmQueries {
           col("frame_idx").cast("int").as("frame_idx"))
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
+    "q_mm_probe" -> ((s, dir) => {
+      // REAL container headers (PNG IHDR / RIFF-WAVE fmt) are minted
+      // onto the payloads, then re-parsed by the pure-hex probe; the
+      // oracle is ground truth BY CONSTRUCTION (the doc_id arithmetic
+      // the mint used), so a hash match proves the BE/LE byte
+      // round-trip, not just self-consistency.
+      val media = Multimodal.mintHeaders(
+        Multimodal.attachPayload(t(s, dir, "documents").where(col("doc_id") < 600)))
+      media.select(col("doc_id"), Multimodal.probeHeader(col("payload")).as("p"))
+        .select(col("doc_id"), col("p.sniffed").as("sniffed"),
+          col("p.width").as("width"), col("p.height").as("height"),
+          col("p.sample_rate").as("sample_rate"), col("p.channels").as("channels"))
+        .orderBy(col("doc_id"))
+    }),
     "q_mm_features" -> ((s, dir) => {
       // Oracle-checked: the stub "decoder" is a byte histogram over
       // the UTF-8 payload, which DuckDB reproduces byte-for-byte from
@@ -854,6 +868,15 @@ object LlmQueries {
         |      ORDER BY list_cosine_similarity(corp.v, q.qv) DESC, cand.vec_id) AS rnk
         |  FROM cand JOIN corp ON cand.vec_id = corp.vec_id JOIN q ON cand.qid = q.qid) t
         |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+    "q_mm_probe" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 2 THEN 'wav'
+        |       ELSE 'unknown' END AS sniffed,
+        |  CASE WHEN doc_id % 4 = 0 THEN CAST(doc_id % 8 * 160 + 320 AS BIGINT) END AS width,
+        |  CASE WHEN doc_id % 4 = 0 THEN CAST(doc_id % 8 * 90 + 180 AS BIGINT) END AS height,
+        |  CASE WHEN doc_id % 4 = 2 THEN CAST((doc_id % 6 + 1) * 8000 AS BIGINT) END AS sample_rate,
+        |  CASE WHEN doc_id % 4 = 2 THEN CAST(doc_id % 2 + 1 AS BIGINT) END AS channels
+        |FROM documents WHERE doc_id < 600 ORDER BY doc_id""".stripMargin,
     "q_mm_frames" ->
       """SELECT doc_id, n_frames, CAST(f AS INT) AS frame_idx
         |FROM (SELECT doc_id, CAST(doc_id % 30 + 1 AS INT) AS n_frames,

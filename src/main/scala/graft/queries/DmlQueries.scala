@@ -21,6 +21,8 @@ object DmlQueries {
     "q_rollup_incremental" -> ((s, dir) => {
       val root = Files.createTempDirectory("graft_rollup_q").toString
       val base = t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 4 === 1) // deterministic quarter —
+        // same DML/CDC semantics, a quarter of the CoW rewrite volume
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_returnflag"), col("l_quantity"))
       val vt = VersionedTable.create(s, s"$root/table", base)
@@ -60,10 +62,12 @@ object DmlQueries {
 
   val oracle: Map[String, String] = Map(
     "q_rollup_incremental" ->
-      """WITH with_ins AS (
-        |  SELECT l_orderkey, l_returnflag, l_quantity FROM lineitem
+      """WITH li AS (
+        |  SELECT * FROM lineitem WHERE l_orderkey % 4 = 1),
+        |with_ins AS (
+        |  SELECT l_orderkey, l_returnflag, l_quantity FROM li
         |  UNION ALL
-        |  SELECT l_orderkey, l_returnflag, l_quantity + 1 FROM lineitem
+        |  SELECT l_orderkey, l_returnflag, l_quantity + 1 FROM li
         |  WHERE l_orderkey % 7 = 0),
         |after_del AS (
         |  SELECT * FROM with_ins WHERE l_orderkey % 5 <> 0),

@@ -156,6 +156,41 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
   def registerViews(): Unit =
     listTables().foreach(t => load(t).createOrReplaceTempView(t))
 
+  // ---- persisted SQL views (the reference supports views through the
+  // MariaDB front end — view text stored in the .frm/catalog, expanded
+  // at parse time; ha_mcs handles the expanded plan). Same model here:
+  // the catalog persists the TEXT; `loadView` re-parses it against the
+  // catalog's current tables, so views track schema evolution and
+  // Catalyst optimizes THROUGH them (predicate pushdown into the
+  // underlying scans — views are never materialized). ----
+
+  private def viewFile(name: String): HPath = new HPath(metaDir, s"$name.view")
+
+  def createView(name: String, sql: String): Unit = {
+    require(!listTables().contains(name), s"view $name collides with a table")
+    // validate eagerly against current tables — a typo fails at CREATE,
+    // not first use (the reference parses view DDL the same way)
+    registerViews()
+    spark.sql(sql).schema
+    writeString(viewFile(name), sql)
+  }
+
+  def listViews(): Seq[String] =
+    if (!fs.exists(metaDir)) Seq.empty
+    else fs.listStatus(metaDir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".view")).map(_.stripSuffix(".view")).sorted
+
+  def viewSql(name: String): String = readString(viewFile(name))
+
+  def dropView(name: String): Unit = fs.delete(viewFile(name), false)
+
+  /** Parse the stored text against the catalog's CURRENT tables (and
+    * any other registered views of this session). */
+  def loadView(name: String): DataFrame = {
+    registerViews()
+    spark.sql(viewSql(name))
+  }
+
   // ---- partition management (ref dbcon/mysql/ha_mcs_partition.cpp:
   // 484-575 — enable/disable/drop partition; a disabled partition's
   // data stays on disk but is excluded from scans) ----

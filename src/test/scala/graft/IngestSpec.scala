@@ -137,6 +137,46 @@ class IngestSpec extends SparkSpec {
     intercept[IllegalArgumentException](cat.dropColumn("ev", "nope"))
   }
 
+  test("persisted views: text stored in the catalog, re-parsed at load, track evolution") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_views").toString
+    val cat = new Catalog(wh, spark)
+    cat.createTable("vt", "id BIGINT, grp VARCHAR(10), v DOUBLE")
+    (1L to 6L).map(i => (i, if (i % 2 == 0) "even" else "odd", i * 1.0))
+      .toDF("id", "grp", "v")
+      .write.mode("append").parquet(cat.tableLocation("vt"))
+
+    cat.createView("v_sums",
+      "SELECT grp, count(*) AS n, sum(v) AS total FROM vt GROUP BY grp")
+    assert(cat.listViews() == Seq("v_sums"))
+    val r = cat.loadView("v_sums").collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r == Map("even" -> (3L, 12.0), "odd" -> (3L, 9.0)))
+
+    // views are text: new data flows through without re-creation
+    Seq((7L, "odd", 10.0)).toDF("id", "grp", "v")
+      .write.mode("append").parquet(cat.tableLocation("vt"))
+    assert(cat.loadView("v_sums").where($"grp" === "odd")
+      .select("total").as[Double].head() == 19.0)
+
+    // schema evolution flows through too (SELECT-list views)
+    cat.addColumn("vt", "w DOUBLE")
+    assert(cat.loadView("v_sums").count() == 2)
+
+    // CREATE eagerly validates; name collisions with tables rejected
+    intercept[Exception](cat.createView("v_bad", "SELECT nope FROM vt"))
+    intercept[IllegalArgumentException](
+      cat.createView("vt", "SELECT 1 AS one"))
+    // pushdown reaches the base scan THROUGH the view
+    cat.createView("v_filter", "SELECT id, v FROM vt WHERE id > 3")
+    val plan = cat.loadView("v_filter").where($"id" < 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id,3)"),
+      s"expected pushed view predicate in:\n$plan")
+    cat.dropView("v_filter")
+    assert(cat.listViews() == Seq("v_sums"))
+  }
+
   test("csv import round trip: query over imported table matches parquet original") {
     val wh = Files.createTempDirectory("graft_wh").toString
     val csvDir = Files.createTempDirectory("graft_csv").toString

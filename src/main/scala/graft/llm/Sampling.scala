@@ -124,6 +124,42 @@ object Sampling {
     * byte-identical (order is a pure function of keys), and raising
     * the budget only ADDS documents — nested samples, the same
     * property as `uniformSample`'s threshold monotonicity. */
+  /** Deterministic weighted sampling WITHOUT replacement — the
+    * Efraimidis–Spirakis reservoir rule (key = u^(1/w), keep the
+    * top-k keys), with the uniform u derived from md5 like every
+    * sampler here, so the draw is a pure function of (id, salt):
+    * reproducible across runs, partitionings and engines.
+    *
+    *   u_i ∈ (0,1]  = (h_i + 1) / 2^52,  h_i = first 13 md5 hex chars
+    *   rank by ln(u_i)/w_i DESC (monotone in u^(1/w); id tie-break)
+    *
+    * Heavier rows draw proportionally more often (P(i in sample)
+    * approaches k·w_i/Σw for small k) — the published rule for
+    * quality- or length-weighted corpus subsetting.
+    *
+    * Scale shape: one codegen'd key projection on the scan + one
+    * bounded per-group window (rows ≤ k ship per group after the
+    * partial top-k; swap in `top_k_per_group` for the heap-aggregate
+    * formulation when groups are few and huge). Zero weight → key
+    * -inf: never sampled while any positive-weight row remains. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, groupCols: Seq[String] = Nil, salt: String = ""): DataFrame = {
+    val h = conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))),
+      1, 13), 16, 10).cast("long")
+    val u = (h + 1).cast("double") / lit(4503599627370496.0) // 2^52
+    // explicit -inf for non-positive weights (ANSI mode errors on /0)
+    val key = when(col(weightCol) > 0,
+      log(u) / col(weightCol).cast("double"))
+      .otherwise(lit(Double.NegativeInfinity))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(key.desc, col(idCol))
+    df.withColumn("_es_key", key)
+      .withColumn("_es_rank", row_number().over(w))
+      .filter(col("_es_rank") <= k)
+      .drop("_es_key", "_es_rank")
+  }
+
   def tokenBudgetSample(df: DataFrame, stratumCol: String, keyCol: String,
       budgetTokens: Long, text: String = "text", salt: String = ""): DataFrame = {
     require(budgetTokens >= 0, "budget must be non-negative")

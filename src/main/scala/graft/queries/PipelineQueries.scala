@@ -153,6 +153,16 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
     }),
+    "q_sample_weighted" -> ((s, dir) => {
+      // Efraimidis–Spirakis weighted draw: 15 docs per source, drawn
+      // ∝ n_chars; the md5-derived u makes the draw a pure function
+      // of doc_id, replayed term for term by the oracle
+      Sampling.weightedSample(
+        t(s, dir, "documents").where(col("n_chars") > 0),
+        "doc_id", "n_chars", k = 15, groupCols = Seq("source"))
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
     "q_sample_strat" -> ((s, dir) => {
       // exactly ceil(0.25·|stratum|) docs per source (0.25 is exact in
       // binary, so ceil(0.25·n) can't straddle an FP boundary between
@@ -439,6 +449,18 @@ object PipelineQueries {
       s"""SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5(doc_id::VARCHAR), 1, 8) < '${Sampling.hexThreshold(0.1)}'
         |ORDER BY doc_id""".stripMargin,
+    "q_sample_weighted" ->
+      """WITH keyed AS (
+        |  SELECT source, doc_id, n_chars,
+        |    ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) + 1)
+        |        / 4503599627370496.0) / CAST(n_chars AS DOUBLE) AS k
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rn
+        |  FROM keyed)
+        |SELECT source, doc_id, n_chars FROM r WHERE rn <= 15
+        |ORDER BY source, doc_id""".stripMargin,
     "q_sample_strat" ->
       """SELECT source, doc_id FROM (
         |  SELECT source, doc_id,

@@ -102,6 +102,34 @@ class PipelineSpec extends SparkSpec {
     assert(overlap > 0.1 && overlap < 0.4)
   }
 
+  test("weightedSample: deterministic, bounded per group, weight-proportional across salts") {
+    val df = (1 to 40).map(i => (i.toLong, if (i <= 20) 1.0 else 10.0, "g"))
+      .toDF("id", "w", "grp")
+    val a = Sampling.weightedSample(df, "id", "w", k = 5, Seq("grp"))
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.weightedSample(df, "id", "w", k = 5, Seq("grp"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b && a.size == 5, "pure function of (id, salt)")
+    // per-group bound holds with several groups
+    val multi = df.withColumn("grp",
+      when(col("id") % 2 === 0, "even").otherwise("odd"))
+    val counts = Sampling.weightedSample(multi, "id", "w", k = 3, Seq("grp"))
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ == 3))
+    // ES proportionality: over many salts, 10x-weighted ids take most
+    // of the k slots (E[share] -> k*w_i/SUM(w) as draws repeat)
+    val heavyShare = (1 to 30).map { s =>
+      Sampling.weightedSample(df, "id", "w", k = 5, Seq("grp"), salt = s"s$s")
+        .where(col("id") > 20).count()
+    }.sum
+    assert(heavyShare > 30 * 5 * 0.7,
+      s"heavy rows took $heavyShare of ${30 * 5} slots")
+    // zero weight never drawn while positive-weight rows remain
+    val withZero = df.withColumn("w", when(col("id") === 1, 0.0).otherwise(col("w")))
+    assert(!Sampling.weightedSample(withZero, "id", "w", k = 39, Seq("grp"))
+      .select("id").as[Long].collect().contains(1L))
+  }
+
   test("tokenBudgetSample: sums fit the budget, samples nest as budget grows") {
     val docs = Tables.t(spark, sfDir, "documents")
     def sample(b: Long) = Sampling.tokenBudgetSample(docs, "source", "doc_id", b)

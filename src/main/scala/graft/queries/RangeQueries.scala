@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.RangeJoin
+import graft.operators.{IntervalJoin, RangeJoin}
 
 /** Range-join query: clicks landing inside a ±5-minute window around
   * each purchase by the same user. The Spark side runs the bucketed
@@ -26,6 +26,23 @@ object RangeQueries {
         .groupBy(col("user_id"), col("p_id"))
         .agg(count(lit(1)).as("n_clicks"), min(col("click_id")).as("first_click"))
         .orderBy(col("user_id"), col("p_id"))
+    }),
+    "q_interval_join" -> ((s, dir) => {
+      // interval-OVERLAP self join: per-user activity spans
+      // [ts, ts + (event_id%7+1) min]; pairs of overlapping spans.
+      // Oracle is the raw inequality join — hash match proves the
+      // bucketed plan loses and duplicates nothing.
+      val iv = t(s, dir, "events").filter(col("event_id") < 3000)
+        .select(col("event_id"), col("user_id"), col("ts").as("s"),
+          expr("timestampadd(MINUTE, cast(event_id % 7 + 1 AS INT), ts)").as("e"))
+      IntervalJoin.overlap(iv, iv, key = "user_id", start = "s", end = "e",
+          bucketSeconds = 240)
+        .where(col("l_event_id") < col("r_event_id"))
+        .select(col("l_event_id"), col("r_event_id"),
+          col("l_user_id").as("user_id"),
+          (unix_timestamp(least(col("l_e"), col("r_e"))) -
+            unix_timestamp(greatest(col("l_s"), col("r_s")))).as("overlap_s"))
+        .orderBy(col("l_event_id"), col("r_event_id"))
     })
   )
 
@@ -43,6 +60,19 @@ object RangeQueries {
         |FROM clicks c JOIN windows w
         |  ON c.user_id = w.user_id AND c.ts >= w.w_start AND c.ts < w.w_end
         |GROUP BY c.user_id, w.p_id
-        |ORDER BY c.user_id, w.p_id""".stripMargin
+        |ORDER BY c.user_id, w.p_id""".stripMargin,
+    "q_interval_join" ->
+      """WITH iv AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS s,
+        |    CAST(ts AS TIMESTAMP) + ((event_id % 7 + 1) * INTERVAL 1 MINUTE) AS e
+        |  FROM events WHERE event_id < 3000)
+        |SELECT a.event_id AS l_event_id, b.event_id AS r_event_id,
+        |  a.user_id AS user_id,
+        |  CAST(floor(epoch(least(a.e, b.e))) - floor(epoch(greatest(a.s, b.s)))
+        |    AS BIGINT) AS overlap_s
+        |FROM iv a JOIN iv b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND a.s <= b.e AND b.s <= a.e
+        |ORDER BY l_event_id, r_event_id""".stripMargin
   )
 }

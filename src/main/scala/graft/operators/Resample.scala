@@ -59,13 +59,18 @@ object Resample {
       value: String, pos: Column): DataFrame = {
     val back = Window.partitionBy(col(key)).orderBy(col(time))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = Window.partitionBy(col(key)).orderBy(col(time))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // forward carry as the RUNNING frame of the reverse order: a
+    // (current → unbounded following) frame is O(n²) per partition in
+    // Spark's evaluator (recomputed per row); the reversed running
+    // frame is O(n). Grid times are unique per key, so the reversed
+    // sort is a true mirror. Same partitioning — still one shuffle.
+    val fwdRev = Window.partitionBy(col(key)).orderBy(col(time).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val obsPos = when(col(value).isNotNull, pos)
     val vp = last(col(value), ignoreNulls = true).over(back)
     val pp = last(obsPos, ignoreNulls = true).over(back)
-    val vn = first(col(value), ignoreNulls = true).over(fwd)
-    val pn = first(obsPos, ignoreNulls = true).over(fwd)
+    val vn = last(col(value), ignoreNulls = true).over(fwdRev)
+    val pn = last(obsPos, ignoreNulls = true).over(fwdRev)
     grid.withColumn(value,
       when(col(value).isNotNull, col(value))
         .when(vn.isNull, vp)

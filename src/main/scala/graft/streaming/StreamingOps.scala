@@ -151,6 +151,64 @@ object StreamingOps {
       }
   }
 
+  final case class LocfState(lastTick: Long, lastValue: Double)
+  final case class Tick(user_id: Long, tick_ts: java.sql.Timestamp,
+      value: Double, observed: Boolean)
+
+  /** Streaming LOCF gap-fill — the streaming twin of
+    * `operators/Resample.{timeGrid,fillForward}`: every key emits a
+    * dense `stepMs` grid of ticks, observed readings pass through and
+    * gaps carry the last observation forward, continuously as events
+    * arrive (the metrics/telemetry downsampling shape).
+    *
+    * State per key is TWO scalars (last emitted tick, last value) —
+    * O(keys), independent of stream age; the grid never materializes
+    * anywhere. Within a micro-batch events sort by (ts, event_id);
+    * an event older than the key's last emitted tick is late beyond
+    * repair and is dropped (the batch resampler owns backfills, the
+    * same batch/stream split as dedupStream). Gap width is capped by
+    * `maxTicksPerGap` (a dead key returning after a month must not
+    * emit 40k ticks in one batch — the cap jumps the grid forward
+    * and the audit column marks the discontinuity). */
+  def locfStream(spark: SparkSession, events: Dataset[Event],
+      stepMs: Long, maxTicksPerGap: Int = 1000): Dataset[Tick] = {
+    import spark.implicits._
+    def floorTick(t: Long): Long = Math.floorDiv(t, stepMs) * stepMs
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LocfState, Tick](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[LocfState]) =>
+          var st = state.getOption.getOrElse(LocfState(Long.MinValue, Double.NaN))
+          val out = Seq.newBuilder[Tick]
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val tick = floorTick(e.ts.getTime)
+            // first-in-tick wins: an Append sink can't retract an
+            // emitted tick, so the carried value matches what was
+            // emitted; later same-tick events are ignored
+            if (tick > st.lastTick) {
+              if (st.lastTick != Long.MinValue) {
+                // fill the gap with carried values (capped)
+                val gapTicks = (tick - st.lastTick) / stepMs - 1
+                val from =
+                  if (gapTicks > maxTicksPerGap) tick - maxTicksPerGap * stepMs
+                  else st.lastTick + stepMs
+                var t = from
+                while (t < tick) {
+                  out += Tick(uid, new java.sql.Timestamp(t), st.lastValue,
+                    observed = false)
+                  t += stepMs
+                }
+              }
+              out += Tick(uid, new java.sql.Timestamp(tick), e.value,
+                observed = true)
+              st = LocfState(tick, e.value)
+            } // else: same tick or late beyond the grid — dropped
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
 
   /** Streaming EXACT dedup with bounded state: the first occurrence

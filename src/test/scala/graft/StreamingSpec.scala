@@ -31,6 +31,43 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq(("click", 2L, 3.0), ("view", 1L, 3.0), ("click", 1L, 4.0)))
   }
 
+  test("streaming LOCF gap-fill: dense minute grid, carries across batches, cap + late-drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingOps.locfStream(spark, input.toDS(),
+        stepMs = 60000L, maxTicksPerGap = 5)
+      .writeStream.format("memory").queryName("locf")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: user 1 observes at :01 and :04 (2-gap), user 2 at :02
+    input.addData(ev(1, 1, 1, "m", 10.0), ev(2, 4, 1, "m", 40.0),
+      ev(3, 2, 2, "m", 7.0))
+    q.processAllAvailable()
+    // batch 2: user 1 at :06 (cross-batch gap :05), a late event at
+    // :03 (grid already past — dropped), user 2 jumps to :20 with a
+    // 17-tick gap capped at 5
+    input.addData(ev(4, 6, 1, "m", 60.0), ev(5, 3, 1, "m", 99.0),
+      ev(6, 20, 2, "m", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT * FROM locf").as[StreamingOps.Tick].collect()
+      .map(t => (t.user_id, t.tick_ts.toString.substring(11, 16), t.value,
+        t.observed)).toSet
+    val u1 = rows.filter(_._1 == 1L)
+    assert(u1 == Set(
+      (1L, "10:01", 10.0, true), (1L, "10:02", 10.0, false),
+      (1L, "10:03", 10.0, false), (1L, "10:04", 40.0, true),
+      (1L, "10:05", 40.0, false), (1L, "10:06", 60.0, true)),
+      s"user 1 got $u1")
+    val u2 = rows.filter(_._1 == 2L)
+    // capped gap: only the 5 ticks before :20 fill (:15..:19)
+    assert(u2 == Set(
+      (2L, "10:02", 7.0, true),
+      (2L, "10:15", 7.0, false), (2L, "10:16", 7.0, false),
+      (2L, "10:17", 7.0, false), (2L, "10:18", 7.0, false),
+      (2L, "10:19", 7.0, false), (2L, "10:20", 9.0, true)),
+      s"user 2 got $u2")
+  }
+
   test("streaming OHLC bars: open/close track the (ts, event_id) order across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

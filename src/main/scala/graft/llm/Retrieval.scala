@@ -25,6 +25,39 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** Hard-negative mining for contrastive training (the DPR/Contriever
+    * recipe): for each (query vector, positive id) pair, the top-k
+    * nearest corpus vectors that are NOT the positive and NOT
+    * near-duplicates of it (cosine ≥ `dupCeiling` to the query is
+    * treated as "actually a positive" and excluded — the standard
+    * false-negative guard). Composes the ANN stack: pass the brute
+    * scorer for audit scale and swap `scored` for an LSH/IVF probe at
+    * corpus scale — the mining logic (exclusions + rerank window) is
+    * identical.
+    *
+    * Input `queries`: (qid, qvec, positive_id). Output: (qid,
+    * vec_id, cosine, rank 1..k), rank on the 1e-6 grid with id
+    * tie-break — reproducible cross-engine. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      dupCeiling: Double = 0.95,
+      id: String = "vec_id", vec: String = "embedding",
+      qid: String = "qid", qvec: String = "qvec",
+      positive: String = "positive_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = AnnSearch.bruteForceTopK(
+      corpus, queries.select(col(qid), col(qvec)),
+      // +2: room for the excluded positive and one dup-ceiling hit
+      k + 2, id, vec, qid, qvec)
+    val pos = queries.select(col(qid), col(positive).as("_pos"))
+    val w = Window.partitionBy(col(qid))
+      .orderBy(round(col("cosine"), 6).desc, col("vec_id"))
+    scored.join(broadcast(pos), Seq(qid))
+      .where(col("vec_id") =!= col("_pos") && col("cosine") < dupCeiling)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qid), col("vec_id"), col("cosine"), col("rank"))
+  }
+
   /** BM25 (Robertson/Spärck Jones; the Lucene `ln(1 + (N-df+.5)/(df+.5))`
     * idf variant, which keeps idf positive for df > N/2) of each
     * document against a bag of query `terms`; rows for documents

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
-import graft.llm.{AnnSearch, Chunking, Dedup, Multimodal, Quantize, TextAnalysis}
+import graft.llm.{AnnSearch, Chunking, Dedup, Multimodal, Quantize, Retrieval, TextAnalysis}
 
 /** The LLM-training-data pipeline suite over the driver-provided
   * `documents` and `embeddings` tables: text analysis, exact and
@@ -195,6 +195,20 @@ object LlmQueries {
       AnnSearch.bruteForceTopK(emb, queries, k = 10)
         .select(col("qid"), col("vec_id"), col("cosine"), col("rank").cast("int").as("rnk"))
         .drop("rank")
+        .orderBy(col("qid"), col("rnk"))
+    }),
+    "q_hard_negatives" -> ((s, dir) => {
+      // contrastive hard-negative mining: each query's positive is
+      // itself (self-retrieval), so the miner must drop the exact hit
+      // and any ≥0.95-cosine near-positive, then return the next 10
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("vec_id").as("positive_id"))
+      Retrieval.hardNegatives(emb, qs, k = 10)
+        .select(col("qid"), col("vec_id"),
+          floor(col("cosine") * 1e6).cast("long").as("cos_grid"),
+          col("rank").cast("int").as("rnk"))
         .orderBy(col("qid"), col("rnk"))
     }),
     "q_ann_lsh" -> ((s, dir) => {
@@ -645,6 +659,24 @@ object LlmQueries {
         |  CAST(list_sum(q) AS BIGINT) AS qsum,
         |  CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qnorm2
         |FROM qq ORDER BY vec_id""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS vec_id, q.vec_id AS pos,
+        |    list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cosine
+        |  FROM embeddings c
+        |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q),
+        |top AS (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cosine DESC, vec_id) AS rnk0 FROM scored),
+        |elig AS (
+        |  SELECT qid, vec_id, cosine FROM top
+        |  WHERE rnk0 <= 12 AND vec_id <> pos AND cosine < 0.95),
+        |ranked AS (
+        |  SELECT qid, vec_id, cosine, row_number() OVER (PARTITION BY qid
+        |    ORDER BY round(cosine, 6) DESC, vec_id) AS rnk FROM elig)
+        |SELECT qid, vec_id, CAST(floor(cosine * 1e6) AS BIGINT) AS cos_grid,
+        |  CAST(rnk AS INT) AS rnk
+        |FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
     "q_ann_brute" ->
       """SELECT qid, vec_id, cosine, CAST(rnk AS INT) AS rnk FROM (
         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,

@@ -219,6 +219,36 @@ final class VersionedTable private (val location: String, val spark: SparkSessio
     commit(files, base)
   }
 
+  /** ROLLBACK: publish an old version's file set as a NEW version.
+    * History is append-only — the audit trail (and CDC between any
+    * two versions, including across the rollback) survives; only the
+    * table's visible state reverts. This is the transaction-rollback
+    * analog of the reference's version buffer (`versioning/VBBM`:
+    * in-flight block versions discarded, committed history kept),
+    * adapted to the manifest model where every published version is
+    * already durable. The rolled-back-to files must still exist —
+    * vacuum() respects `keepVersions`, so roll back before vacuuming
+    * past the target. */
+  def rollback(toVersion: Int): Int = {
+    val base = currentVersion
+    require(toVersion <= base, s"cannot roll back to future version $toVersion")
+    commit(filesOf(toVersion), base)
+  }
+
+  /** Latest version committed at or before `ts` (time travel by wall
+    * clock; manifest modification times are the commit clock — the
+    * same clock `vacuum` ages by). */
+  def versionAsOf(ts: java.sql.Timestamp): Int = {
+    val eligible = manifests.filter(m =>
+      fs.getFileStatus(m).getModificationTime <= ts.getTime)
+    require(eligible.nonEmpty,
+      s"no version of $location existed at or before $ts")
+    eligible.map(_.getName.stripPrefix("v").stripSuffix(".manifest").toInt).max
+  }
+
+  /** Snapshot read as of a wall-clock instant. */
+  def readAsOf(ts: java.sql.Timestamp): DataFrame = read(versionAsOf(ts))
+
   /** Row-level change feed between two versions (CDC) — the snapshot
     * diff the reference's version buffer makes cheap (VSS tracks which
     * blocks each transaction superseded; here the manifest diff tracks
@@ -258,6 +288,80 @@ final class VersionedTable private (val location: String, val spark: SparkSessio
           .unionByName(
             rows(removedF).exceptAll(rows(addedF)).withColumn("_change", lit("delete")))
     }
+  }
+
+  /** BEGIN a multi-statement transaction: insert/update/delete compose
+    * on a private working file set and publish as ONE version at
+    * `commit()` — the statement→transaction scope-up of the
+    * reference's version buffer (in-flight block versions visible only
+    * to the owning transaction until commit; `versioning/VBBM`,
+    * `dbcon/dmlpackageproc/` BEGIN/COMMIT/ROLLBACK handling).
+    *
+    * Isolation: intermediate states never appear in the log —
+    * concurrent readers see the base version until the single commit.
+    * Concurrency: optimistic; the commit pins the version observed at
+    * begin(), so a writer that landed in between makes commit() raise
+    * `ConcurrentWriteException` (re-begin and re-apply to retry).
+    * `rollback()` simply abandons the working set — uncommitted data
+    * files are invisible orphans until vacuum reclaims them, exactly
+    * the fate of a losing racer's files. */
+  def begin(): Transaction = new Transaction(this)
+
+  final class Transaction private[VersionedTable] (t: VersionedTable) {
+    private val base = t.currentVersion
+    private var files: Seq[String] = t.filesOf(base)
+    private var open = true
+    private def working: DataFrame =
+      if (files.isEmpty) t.spark.emptyDataFrame
+      else t.spark.read.parquet(files: _*)
+    private def require_open(): Unit =
+      require(open, "transaction is no longer open")
+
+    def read(): DataFrame = { require_open(); working }
+
+    def insert(df: DataFrame): Unit = {
+      require_open()
+      files = files ++ t.writeData(df)
+    }
+
+    def delete(cond: Column): Unit = {
+      require_open()
+      val touched = working.withColumn("_f", input_file_name())
+        .filter(cond).select("_f").distinct()
+        .collect().map(r => t.normalizePath(r.getString(0))).toSet
+      if (touched.nonEmpty) {
+        val kept = t.spark.read.parquet(touched.toSeq: _*)
+          .filter(!cond || cond.isNull)
+        val rewritten = if (kept.isEmpty) Seq.empty else t.writeData(kept)
+        files = files.filterNot(touched.contains) ++ rewritten
+      }
+    }
+
+    def update(cond: Column, assignments: Map[String, Column]): Unit = {
+      require_open()
+      val touched = working.withColumn("_f", input_file_name())
+        .filter(cond).select("_f").distinct()
+        .collect().map(r => t.normalizePath(r.getString(0))).toSet
+      if (touched.nonEmpty) {
+        val df = t.spark.read.parquet(touched.toSeq: _*)
+        val updated = df.columns.foldLeft(df) { (acc, c) =>
+          assignments.get(c) match {
+            case Some(e) => acc.withColumn(c, when(cond, e).otherwise(col(c)))
+            case None => acc
+          }
+        }
+        files = files.filterNot(touched.contains) ++ t.writeData(updated)
+      }
+    }
+
+    /** Publish the working set as base+1; raises on a lost race. */
+    def commit(): Int = {
+      require_open(); open = false
+      t.commit(files, base)
+    }
+
+    /** Abandon — the table never sees the transaction's writes. */
+    def rollback(): Unit = { require_open(); open = false }
   }
 
   /** Drop data files no longer referenced by ANY retained manifest,

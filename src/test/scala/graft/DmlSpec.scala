@@ -235,6 +235,78 @@ class DmlSpec extends SparkSpec {
     assert(t.changes(v3, v3).columns.toSeq == Seq("id", "bal", "_change"))
   }
 
+  test("multi-statement transaction: atomic publish, isolation, optimistic conflict, rollback") {
+    val loc = freshLoc()
+    val t = VersionedTable.create(spark, loc,
+      (1 to 20).map(i => (i.toLong, i * 1.0)).toDF("id", "v"))
+    val v0 = t.currentVersion
+    val txn = t.begin()
+    txn.insert(Seq((21L, 21.0)).toDF("id", "v"))
+    txn.delete(col("id") <= 5)
+    txn.update(col("id") === 10L, Map("v" -> lit(1000.0)))
+    // isolation: the table still reads the base version mid-txn
+    assert(t.currentVersion == v0 && t.read().count() == 20)
+    // the txn reads its own writes
+    assert(txn.read().count() == 16)
+    val v1 = txn.commit()
+    assert(v1 == v0 + 1, "three statements, ONE version")
+    val now = t.read()
+    assert(now.count() == 16)
+    assert(now.filter(col("id") === 10L).select("v").as[Double].head() == 1000.0)
+    assert(now.filter(col("id") <= 5).count() == 0)
+    intercept[IllegalArgumentException](txn.insert(Seq((1L, 1.0)).toDF("id", "v")))
+
+    // rollback: nothing published
+    val txn2 = t.begin()
+    txn2.delete(lit(true))
+    txn2.rollback()
+    assert(t.read().count() == 16)
+
+    // optimistic conflict: a writer landing mid-txn fails the commit
+    val txn3 = t.begin()
+    txn3.insert(Seq((50L, 50.0)).toDF("id", "v"))
+    t.insert(Seq((60L, 60.0)).toDF("id", "v")) // interloper
+    intercept[ConcurrentWriteException](txn3.commit())
+    assert(t.read().filter(col("id") === 50L).count() == 0)
+  }
+
+  test("rollback reverts state as a NEW version; history and CDC survive") {
+    val loc = freshLoc()
+    val t = VersionedTable.create(spark, loc,
+      (1 to 10).map(i => (i.toLong, i * 1.0)).toDF("id", "v"))
+    t.delete(col("id") > 5) // v1
+    t.insert(Seq((99L, 99.0)).toDF("id", "v")) // v2
+    val v2 = t.currentVersion
+    val rb = t.rollback(0)
+    assert(rb == v2 + 1, "rollback is append-only")
+    assert(t.read().count() == 10)
+    assert(!t.read().select("id").as[Long].collect().contains(99L))
+    // CDC across the rollback: 99 deleted, ids 6-10 re-inserted
+    val diff = t.changes(v2, rb)
+    assert(diff.filter(col("_change") === "delete").select("id").as[Long]
+      .collect().toSet == Set(99L))
+    assert(diff.filter(col("_change") === "insert").select("id").as[Long]
+      .collect().toSet == Set(6L, 7L, 8L, 9L, 10L))
+    // old versions still readable (history intact)
+    assert(t.read(v2).count() == 6)
+    intercept[IllegalArgumentException](t.rollback(rb + 5))
+  }
+
+  test("time travel: versionAsOf resolves by commit wall clock") {
+    val loc = freshLoc()
+    val t = VersionedTable.create(spark, loc, Seq((1L, "a")).toDF("id", "s"))
+    Thread.sleep(1100)
+    val mid = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(1100)
+    t.insert(Seq((2L, "b")).toDF("id", "s"))
+    assert(t.versionAsOf(mid) == 0)
+    assert(t.readAsOf(mid).count() == 1)
+    assert(t.versionAsOf(new java.sql.Timestamp(System.currentTimeMillis()))
+      == t.currentVersion)
+    intercept[IllegalArgumentException](
+      t.versionAsOf(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+  }
+
   test("concurrent reader stays pinned at its version across writer commits") {
     // The VSS contract (versioning/BRM/vss.h:167-198): a reader that
     // opened at version N keeps seeing N's state while writers commit

@@ -124,6 +124,42 @@ object Sampling {
     * byte-identical (order is a pure function of keys), and raising
     * the budget only ADDS documents — nested samples, the same
     * property as `uniformSample`'s threshold monotonicity. */
+  /** Data-constrained mixing plan (the repeat-epochs question of
+    * Muennighoff et al. 2023): given a total token budget, allocate it
+    * across sources ∝ n^alpha (the same flattening rule as
+    * [[temperatureRates]]) and convert each source's allocation into
+    * EPOCHS over its corpus, capped at `maxEpochs` (returns diminish
+    * fast past ~4 repeats — the published guidance). Output per
+    * source: token count, allocation, epochs, and the effective
+    * (budget-consuming) tokens after the cap.
+    *
+    * One token-count aggregate + a 1-row broadcast normalizer; the
+    * Σ n^alpha fold runs in sorted-source order so the plan is
+    * bit-reproducible (same trick as temperatureRates). */
+  def epochAllocation(df: DataFrame, stratumCol: String, textCol: String,
+      budgetTokens: Long, alpha: Double = 0.5,
+      maxEpochs: Double = 4.0): DataFrame = {
+    val counts = df.groupBy(col(stratumCol))
+      .agg(sum(TextAnalysis.tokenCount(col(textCol))).cast("double").as("_n"))
+    val z = counts.agg(
+      aggregate(array_sort(collect_list(struct(col(stratumCol).as("s"),
+          pow(col("_n"), lit(alpha)).as("p")))),
+        lit(0.0), (a, x) => a + x.getField("p")).as("_z"))
+    counts.crossJoin(broadcast(z))
+      .select(
+        col(stratumCol),
+        col("_n").cast("long").as("n_tokens"),
+        (lit(budgetTokens) * pow(col("_n"), lit(alpha)) / col("_z")).as("_alloc"))
+      .select(
+        col(stratumCol), col("n_tokens"),
+        floor(col("_alloc")).cast("long").as("alloc_tokens"),
+        least(lit(maxEpochs), col("_alloc") / col("n_tokens")).as("_epochs"))
+      .select(col(stratumCol), col("n_tokens"), col("alloc_tokens"),
+        floor(col("_epochs") * 1000).cast("long").as("epochs_milli"),
+        floor(col("_epochs") * col("n_tokens")).cast("long")
+          .as("effective_tokens"))
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement — the
     * Efraimidis–Spirakis reservoir rule (key = u^(1/w), keep the
     * top-k keys), with the uniform u derived from md5 like every

@@ -61,6 +61,24 @@ object FunctionQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // ---- TO_BASE64/FROM_BASE64 (MariaDB registry; MySQL chunks the
+    // output with newlines every 76 chars — inputs here stay under 57
+    // bytes so the RFC form both engines and MySQL agree on is what's
+    // pinned) + binary padding edges via constructed byte strings ----
+    "q_fn_base64" -> ((s, dir) => {
+      val nm = substring(col("p_name"), 1, 40)
+      // 1/2/3-byte tails exercise all '=' padding forms
+      val tail = col("p_name").substr(lit(1), (col("p_partkey") % 3 + 1).cast("int"))
+      t(s, dir, "part").filter(col("p_partkey") < 500)
+        .select(col("p_partkey"),
+          base64(nm.cast("binary")).as("b64"),
+          base64(tail.cast("binary")).as("b64_pad"),
+          decode(unbase64(base64(nm.cast("binary"))), "UTF-8").as("rt"),
+          base64(unhex(lpad(hex(col("p_partkey") * 2654435761L), 16, "0")))
+            .as("b64_bin"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // ---- string family 2: MySQL-specific (func_substring_index.cpp,
     // func_elt.cpp, func_find_in_set.cpp, func_quote.cpp, func_insert.cpp) ----
     "q_fn_string2" -> ((s, dir) => {
@@ -410,6 +428,16 @@ object FunctionQueries {
         |  md5(p_name) AS c_md5,
         |  sha256(p_name) AS c_sha,
         |  hex(p_partkey) AS c_hex
+        |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin,
+    "q_fn_base64" ->
+      """SELECT p_partkey,
+        |  to_base64(encode(substring(p_name, 1, 40))) AS b64,
+        |  to_base64(encode(substring(p_name, 1,
+        |    CAST(p_partkey % 3 + 1 AS INT)))) AS b64_pad,
+        |  CAST(from_base64(to_base64(encode(substring(p_name, 1, 40))))
+        |    AS VARCHAR) AS rt,
+        |  to_base64(unhex(lpad(to_hex(p_partkey * 2654435761), 16, '0')))
+        |    AS b64_bin
         |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin,
     "q_fn_string2" ->
       """SELECT p_partkey,

@@ -153,6 +153,14 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
     }),
+    "q_mix_epochs" -> ((s, dir) => {
+      // data-constrained mixing plan: a 150k-token budget split
+      // ∝ n^0.5 across sources, converted to per-source epochs capped
+      // at 4 repeats (the published diminishing-returns point)
+      Sampling.epochAllocation(t(s, dir, "documents"), "source", "text",
+          budgetTokens = 150000L, alpha = 0.5, maxEpochs = 4.0)
+        .orderBy(col("source"))
+    }),
     "q_sample_weighted" -> ((s, dir) => {
       // Efraimidis–Spirakis weighted draw: 15 docs per source, drawn
       // ∝ n_chars; the md5-derived u makes the draw a pure function
@@ -449,6 +457,22 @@ object PipelineQueries {
       s"""SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5(doc_id::VARCHAR), 1, 8) < '${Sampling.hexThreshold(0.1)}'
         |ORDER BY doc_id""".stripMargin,
+    "q_mix_epochs" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split_regex(text, '[ \t\n\f\r]+'),
+        |      x -> length(x) > 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (SELECT source, CAST(SUM(n) AS DOUBLE) AS n FROM tok GROUP BY source),
+        |z AS (SELECT list_reduce(list(pow(n, 0.5) ORDER BY source),
+        |        (a, b) -> a + b) AS z FROM c),
+        |a AS (SELECT c.source, c.n, 150000 * pow(c.n, 0.5) / z.z AS alloc
+        |      FROM c, z)
+        |SELECT source, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(floor(alloc) AS BIGINT) AS alloc_tokens,
+        |  CAST(floor(least(4.0, alloc / n) * 1000) AS BIGINT) AS epochs_milli,
+        |  CAST(floor(least(4.0, alloc / n) * n) AS BIGINT) AS effective_tokens
+        |FROM a ORDER BY source""".stripMargin,
     "q_sample_weighted" ->
       """WITH keyed AS (
         |  SELECT source, doc_id, n_chars,

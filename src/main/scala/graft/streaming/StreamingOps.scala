@@ -254,6 +254,49 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("stream_id", "corpus_id")
   }
 
+  /** Streaming similarity probe vs a STATIC vector corpus — the
+    * embedding sibling of [[nearDupVsCorpus]]: each incoming vector is
+    * sign-LSH-bucketed (multi-table, 1-bit multiprobe — the same
+    * structure as `AnnSearch.lshTopK`) and joined to the corpus's
+    * precomputed bucket table; bucket-collision candidates score by
+    * exact cosine and rows ≥ `threshold` emit. Stream-static join =
+    * NO streaming state beyond the emit-dedup watermark; the corpus
+    * bucket table is built once per query start and never rescanned
+    * per batch beyond the bucket join. The per-batch cost is
+    * candidates-in-colliding-buckets, not corpus size. */
+  def annProbeStream(stream: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.8, watermark: String = "1 hour",
+      numPlanes: Int = 6, numTables: Int = 4, dim: Int = 64,
+      id: String = "vec_id", vec: String = "embedding",
+      sid: String = "doc_id", svec: String = "embedding"): DataFrame = {
+    import graft.llm.AnnSearch
+    import org.apache.spark.sql.Column
+    val tables = (0 until numTables)
+      .map(t => AnnSearch.hyperplanes(numPlanes, dim, seed = 42L + t))
+    def vdouble(c: Column): Column =
+      c.cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+    val c = corpus.select(col(id).as("corpus_id"), vdouble(col(vec)).as("_v"))
+      .select(col("corpus_id"), col("_v"),
+        explode(array(tables.zipWithIndex.map { case (p, t) =>
+          struct(lit(t).as("t"), AnnSearch.bucketOf(col("_v"), p).as("b"))
+        }: _*)).as("_tb"))
+    val s = stream.withWatermark("ts", watermark)
+      .select(col(sid).as("stream_id"), col("ts"), vdouble(col(svec)).as("_q"))
+      .select(col("stream_id"), col("ts"), col("_q"),
+        explode(flatten(array(tables.zipWithIndex.map { case (p, t) =>
+          transform(
+            array(lit(0L) +: (0 until numPlanes).map(i => lit(1L << i)): _*),
+            m => struct(lit(t).as("t"),
+              AnnSearch.bucketOf(col("_q"), p).bitwiseXOR(m).as("b")))
+        }: _*))).as("_tb"))
+    s.join(c, "_tb")
+      .withColumn("cosine", AnnSearch.cosine(col("_q"), col("_v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("stream_id"), col("ts"), col("corpus_id"), col("cosine"))
+      .dropDuplicatesWithinWatermark("stream_id", "corpus_id")
+  }
+
   /** Streaming decontamination: drop incoming documents that share
     * ≥ `minHits` distinct shingles with a STATIC benchmark set — the
     * ingest-time version of `llm.Decontamination`, so contaminated

@@ -31,6 +31,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq(("click", 2L, 3.0), ("view", 1L, 3.0), ("click", 1L, 4.0)))
   }
 
+  test("streaming ANN probe finds a perturbed corpus vector, ignores an unrelated one") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Tables.t(spark, sfDir, "embeddings").limit(64)
+      .selectExpr("vec_id", "cast(embedding AS array<double>) AS embedding")
+    val base = corpus.filter($"vec_id" === 7L)
+      .select("embedding").as[Seq[Double]].head()
+    val near = base.zipWithIndex.map { case (x, i) => x + (if (i == 0) 0.001 else 0.0) }
+    val far = Seq.tabulate(64)(i => if (i % 2 == 0) 1.0 else -1.0)
+    val input = MemoryStream[(Long, Timestamp, Seq[Double])]
+    val q = StreamingOps.annProbeStream(
+        input.toDF().toDF("doc_id", "ts", "embedding"), corpus,
+        threshold = 0.9, numTables = 8)
+      .writeStream.format("memory").queryName("annprobe")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      (100L, Timestamp.valueOf("2026-01-01 10:00:00"), near),
+      (101L, Timestamp.valueOf("2026-01-01 10:00:01"), far))
+    q.processAllAvailable()
+    // duplicate arrival within the watermark emits once
+    input.addData((100L, Timestamp.valueOf("2026-01-01 10:00:05"), near))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT stream_id, corpus_id, cosine FROM annprobe")
+      .as[(Long, Long, Double)].collect().toSeq
+    q.stop()
+    assert(rows.count(r => r._1 == 100L && r._2 == 7L && r._3 > 0.99) == 1,
+      s"expected exactly one (100 -> 7) hit in $rows")
+    assert(!rows.exists(_._1 == 101L), s"unrelated vector matched: $rows")
+  }
+
   test("streaming LOCF gap-fill: dense minute grid, carries across batches, cap + late-drop") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

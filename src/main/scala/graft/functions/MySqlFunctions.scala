@@ -164,6 +164,21 @@ object MySqlFunctions {
     (x * f).cast(LongType) / lit(f)
   }
 
+  /** MySQL domain-lenient math: out-of-domain input yields NULL (and a
+    * warning in MySQL), never an error — `SELECT LN(0)` returns NULL
+    * (`utils/funcexp/func_math.cpp` mirrors server behavior). Spark
+    * under ANSI (and DuckDB) raise instead, so the compat layer guards
+    * the domain explicitly; the oracle spells the same CASE. */
+  def lnMySql(x: Column): Column = when(x > 0, log(x))
+  def log10MySql(x: Column): Column = when(x > 0, log10(x))
+  def log2MySql(x: Column): Column = when(x > 0, log2(x))
+  /** MySQL LOG(b, x): NULL when b ≤ 0, b = 1, or x ≤ 0. */
+  def logBaseMySql(b: Column, x: Column): Column =
+    when(b > 0 && b =!= 1 && x > 0, log(x) / log(b))
+  def sqrtMySql(x: Column): Column = when(x >= 0, sqrt(x))
+  def asinMySql(x: Column): Column = when(abs(x) <= 1, asin(x))
+  def acosMySql(x: Column): Column = when(abs(x) <= 1, acos(x))
+
   // ---- MySQL string functions missing from Spark ----
 
   /** MySQL QUOTE(str): single-quoted, with ', \ escaped; NULL → the

@@ -46,6 +46,37 @@ object TypeMatrixQueries {
   import Q._
 
   val queries: Map[String, QFn] = Map(
+    // Math domain-edge battery: MySQL returns NULL outside a math
+    // function's domain (LN(0), SQRT(-1), ASIN(2), LOG(1, x)) where
+    // ANSI Spark and DuckDB raise — the lenient wrappers in
+    // MySqlFunctions carry the MySQL behavior and the oracle spells
+    // the identical CASE guards. IEEE specials (inf from pow/exp
+    // overflow) pass through both engines unguarded.
+    "q_type_matrix_mathedge" -> ((s, dir) => {
+      import MySqlFunctions._
+      val k = col("o_orderkey")
+      val v = (k % 7 - 3).cast("double") // -3..3
+      val w = (k % 5).cast("double") // 0..4
+      t(s, dir, "orders").filter(k < 500)
+        .select(k.as("k1"),
+          round(lnMySql(w), 6).as("m_ln"),
+          round(log10MySql(v), 6).as("m_log10"),
+          round(log2MySql(w), 6).as("m_log2"),
+          round(logBaseMySql(w, (k % 9 + 1).cast("double")), 6).as("m_logb"),
+          round(sqrtMySql(v), 6).as("m_sqrt"),
+          round(asinMySql(v / 2), 6).as("m_asin"),
+          round(acosMySql(v / 2), 6).as("m_acos"),
+          ((k % 11 - 5) % 3).cast("long").as("m_mod_sign"),
+          round((w + lit(0.5)) % lit(1.5), 6).as("m_fmod"),
+          round(atan2(v, w + 1), 6).as("m_atan2"),
+          // w=0 → exactly 1; any positive w overflows to +inf (e^709
+          // is the double ceiling) — no finite libm value crosses the
+          // engines, so float equality is exact
+          exp(w * 800).as("m_exp_ovf"),
+          pow(w, lit(-1.0)).as("m_pow_inf"))
+        .orderBy(col("k1"))
+    }),
+
     // integer width ladder + decimal/double numeric battery
     "q_type_matrix_num" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -414,6 +445,27 @@ object TypeMatrixQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_type_matrix_mathedge" ->
+      """SELECT o_orderkey AS k1,
+        |  round(CASE WHEN w > 0 THEN ln(w) END, 6) AS m_ln,
+        |  round(CASE WHEN v > 0 THEN log10(v) END, 6) AS m_log10,
+        |  round(CASE WHEN w > 0 THEN log2(w) END, 6) AS m_log2,
+        |  round(CASE WHEN w > 0 AND w <> 1 AND x9 > 0
+        |        THEN ln(x9) / ln(w) END, 6) AS m_logb,
+        |  round(CASE WHEN v >= 0 THEN sqrt(v) END, 6) AS m_sqrt,
+        |  round(CASE WHEN abs(v / 2) <= 1 THEN asin(v / 2) END, 6) AS m_asin,
+        |  round(CASE WHEN abs(v / 2) <= 1 THEN acos(v / 2) END, 6) AS m_acos,
+        |  CAST((o_orderkey % 11 - 5) % 3 AS BIGINT) AS m_mod_sign,
+        |  round((w + 0.5) % 1.5, 6) AS m_fmod,
+        |  round(atan2(v, w + 1), 6) AS m_atan2,
+        |  exp(w * 800) AS m_exp_ovf,
+        |  power(w, -1.0) AS m_pow_inf
+        |FROM (SELECT o_orderkey,
+        |        CAST(o_orderkey % 7 - 3 AS DOUBLE) AS v,
+        |        CAST(o_orderkey % 5 AS DOUBLE) AS w,
+        |        CAST(o_orderkey % 9 + 1 AS DOUBLE) AS x9
+        |      FROM orders WHERE o_orderkey < 500)
+        |ORDER BY k1""".stripMargin,
     "q_type_matrix_num" ->
       """SELECT l_orderkey AS k1, CAST(l_linenumber AS INT) AS k2,
         |  CAST(l_linenumber AS BIGINT) * 2 + CAST(l_quantity AS BIGINT) AS ti_arith,

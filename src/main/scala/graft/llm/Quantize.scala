@@ -313,6 +313,23 @@ object Quantize {
       .join(cellAssignments(corpus, centroids, id, vec), "vec_id")
       .write.mode("overwrite").partitionBy("_cell").parquet(path)
 
+  /** INCREMENTAL index maintenance: encode + cell-assign only the NEW
+    * vectors and append their rows into the existing hive-partitioned
+    * layout — continuous ingestion never re-encodes or rewrites the
+    * standing index (the IVF analog of `Dedup.dedupAgainst`'s
+    * batch-vs-corpus asymmetry). Cost ∝ batch size; the trained
+    * centroids/codebooks stay fixed, which is the published practice
+    * (re-train on drift is an offline decision, not an ingest step —
+    * recall degrades only as far as the data drifts from the training
+    * distribution). Appended files land in the same `_cell=` dirs, so
+    * probe-time partition pruning is unchanged. */
+  def appendToIvfPqIndex(newVectors: DataFrame, path: String,
+      centroids: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      dim: Int = 64, id: String = "vec_id", vec: String = "embedding"): Unit =
+    pqEncode(newVectors, codebooks, dim, id, vec)
+      .join(cellAssignments(newVectors, centroids, id, vec), "vec_id")
+      .write.mode("append").partitionBy("_cell").parquet(path)
+
   /** Read back the rows of the probed cells from a persisted index —
     * the `_cell` filter lands in the scan's PartitionFilters. */
   def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,

@@ -148,6 +148,31 @@ class QuantizeSpec extends SparkSpec {
       full.filter(col("_cell").isin(0, 1)).count())
   }
 
+  test("incremental index append: equivalent to a full rebuild, pruning intact") {
+    val cb = Quantize.seededCodebooks(m = 8, ksub = 16, dsub = 8)
+    val cen = AnnSearch.seededCentroids(nlist = 8, dim = 64)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfpq_inc").toString
+    val old = emb.filter(col("vec_id") % 3 =!= 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    // standing index from the old corpus + one appended batch …
+    Quantize.writeIvfPqIndex(old, s"$root/inc", cen, cb)
+    Quantize.appendToIvfPqIndex(batch, s"$root/inc", cen, cb)
+    // … must equal the index rebuilt from everything
+    Quantize.writeIvfPqIndex(emb, s"$root/full", cen, cb)
+    val inc = spark.read.parquet(s"$root/inc")
+    val full = spark.read.parquet(s"$root/full")
+    assert(inc.count() == full.count())
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+      "append must reproduce the rebuilt index row for row")
+    // appended rows are probe-visible through partition pruning
+    val newIds = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+    val someCell = inc.filter(col("vec_id").isin(newIds.take(3).toSeq.map(Long.box): _*))
+      .select("_cell").head().getInt(0)
+    val probed = Quantize.readIvfPqIndex(spark, s"$root/inc", Seq(someCell))
+    assert(probed.filter(col("vec_id").isin(newIds.toSeq.map(Long.box): _*))
+      .count() > 0, "appended vectors must be probe-visible")
+  }
+
   test("pq rerank returns exact cosines for its shortlist, ranked") {
     val cb = Quantize.seededCodebooks(m = 8, ksub = 16, dsub = 8)
     val queries = emb.filter(col("vec_id") < 3)

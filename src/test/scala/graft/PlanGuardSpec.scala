@@ -24,7 +24,7 @@ class PlanGuardSpec extends SparkSpec {
       "q_const_projection",
       "q_decontam_semantic", "q_bm25_topk", "q_lm_entropy", "q_importance_weights",
       "q_source_kl", "q_lm_bigram", "q_lm_trigram", "q_sample_temperature",
-      "q_curriculum")
+      "q_curriculum", "q_mix_epochs")
 
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin in any query") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -39,6 +39,51 @@ object Bench {
       ts.sorted.apply(1)
     }
     val calib = medianOf3(calibRun _)
+    // Watchdog: ONE wedged query must not zero the round's bench (the
+    // same blast-radius rule as per-table registration). Each run
+    // executes under a job group on a worker thread; past the timeout
+    // the group is cancelled and the query records the elapsed wall
+    // clock as its (terrible) time while the suite continues. A task
+    // that ignores interruption costs its thread, not the bench — the
+    // executor is replaced and the orphan thread dies with the JVM.
+    val qTimeoutS = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "600").toLong
+    // daemon threads: a watchdog pool must never keep the JVM alive
+    // after main() returns (a lingering non-daemon worker would hang
+    // the bench process at exit — the exact failure this guards)
+    val daemonFactory = new java.util.concurrent.ThreadFactory {
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, "bench-query")
+        t.setDaemon(true)
+        t
+      }
+    }
+    def newPool() =
+      java.util.concurrent.Executors.newSingleThreadExecutor(daemonFactory)
+    var pool = newPool()
+    def guarded(name: String)(body: => Unit): Unit = {
+      val group = s"bench-$name"
+      val fut = pool.submit(new Runnable {
+        def run(): Unit = {
+          spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+          body
+        }
+      })
+      try fut.get(qTimeoutS, java.util.concurrent.TimeUnit.SECONDS)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          System.err.println(s"[bench] $name exceeded ${qTimeoutS}s — cancelling")
+          spark.sparkContext.cancelJobGroup(group)
+          try fut.get(30, java.util.concurrent.TimeUnit.SECONDS)
+          catch { case _: Throwable =>
+            pool.shutdownNow()
+            pool = newPool()
+          }
+        case e: java.util.concurrent.ExecutionException =>
+          System.err.println(s"[bench] $name failed: ${e.getCause.getMessage}")
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+    }
     // optional comma-separated query filter for targeted measurement
     // (unset = the full driver-contract run)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
@@ -50,7 +95,9 @@ object Bench {
       // the dedup block made the 57 queries after them 2.95× slower)
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      def run(): Unit = fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      def run(): Unit = guarded(name) {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
       // one untimed run per query: wide generated code (e.g. the 64
       // bit-sum simhash aggregate) costs ~10 s of JIT on first
       // execution; steady-state is the throughput that matters

@@ -23,6 +23,41 @@ object WindowQueries {
   private val wPrio = Window.partitionBy(col("o_orderpriority"))
 
   val queries: Map[String, QFn] = Map(
+    // SQL-standard frame EXCLUDE clause (CURRENT ROW / GROUP) — Spark
+    // has no EXCLUDE; each variant is re-expressed with plain frames
+    // and arithmetic (running frame ending at -1; subtract self;
+    // subtract the peer-group sum), and DuckDB's NATIVE EXCLUDE is
+    // the oracle — a hash match proves the rewrites ARE the standard
+    // semantics, empty-frame NULLs included.
+    "q_window_exclude" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DateType, DecimalType}
+      val f = col("l_returnflag")
+      val sdate = col("l_shipdate").cast(DateType)
+      val de = col("l_extendedprice").cast(DecimalType(18, 2))
+      val uniq = Window.partitionBy(f)
+        .orderBy(sdate, col("l_orderkey"), col("l_linenumber"), de)
+      val whole = Window.partitionBy(f)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val peers = Window.partitionBy(f, sdate)
+      val wholeSum = sum(de).over(whole)
+      val wholeCnt = count(lit(1)).over(whole)
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+        .select(
+          col("l_orderkey").as("k1"), col("l_linenumber").cast("int").as("k2"),
+          // EXCLUDE CURRENT ROW on a running frame == the frame that
+          // simply ends one row earlier (empty at the partition head
+          // -> NULL, matching the standard)
+          sum(de).over(uniq.rowsBetween(Window.unboundedPreceding, -1))
+            .cast("double").as("w_run_excl"),
+          // EXCLUDE CURRENT ROW on a bounded frame == count - 1
+          (count(lit(1)).over(uniq.rowsBetween(-2, 2)) - 1).as("w_cnt_excl"),
+          // whole-partition AVG EXCLUDE CURRENT ROW == (S - v)/(n - 1)
+          when(wholeCnt > 1, round(
+            (wholeSum - de).cast("double") / (wholeCnt - 1), 6)).as("w_avg_excl"),
+          // EXCLUDE GROUP (peers = equal sort value) == S - peer sum
+          (wholeSum - sum(de).over(peers)).cast("double").as("w_grp_excl"))
+        .orderBy(col("k1"), col("k2"))
+    }),
     "q_window_rank" -> ((s, dir) => {
       val w = wPrio.orderBy(col("o_totalprice").desc, col("o_orderkey"))
       t(s, dir, "orders").filter(col("o_custkey") < 40)
@@ -151,6 +186,27 @@ object WindowQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_exclude" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS f, CAST(l_shipdate AS DATE) AS sd,
+        |    l_orderkey AS k1, CAST(l_linenumber AS INT) AS k2,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS de
+        |  FROM lineitem WHERE l_orderkey < 2000)
+        |SELECT k1, k2,
+        |  CAST(sum(de) OVER (PARTITION BY f ORDER BY sd, k1, k2, de
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        |    EXCLUDE CURRENT ROW) AS DOUBLE) AS w_run_excl,
+        |  count(*) OVER (PARTITION BY f ORDER BY sd, k1, k2, de
+        |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+        |    EXCLUDE CURRENT ROW) AS w_cnt_excl,
+        |  round(CAST(sum(de) OVER (PARTITION BY f
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        |      EXCLUDE CURRENT ROW) AS DOUBLE)
+        |    / (count(*) OVER (PARTITION BY f) - 1), 6) AS w_avg_excl,
+        |  CAST(sum(de) OVER (PARTITION BY f ORDER BY sd
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        |    EXCLUDE GROUP) AS DOUBLE) AS w_grp_excl
+        |FROM b ORDER BY k1, k2""".stripMargin,
     "q_window_rank" ->
       """SELECT o_orderpriority, o_orderkey,
         |  ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk,

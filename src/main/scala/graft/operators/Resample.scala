@@ -78,4 +78,40 @@ object Resample {
         .otherwise(vp + (vn - vp) *
           ((pos - pp).cast("double") / (pn - pp).cast("double"))))
   }
+
+  /** Exponentially weighted moving average — the RECURSIVE smoother
+    * y_t = α·x_t + (1−α)·y_{t−1}, seeded y_1 = x_1. No window frame
+    * can express it (every output depends on the full prefix through
+    * a non-associative fold), and the closed-form rewrite
+    * α·Σ(1−α)^(t−i)·x_i overflows past ~1000 rows — so this is the
+    * documented legitimate case for a per-group sequential scan:
+    * `flatMapSortedGroups` shuffles once by key, sorts each group by
+    * (time, tiebreak) inside the shuffle (no extra exchange), and
+    * folds each series with O(1) state. At 100 TB this is exactly one
+    * shuffle of (key, ts, tie, x) narrow rows; series never
+    * materialize in memory (iterator in, iterator out).
+    *
+    * Returns (key, rn, x, ewma) where rn is the 1-based position in
+    * the series — emitted by the fold itself so callers don't pay a
+    * second window pass for row numbering. α must be given as an
+    * exactly-representable double (0.25, 0.5, …) if bit-reproducible
+    * cross-engine output is required. */
+  def ewma(ds: org.apache.spark.sql.Dataset[(Long, Long, Long, Double)],
+      alpha: Double): org.apache.spark.sql.Dataset[(Long, Long, Double, Double)] = {
+    import ds.sparkSession.implicits._
+    // sort expressions resolve against the underlying plan's column
+    // names, not tuple positions — normalize them first
+    val named = ds.toDF("_1", "_2", "_3", "_4").as[(Long, Long, Long, Double)]
+    named.groupByKey(_._1).flatMapSortedGroups($"_2", $"_3") { (k, it) =>
+      var prev = 0.0
+      var seeded = false
+      var rn = 0L
+      it.map { case (_, _, _, x) =>
+        prev = if (!seeded) { seeded = true; x }
+               else alpha * x + (1 - alpha) * prev
+        rn += 1
+        (k, rn, x, prev)
+      }
+    }
+  }
 }

@@ -41,6 +41,22 @@ object ResampleQueries {
           sumDec(col("value")).as("total"))
         .orderBy(col("event_type"), col("wk"))
     }),
+    "q_ewma" -> ((s, dir) => {
+      // Recursive exponential smoothing over each user's event-value
+      // series. α = 0.25 (exact double) and the fold computes
+      // 0.25·x + 0.75·prev in fixed order, so DuckDB's recursive-CTE
+      // replay of the same recurrence matches BIT-EXACT — a hash
+      // match here proves the sequential fold is the standard
+      // semantics, not an approximation of it.
+      import s.implicits._
+      val src = t(s, dir, "events").filter(col("user_id") < 40)
+        .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+          col("value").cast("double"))
+        .as[(Long, Long, Long, Double)]
+      Resample.ewma(src, alpha = 0.25)
+        .toDF("user_id", "rn", "x", "ewma")
+        .orderBy(col("user_id"), col("rn"))
+    }),
     "q_resample_interp" -> ((s, dir) => {
       val obs = t(s, dir, "events").filter(col("user_id") < 20)
         .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
@@ -55,6 +71,19 @@ object ResampleQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ewma" ->
+      """WITH RECURSIVE o AS (
+        |  SELECT user_id, CAST(value AS DOUBLE) AS x,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS rn
+        |  FROM events WHERE user_id < 40),
+        |s AS (
+        |  SELECT user_id, rn, x, x AS ewma FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.rn, o.x,
+        |    CAST(0.25 AS DOUBLE)*o.x + CAST(0.75 AS DOUBLE)*s.ewma
+        |  FROM o JOIN s ON o.user_id = s.user_id AND o.rn = s.rn + 1)
+        |SELECT user_id, rn, x, ewma FROM s ORDER BY user_id, rn""".stripMargin,
     "q_resample_locf" ->
       """WITH obs AS (
         |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

@@ -55,7 +55,11 @@ object WindowQueries {
           when(wholeCnt > 1, round(
             (wholeSum - de).cast("double") / (wholeCnt - 1), 6)).as("w_avg_excl"),
           // EXCLUDE GROUP (peers = equal sort value) == S - peer sum
-          (wholeSum - sum(de).over(peers)).cast("double").as("w_grp_excl"))
+          (wholeSum - sum(de).over(peers)).cast("double").as("w_grp_excl"),
+          // EXCLUDE TIES (peers minus self stay out; self stays in)
+          // == S - peer sum + v
+          (wholeSum - sum(de).over(peers) + de).cast("double")
+            .as("w_ties_excl"))
         .orderBy(col("k1"), col("k2"))
     }),
     "q_window_rank" -> ((s, dir) => {
@@ -205,7 +209,10 @@ object WindowQueries {
         |    / (count(*) OVER (PARTITION BY f) - 1), 6) AS w_avg_excl,
         |  CAST(sum(de) OVER (PARTITION BY f ORDER BY sd
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
-        |    EXCLUDE GROUP) AS DOUBLE) AS w_grp_excl
+        |    EXCLUDE GROUP) AS DOUBLE) AS w_grp_excl,
+        |  CAST(sum(de) OVER (PARTITION BY f ORDER BY sd
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        |    EXCLUDE TIES) AS DOUBLE) AS w_ties_excl
         |FROM b ORDER BY k1, k2""".stripMargin,
     "q_window_rank" ->
       """SELECT o_orderpriority, o_orderkey,

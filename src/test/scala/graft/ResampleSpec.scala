@@ -54,4 +54,19 @@ class ResampleSpec extends SparkSpec {
       .orderBy("day").as[(Long, Date, Double)].collect().map(_._3).toSeq
     assert(got == Seq(10.0, 15.0, 20.0, 25.0, 30.0, 30.0, 30.0, 30.0))
   }
+
+  test("ewma: recursive fold matches closed form, seeds at x1, isolates keys") {
+    // (key, ord, tiebreak, x); key 2 checks ties break on the third col
+    val src = Seq(
+      (1L, 1L, 0L, 8.0), (1L, 2L, 0L, 4.0), (1L, 3L, 0L, 0.0),
+      (2L, 1L, 2L, 100.0), (2L, 1L, 1L, 0.0)
+    ).toDS()
+    val got = Resample.ewma(src, alpha = 0.5)
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    // key 1: y1=8, y2=.5*4+.5*8=6, y3=.5*0+.5*6=3
+    assert(got.filter(_._1 == 1L).map(_._4) == Seq(8.0, 6.0, 3.0))
+    // key 2: tie on ord -> tiebreak orders (0.0 first): y1=0, y2=50
+    assert(got.filter(_._1 == 2L).map(r => (r._2, r._4)) ==
+      Seq((1L, 0.0), (2L, 50.0)))
+  }
 }

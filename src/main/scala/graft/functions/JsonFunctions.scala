@@ -853,6 +853,61 @@ object JsonFunctions {
       }.orNull
   }
 
+  /** JSON_COMPACT(doc) — minimal rendering, no whitespace at all
+    * (ref func_json_format.cpp FORMAT_COMPACT). Jackson's default
+    * writer is exactly this form. */
+  case class JsonCompact(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "json_compact"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def nullSafeEval(d: Any): Any =
+      parse(d.asInstanceOf[UTF8String]).map { n =>
+        UTF8String.fromString(mapper.writeValueAsString(n))
+      }.orNull
+  }
+
+  /** JSON_LOOSE(doc) — MariaDB's single-line "loose" rendering: one
+    * space after every ',' and ':', nothing else
+    * (ref func_json_format.cpp FORMAT_LOOSE). */
+  case class JsonLoose(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "json_loose"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    private def render(n: JsonNode, sb: java.lang.StringBuilder): Unit =
+      if (n.isObject) {
+        sb.append('{')
+        val it = n.fields()
+        var first = true
+        while (it.hasNext) {
+          val e = it.next()
+          if (!first) sb.append(", ")
+          first = false
+          sb.append(mapper.writeValueAsString(
+            mapper.getNodeFactory.textNode(e.getKey)))
+          sb.append(": ")
+          render(e.getValue, sb)
+        }
+        sb.append('}')
+      } else if (n.isArray) {
+        sb.append('[')
+        var i = 0
+        while (i < n.size()) {
+          if (i > 0) sb.append(", ")
+          render(n.get(i), sb)
+          i += 1
+        }
+        sb.append(']')
+      } else sb.append(mapper.writeValueAsString(n))
+    override def nullSafeEval(d: Any): Any =
+      parse(d.asInstanceOf[UTF8String]).map { n =>
+        val sb = new java.lang.StringBuilder
+        render(n, sb)
+        UTF8String.fromString(sb.toString)
+      }.orNull
+  }
+
   /** JSON_TABLE analog (MariaDB 10.6 front end, `sql/json_table.cc`;
     * the reference runs it through that front end). A JSON column
     * becomes a relational rowset: scalar COLUMNS parse in ONE
@@ -933,5 +988,7 @@ object JsonFunctions {
     reg.createOrReplaceTempFunction("json_array_mysql",
       es => JsonArrayBuild(es), "built-in")
     f1("json_pretty", JsonPretty)
+    f1("json_compact", JsonCompact)
+    f1("json_loose", JsonLoose)
   }
 }

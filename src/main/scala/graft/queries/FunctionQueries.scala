@@ -158,6 +158,8 @@ object FunctionQueries {
           "round(sin(o_orderkey % 10), 6) AS m_sin",
           "round(cos(o_orderkey % 10), 6) AS m_cos",
           "round(atan2(o_totalprice, 1000.0), 6) AS m_atan2",
+          "round(tan(o_orderkey % 10), 6) AS m_tan",
+          "round(atan(o_orderkey % 10), 6) AS m_atan",
           "round(cot(1 + o_orderkey % 7), 6) AS m_cot",
           "round(degrees(1.0), 6) AS m_deg",
           "round(radians(180.0), 6) AS m_rad",
@@ -490,6 +492,8 @@ object FunctionQueries {
         |  round(sin(o_orderkey % 10), 6) AS m_sin,
         |  round(cos(o_orderkey % 10), 6) AS m_cos,
         |  round(atan2(o_totalprice, 1000.0), 6) AS m_atan2,
+        |  round(tan(o_orderkey % 10), 6) AS m_tan,
+        |  round(atan(o_orderkey % 10), 6) AS m_atan,
         |  round(cot(1 + o_orderkey % 7), 6) AS m_cot,
         |  round(degrees(1.0), 6) AS m_deg,
         |  round(radians(180.0), 6) AS m_rad,

@@ -70,6 +70,20 @@ object JsonQueries {
     // array_insert/search/value/query/merge_preserve/object/array).
     // Docs are constructed per row so every oracle expectation is an
     // exact string/int expression in DuckDB.
+    // JSON_COMPACT / JSON_LOOSE rendering (ref func_json_format.cpp):
+    // the roundtrip column proves compact∘loose is identity on the
+    // constructed doc; the literal column proves ','/':' INSIDE string
+    // values are untouched and empty containers render bare.
+    "q_fn_json_format" -> ((s, dir) => {
+      JsonFunctions.register(s)
+      t(s, dir, "orders").filter(col("o_orderkey") < 500)
+        .selectExpr(
+          "o_orderkey",
+          s"json_compact(json_loose($sparkDoc)) AS j_rt",
+          s"json_loose($sparkDoc) AS j_loose",
+          """json_loose('{"s": "x, y: z", "e": {}, "ea": []}') AS j_strsafe""")
+        .orderBy(col("o_orderkey"))
+    }),
     "q_fn_json3" -> ((s, dir) => {
       JsonFunctions.register(s)
       val varArr = "concat('[', repeat('7,', cast(o_orderkey % 4 AS INT)), '9]')"
@@ -126,6 +140,13 @@ object JsonQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_fn_json_format" ->
+      s"""SELECT o_orderkey,
+        |  $duckDoc AS j_rt,
+        |  ('{"a": ' || (o_orderkey % 10) || ', "b": {"c": "' || o_orderstatus ||
+        |   '"}, "arr": [1, 2, ' || (o_orderkey % 5) || ']}') AS j_loose,
+        |  '{"s": "x, y: z", "e": {}, "ea": []}' AS j_strsafe
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
     "q_fn_json" ->
       """SELECT event_id,
         |  json_extract_string(props, '$.k') AS j_k,

@@ -263,4 +263,35 @@ class FunctionsSpec extends SparkSpec {
     assert(r.isNullAt(4))
     assert(r.getString(5) == "plain ascii")        // identity on ASCII
   }
+
+  test("digest family matches published test vectors (ref func_crc32/func_sha)") {
+    // DuckDB has no crc32/sha1/sha512, so the oracle can't cross-check
+    // these — pin them to the published CRC-32 (ISO 3309) and NIST FIPS
+    // 180 vectors instead.
+    val r = Seq(1).toDF("x").selectExpr(
+      "crc32('')", "crc32('abc')",
+      "crc32('The quick brown fox jumps over the lazy dog')",
+      "sha1('')", "sha1('abc')", "sha2('abc', 512)", "sha2('abc', 224)",
+      "md5('abc')").collect()(0)
+    assert(r.getLong(0) == 0L)
+    assert(r.getLong(1) == 891568578L)             // 0x352441C2
+    assert(r.getLong(2) == 1095738169L)            // 0x414FA339
+    assert(r.getString(3) == "da39a3ee5e6b4b0d3255bfef95601890afd80709")
+    assert(r.getString(4) == "a9993e364706816aba3e25717850c26c9cd0d89d")
+    assert(r.getString(5) == ("ddaf35a193617abacc417349ae20413112e6fa4e89a97ea2" +
+      "0a9eeee64b55d39a2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f"))
+    assert(r.getString(6) == "23097d223405d8228642a477bda255b32aadbce4bda0b3f7e36c9da7")
+    assert(r.getString(7) == "900150983cd24fb0d6963f7d28e17f72")
+  }
+
+  test("json_compact / json_loose render MariaDB's documented formats") {
+    JsonFunctions.register(spark)
+    val doc = """{ "a" : [ 1, 2 , {"b" : "x, y: z"} ] , "c": {} }"""
+    val r = Seq(doc).toDF("j")
+      .selectExpr("json_compact(j)", "json_loose(j)",
+        "json_compact('not json')").collect()(0)
+    assert(r.getString(0) == """{"a":[1,2,{"b":"x, y: z"}],"c":{}}""")
+    assert(r.getString(1) == """{"a": [1, 2, {"b": "x, y: z"}], "c": {}}""")
+    assert(r.isNullAt(2))                          // malformed -> NULL
+  }
 }

@@ -114,4 +114,59 @@ object Resample {
       }
     }
   }
+
+  /** Holt double-exponential smoothing — level + trend:
+    * l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1}),
+    * b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}, seeded l_1 = x_1,
+    * b_1 = 0. Same execution shape as [[ewma]] (one shuffle, in-sort
+    * fold, O(1) state per series). Returns
+    * (key, rn, x, level, trend); the one-step-ahead forecast is
+    * level + trend. α/β exactly-representable doubles keep the
+    * output bit-reproducible cross-engine. */
+  def holt(ds: org.apache.spark.sql.Dataset[(Long, Long, Long, Double)],
+      alpha: Double, beta: Double)
+      : org.apache.spark.sql.Dataset[(Long, Long, Double, Double, Double)] = {
+    import ds.sparkSession.implicits._
+    val named = ds.toDF("_1", "_2", "_3", "_4").as[(Long, Long, Long, Double)]
+    named.groupByKey(_._1).flatMapSortedGroups($"_2", $"_3") { (k, it) =>
+      var l = 0.0
+      var b = 0.0
+      var rn = 0L
+      it.map { case (_, _, _, x) =>
+        rn += 1
+        if (rn == 1L) { l = x; b = 0.0 }
+        else {
+          val nl = alpha * x + (1 - alpha) * (l + b)
+          b = beta * (nl - l) + (1 - beta) * b
+          l = nl
+        }
+        (k, rn, x, l, b)
+      }
+    }
+  }
+
+  /** Tabular CUSUM change detection (Page): the recursive pair
+    * sp_t = max(0, sp_{t−1} + (x_t − target − slack)),
+    * sn_t = min(0, sn_{t−1} + (x_t − target + slack)),
+    * both starting from 0 BEFORE the first observation (so row 1
+    * already applies the step). A drift alarm fires when sp > h or
+    * sn < −h. Same one-shuffle sorted-fold shape as [[ewma]].
+    * Returns (key, rn, x, sp, sn, alarm). */
+  def cusum(ds: org.apache.spark.sql.Dataset[(Long, Long, Long, Double)],
+      target: Double, slack: Double, h: Double)
+      : org.apache.spark.sql.Dataset[(Long, Long, Double, Double, Double, Boolean)] = {
+    import ds.sparkSession.implicits._
+    val named = ds.toDF("_1", "_2", "_3", "_4").as[(Long, Long, Long, Double)]
+    named.groupByKey(_._1).flatMapSortedGroups($"_2", $"_3") { (k, it) =>
+      var sp = 0.0
+      var sn = 0.0
+      var rn = 0L
+      it.map { case (_, _, _, x) =>
+        rn += 1
+        sp = math.max(0.0, sp + (x - target - slack))
+        sn = math.min(0.0, sn + (x - target + slack))
+        (k, rn, x, sp, sn, sp > h || sn < -h)
+      }
+    }
+  }
 }

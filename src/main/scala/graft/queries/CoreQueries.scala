@@ -295,6 +295,21 @@ object CoreQueries {
         .limit(15).offset(5)
         .select(col("o_orderkey"), col("o_totalprice"))
     }),
+    // FETCH FIRST n ROWS WITH TIES (MariaDB 10.6 front end). Spark
+    // has no WITH TIES and the naive rank()-over-global-order rewrite
+    // funnels the whole table through ONE partition — instead: find
+    // the k-th sort value with a distributed TakeOrderedAndProject,
+    // broadcast that 1-row threshold, and filter at the scan. The
+    // oracle is DuckDB's independent QUALIFY rank() formulation.
+    "q_topk_ties" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderdate").as("d"))
+      val bound = base.orderBy(col("d").desc).limit(50)
+        .agg(min(col("d")).as("_bound"))
+      base.join(broadcast(bound), col("d") >= col("_bound"))
+        .select(col("k"), col("d"))
+        .orderBy(col("d").desc, col("k"))
+    }),
     "q_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus"))
         .distinct().orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -557,6 +572,10 @@ object CoreQueries {
     "q_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5""".stripMargin,
+    "q_topk_ties" ->
+      """SELECT o_orderkey AS k, o_orderdate AS d FROM orders
+        |QUALIFY rank() OVER (ORDER BY o_orderdate DESC) <= 50
+        |ORDER BY d DESC, k""".stripMargin,
     "q_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,

@@ -57,6 +57,34 @@ object ResampleQueries {
         .toDF("user_id", "rn", "x", "ewma")
         .orderBy(col("user_id"), col("rn"))
     }),
+    "q_holt" -> ((s, dir) => {
+      // Holt level+trend smoothing, same sorted-fold execution as
+      // q_ewma; DuckDB replays the two mutually-recursive states in
+      // one recursive CTE (the recursive term computes the new level
+      // in a subquery so the trend update can reference it). α=0.5,
+      // β=0.25 — exact doubles, identical op order, bit-exact match.
+      import s.implicits._
+      val src = t(s, dir, "events").filter(col("user_id") < 40)
+        .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+          col("value").cast("double"))
+        .as[(Long, Long, Long, Double)]
+      Resample.holt(src, alpha = 0.5, beta = 0.25)
+        .toDF("user_id", "rn", "x", "level", "trend")
+        .orderBy(col("user_id"), col("rn"))
+    }),
+    "q_cusum" -> ((s, dir) => {
+      // Page's tabular CUSUM drift detector over each user's series
+      // (target 50, slack 1.5, alarm threshold 100) — the recursive
+      // max(0, ...)/min(0, ...) pair no window frame can express.
+      import s.implicits._
+      val src = t(s, dir, "events").filter(col("user_id") < 40)
+        .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+          col("value").cast("double"))
+        .as[(Long, Long, Long, Double)]
+      Resample.cusum(src, target = 50.0, slack = 1.5, h = 100.0)
+        .toDF("user_id", "rn", "x", "sp", "sn", "alarm")
+        .orderBy(col("user_id"), col("rn"))
+    }),
     "q_resample_interp" -> ((s, dir) => {
       val obs = t(s, dir, "events").filter(col("user_id") < 20)
         .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
@@ -84,6 +112,43 @@ object ResampleQueries {
         |    CAST(0.25 AS DOUBLE)*o.x + CAST(0.75 AS DOUBLE)*s.ewma
         |  FROM o JOIN s ON o.user_id = s.user_id AND o.rn = s.rn + 1)
         |SELECT user_id, rn, x, ewma FROM s ORDER BY user_id, rn""".stripMargin,
+    "q_holt" ->
+      """WITH RECURSIVE o AS (
+        |  SELECT user_id, CAST(value AS DOUBLE) AS x,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS rn
+        |  FROM events WHERE user_id < 40),
+        |s AS (
+        |  SELECT user_id, rn, x, x AS level, CAST(0 AS DOUBLE) AS trend
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT user_id, rn, x, nl,
+        |    CAST(0.25 AS DOUBLE)*(nl - l0) + CAST(0.75 AS DOUBLE)*b0
+        |  FROM (SELECT o.user_id, o.rn, o.x,
+        |          CAST(0.5 AS DOUBLE)*o.x
+        |            + CAST(0.5 AS DOUBLE)*(s.level + s.trend) AS nl,
+        |          s.level AS l0, s.trend AS b0
+        |        FROM o JOIN s ON o.user_id = s.user_id AND o.rn = s.rn + 1) q)
+        |SELECT user_id, rn, x, level, trend FROM s
+        |ORDER BY user_id, rn""".stripMargin,
+    "q_cusum" ->
+      """WITH RECURSIVE o AS (
+        |  SELECT user_id, CAST(value AS DOUBLE) AS x,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS rn
+        |  FROM events WHERE user_id < 40),
+        |s AS (
+        |  SELECT user_id, rn, x,
+        |    greatest(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE) + (x - 50.0 - 1.5)) AS sp,
+        |    least(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE) + (x - 50.0 + 1.5)) AS sn
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.rn, o.x,
+        |    greatest(CAST(0 AS DOUBLE), s.sp + (o.x - 50.0 - 1.5)),
+        |    least(CAST(0 AS DOUBLE), s.sn + (o.x - 50.0 + 1.5))
+        |  FROM o JOIN s ON o.user_id = s.user_id AND o.rn = s.rn + 1)
+        |SELECT user_id, rn, x, sp, sn, (sp > 100.0 OR sn < -100.0) AS alarm
+        |FROM s ORDER BY user_id, rn""".stripMargin,
     "q_resample_locf" ->
       """WITH obs AS (
         |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

@@ -209,6 +209,52 @@ object StreamingOps {
       }
   }
 
+  final case class SmoothState(ewma: Double, sp: Double, sn: Double,
+      seeded: Boolean, lastTs: Long, lastEid: Long)
+  final case class Smoothed(user_id: Long, ts: java.sql.Timestamp,
+      value: Double, ewma: Double, sp: Double, sn: Double, alarm: Boolean)
+
+  /** Streaming twin of `Resample.ewma` + `Resample.cusum` — the
+    * continuous drift monitor: every accepted event updates the key's
+    * EWMA and Page CUSUM pair with the SAME recurrences as the batch
+    * operators (identical doubles in, identical smoothed series out),
+    * and emits the smoothed row with its alarm flag.
+    *
+    * State per key is four scalars + the last accepted (ts, event_id)
+    * position — O(keys), independent of stream age. Within a
+    * micro-batch events sort by (ts, event_id); an event at or before
+    * the key's last accepted position arrived late beyond repair and
+    * is dropped (an Append sink can't retract the smoothed rows that
+    * followed it — same split as locfStream: the batch operators own
+    * backfilled reprocessing). */
+  def driftStream(spark: SparkSession, events: Dataset[Event],
+      alpha: Double, target: Double, slack: Double, h: Double): Dataset[Smoothed] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SmoothState, Smoothed](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[SmoothState]) =>
+          var st = state.getOption.getOrElse(
+            SmoothState(0.0, 0.0, 0.0, seeded = false, Long.MinValue, Long.MinValue))
+          val out = Seq.newBuilder[Smoothed]
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            if (t > st.lastTs || (t == st.lastTs && e.event_id > st.lastEid)) {
+              val ewma =
+                if (!st.seeded) e.value
+                else alpha * e.value + (1 - alpha) * st.ewma
+              val sp = math.max(0.0, st.sp + (e.value - target - slack))
+              val sn = math.min(0.0, st.sn + (e.value - target + slack))
+              st = SmoothState(ewma, sp, sn, seeded = true, t, e.event_id)
+              out += Smoothed(uid, e.ts, e.value, ewma, sp, sn,
+                alarm = sp > h || sn < -h)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
 
   /** Streaming EXACT dedup with bounded state: the first occurrence

@@ -19,9 +19,11 @@ class PlanGuardSpec extends SparkSpec {
   // frame (N/avgdl, totals/vocab, the temperature (N, Z) pair) — the
   // same bounded shape as q_sketch_approx. q_curriculum crossJoins a
   // 1-row broadcast percentile-thresholds frame (same class).
+  // q_topk_ties joins the 1-row broadcast k-th-value threshold (the
+  // WITH TIES rewrite) — same bounded class.
   private val allowNestedLoop =
     Set("q_join_cross", "q_ann_brute", "q_hard_negatives", "q_sketch_approx",
-      "q_const_projection",
+      "q_const_projection", "q_topk_ties",
       "q_decontam_semantic", "q_bm25_topk", "q_lm_entropy", "q_importance_weights",
       "q_source_kl", "q_lm_bigram", "q_lm_trigram", "q_sample_temperature",
       "q_curriculum", "q_mix_epochs")

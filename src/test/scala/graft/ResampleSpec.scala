@@ -69,4 +69,24 @@ class ResampleSpec extends SparkSpec {
     assert(got.filter(_._1 == 2L).map(r => (r._2, r._4)) ==
       Seq((1L, 0.0), (2L, 50.0)))
   }
+
+  test("holt: level/trend recursion matches hand-computed values") {
+    val src = Seq((1L, 1L, 0L, 10.0), (1L, 2L, 0L, 20.0), (1L, 3L, 0L, 30.0)).toDS()
+    val got = Resample.holt(src, alpha = 0.5, beta = 0.5)
+      .collect().sortBy(_._2).toSeq
+    // rn2: l=.5*20+.5*10=15, b=.5*5=2.5; rn3: l=.5*30+.5*17.5=23.75,
+    // b=.5*8.75+.5*2.5=5.625
+    assert(got.map(r => (r._4, r._5)) ==
+      Seq((10.0, 0.0), (15.0, 2.5), (23.75, 5.625)))
+  }
+
+  test("cusum: one-sided sums clamp at zero and alarm past h") {
+    val src = Seq(12.0, 13.0, 9.0, 5.0, 5.0).zipWithIndex
+      .map { case (x, i) => (1L, i.toLong, 0L, x) }.toDS()
+    val got = Resample.cusum(src, target = 10.0, slack = 1.0, h = 5.0)
+      .collect().sortBy(_._2).toSeq
+    assert(got.map(_._4) == Seq(1.0, 3.0, 1.0, 0.0, 0.0))      // sp
+    assert(got.map(_._5) == Seq(0.0, 0.0, 0.0, -4.0, -8.0))    // sn
+    assert(got.map(_._6) == Seq(false, false, false, false, true))
+  }
 }

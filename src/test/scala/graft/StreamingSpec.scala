@@ -391,4 +391,29 @@ class StreamingSpec extends SparkSpec {
     StreamingOps.ingest(input.toDF(), out, ckpt)
     assert(spark.read.parquet(out).count() == 20)
   }
+
+  test("driftStream: EWMA+CUSUM recurrences carry across batches, late events drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingOps.driftStream(spark, input.toDS(),
+        alpha = 0.5, target = 10.0, slack = 0.0, h = 25.0)
+      .writeStream.format("memory").queryName("drift")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: user 1 at :01 (x=10) and :02 (x=20)
+    input.addData(ev(1, 1, 1, "m", 10.0), ev(2, 2, 1, "m", 20.0))
+    q.processAllAvailable()
+    // batch 2: :03 (x=30) continues the recursion from carried state;
+    // the :01 duplicate is late beyond repair and must be dropped
+    input.addData(ev(3, 3, 1, "m", 30.0), ev(4, 1, 1, "m", 99.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT * FROM drift ORDER BY ts")
+      .as[StreamingOps.Smoothed].collect().toSeq
+    // ewma: 10, .5*20+.5*10=15, .5*30+.5*15=22.5 — identical to the
+    // batch Resample.ewma recurrence; late x=99 emitted nothing
+    assert(rows.map(_.ewma) == Seq(10.0, 15.0, 22.5))
+    // cusum sp: max(0,0+0)=0, max(0,0+10)=10, max(0,10+20)=30 -> alarm
+    assert(rows.map(_.sp) == Seq(0.0, 10.0, 30.0))
+    assert(rows.map(_.alarm) == Seq(false, false, true))
+  }
 }

@@ -673,6 +673,83 @@ object Dedup {
       prefixFilter: Boolean = true): Long =
     jaccardCandidates(docs, id, text, shingleN, threshold, prefixFilter).count()
 
+  /** Asymmetric CONTAINMENT near-dup join: directed pairs (a, b) with
+    * |A∩B| / |A| ≥ t — the quote-inclusion / subset-duplication case
+    * Jaccard structurally misses (a short doc fully embedded in a long
+    * one has J = |A|/|B| → 0 but containment 1.0). Classic set-
+    * similarity-join literature (probe-count / asymmetric PPJoin).
+    *
+    * Scale shape: the probe side explodes only each doc's PREFIX
+    * under the global (df asc, shingle) canonical order — prefix len
+    * |A| − ⌈t·|A|⌉ + 1, the pigeonhole bound for containment: if no
+    * prefix element hits B, at most ⌈t·|A|⌉ − 1 common elements
+    * remain, below the requirement. The index side must carry ALL
+    * shingles (containment puts no lower bound on how much of B
+    * matters), so the join is probe-prefix × inverted-index — rare
+    * shingles probe, the positional bound
+    * 1 + min(|A|−ra, |B|−rb) ≥ ⌈t·|A|⌉ and the length bound
+    * |B| ≥ t·|A| prune before the distinct's shuffle. The first
+    * common element in canonical order always survives both bounds,
+    * so recall is 1.0 (LlmSpec asserts equality with the unfiltered
+    * join). Verify intersects the two shingle ARRAYS per candidate —
+    * no exploded-row shuffle. */
+  def containmentDupPairs(docs: DataFrame, threshold: Double,
+      id: String = "doc_id", text: String = "text", shingleN: Int = 3,
+      prefixFilter: Boolean = true): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "containment threshold in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val sets = docs.select(col(id).as("_id"),
+      call_function("shingle_set", col(text), lit(shingleN)).as("_set"))
+    val sh = sets.select(col("_id"), size(col("_set")).as("_sz"),
+      explode(col("_set")).as("_ng"))
+    val ranked = if (!prefixFilter) sh.withColumn("_r", lit(1L)) else {
+      val w = Window.partitionBy(col("_id")).orderBy(col("_df"), col("_ng"))
+      val dfTable = sh.groupBy(col("_ng")).agg(count(lit(1)).as("_df"))
+      sh.join(dfTable.hint("shuffle_hash"), Seq("_ng"))
+        .withColumn("_r", row_number().over(w))
+        .select(col("_id"), col("_sz"), col("_ng"), col("_r"))
+    }
+    val probe = (if (!prefixFilter) ranked else ranked.filter(col("_r") <=
+        col("_sz") - ceil(lit(threshold) * col("_sz") - lit(1e-9)) + 1))
+      .select(col("_id").as("id_a"), col("_sz").as("_sza"),
+        col("_ng"), col("_r").as("_ra"))
+    val index = ranked.select(col("_id").as("id_b"), col("_sz").as("_szb"),
+      col("_ng"), col("_r").as("_rb"))
+    val need = ceil(lit(threshold) * col("_sza") - lit(1e-9))
+    val bound = lit(1L) + least(col("_sza") - col("_ra"), col("_szb") - col("_rb"))
+    val cand = probe.join(index, Seq("_ng"))
+      .filter(col("id_a") =!= col("id_b") &&
+        col("_szb").cast(DoubleType) >= lit(threshold) * col("_sza") &&
+        bound >= need)
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sets.select(col("_id").as("id_a"), col("_set").as("_seta")), "id_a")
+      .join(sets.select(col("_id").as("id_b"), col("_set").as("_setb")), "id_b")
+      .withColumn("containment",
+        size(array_intersect(col("_seta"), col("_setb"))).cast(DoubleType) /
+          size(col("_seta")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
+  /** Resolution policy for [[containmentDupPairs]] output: drop every
+    * doc contained in another (keep maximal supersets); when
+    * containment is MUTUAL (near-identical sets, both directions
+    * emitted) keep the smaller id so exact-dup groups keep exactly one
+    * member. Chains resolve naturally: a ⊆ b ⊆ c drops a and b, keeps
+    * c. The pair table is the only shuffled input — docs are
+    * anti-joined once against the (distinct, pair-sized) drop set. */
+  def dropContained(docs: DataFrame, pairs: DataFrame,
+      id: String = "doc_id"): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val drop = p.as("x").join(p.as("y"),
+        col("x.id_a") === col("y.id_b") && col("x.id_b") === col("y.id_a"),
+        "left_outer")
+      .filter(col("y.id_a").isNull || col("x.id_a") > col("x.id_b"))
+      .select(col("x.id_a").as("_drop")).distinct()
+    docs.join(drop, docs(id) === col("_drop"), "left_anti")
+  }
+
   // ---- cluster resolution (pairs → components → canonical docs) ----
 
   /** Connected components over a dup-pair graph — the step that turns

@@ -133,6 +133,26 @@ object LlmQueries {
       Dedup.jaccardDupPairs(t(s, dir, "documents"), threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_dedup_containment" -> ((s, dir) => {
+      // Asymmetric containment join |A∩B|/|A| ≥ 0.8 — catches the
+      // short-doc-embedded-in-long-doc duplication Jaccard misses.
+      // Probe-prefix × inverted-index with positional + length
+      // bounds, recall 1.0 (LlmSpec); DuckDB replays directed
+      // all-pairs containment over the same shingle sets, and the
+      // int/int → double quotient matches bit-exact.
+      Dedup.containmentDupPairs(t(s, dir, "documents"), threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_dedup_subsumed" -> ((s, dir) => {
+      // Containment-resolution view: corpus minus docs contained
+      // (≥ 0.8) in another doc — mutual containment keeps the smaller
+      // id. DuckDB replays pairs + the NOT EXISTS drop policy.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.containmentDupPairs(docs, threshold = 0.8)
+      Dedup.dropContained(docs, pairs)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
     "q_simhash_md5" -> ((s, dir) => {
       // Oracle-checked SIGNATURE construction: simhash over
       // md5-derived 60-bit token hashes — DuckDB recomputes every
@@ -537,6 +557,43 @@ object LlmQueries {
         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      ELSE [txt] END) AS s
+        |  FROM (SELECT doc_id, lower(text) AS txt,
+        |          list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0) AS toks
+        |        FROM documents))
+        |SELECT id_a, id_b, containment FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) AS containment
+        |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id) t
+        |WHERE containment >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_subsumed" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      ELSE [txt] END) AS s
+        |  FROM (SELECT doc_id, lower(text) AS txt,
+        |          list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0) AS toks
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.8),
+        |dropset AS (
+        |  SELECT DISTINCT p.id_a FROM pairs p
+        |  WHERE NOT EXISTS (SELECT 1 FROM pairs r
+        |                    WHERE r.id_a = p.id_b AND r.id_b = p.id_a)
+        |     OR p.id_a > p.id_b)
+        |SELECT d.doc_id, d.source FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM dropset x WHERE x.id_a = d.doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_cosine" ->
       """SELECT id_a, id_b, cosine FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -76,6 +76,41 @@ class LlmSpec extends SparkSpec {
       s"prefix candidates $candPref vs full $candFull — filter must bite")
   }
 
+  test("containment join: recall 1.0 vs unfiltered, finds embedded docs jaccard misses") {
+    // a short doc fully contained in a long one: containment flags it,
+    // jaccard (at any useful threshold) cannot
+    val short_ = "the quick brown fox jumps over the lazy dog"
+    val long_ = short_ + " and then it ran far away across the wide field" +
+      " while the dog slept on under the old oak tree near the river"
+    val docs = Seq((1L, short_), (2L, long_), (3L, "completely different text here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentDupPairs(docs, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)), s"got $got")   // directed: short ⊆ long only
+    assert(Dedup.jaccardDupPairs(docs, threshold = 0.5).count() == 0)
+    // exactness of the prefix+positional+length pruning on real docs
+    val real = Tables.t(spark, sfDir, "documents").filter(col("doc_id") < 300)
+    for (th <- Seq(0.5, 0.8)) {
+      val pref = Dedup.containmentDupPairs(real, th)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val naive = Dedup.containmentDupPairs(real, th, prefixFilter = false)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pref == naive,
+        s"t=$th missing=${naive -- pref} spurious=${pref -- naive}")
+    }
+  }
+
+  test("dropContained: supersets survive, mutual containment keeps min id, chains fold") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+    // 1 ⊆ 2 ⊆ 3 (chain); 4 ≡ 5 (mutual); 9 untouched
+    val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 0.9),
+      (4L, 5L, 1.0), (5L, 4L, 1.0)).toDF("id_a", "id_b", "containment")
+    val kept = Dedup.dropContained(docs, pairs)
+      .as[Long].collect().toSet
+    assert(kept == Set(3L, 4L, 9L), s"got $kept")
+  }
+
   test("nearDedupBest keeps the argmax-score member per cluster, ties to min id") {
     import spark.implicits._
     // two clusters {1,2,3} and {10,11}, singleton 20

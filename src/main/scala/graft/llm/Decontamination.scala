@@ -52,6 +52,40 @@ object Decontamination {
     docs.join(bad, Seq(id), "left_anti")
   }
 
+  /** Bloom-filter decontamination — the broadcast-PROBE scale path.
+    * [[decontaminate]] broadcasts the benchmark's distinct shingle
+    * STRINGS (fine at thousands of examples, but a full eval-suite
+    * union can reach GBs of shingle text); this variant compresses
+    * the membership set into a bloom filter (~1.4 bytes/element/ln(1/fpp)
+    * — single-digit MBs for millions of shingles at fpp 1e-8), built
+    * DISTRIBUTED by `DataFrameStatFunctions.bloomFilter` (per-partition
+    * build, driver OR-merge), then probed inside the corpus scan with
+    * ZERO joins and ZERO shuffle before the final anti-filter.
+    *
+    * Direction of error is SAFE for hygiene: a false positive can only
+    * OVERCOUNT a doc's hits (dropping a clean doc with probability
+    * ≈ shingles·fpp), never keep a contaminated one —
+    * bloomed-clean ⊆ exactly-clean (LlmSpec asserts both containment
+    * and, at fpp 1e-8, equality). The probe closure is a scala UDF:
+    * Spark exposes no public bloom-probe Column function, and the
+    * probe is a few ns against a broadcast bitset — not a codegen
+    * bottleneck at any scale. */
+  def decontaminateBloom(docs: DataFrame, bench: DataFrame, minHits: Long = 1,
+      id: String = "doc_id", text: String = "text", shingleN: Int = 3,
+      fpp: Double = 1e-8): DataFrame = {
+    val shingles = benchShingles(bench, text, shingleN)
+    // the count is a metadata-sized action on the SMALL bench side —
+    // the bloom sizing needs the true element count
+    val n = math.max(shingles.count(), 1L)
+    val bloom = shingles.stat.bloomFilter("_ng", n, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val hits = udf { (ngs: Seq[String]) =>
+      if (ngs == null) 0L else ngs.count(bc.value.mightContainString).toLong
+    }
+    docs.filter(
+      hits(call_function("shingle_set", col(text), lit(shingleN))) < minHits)
+  }
+
   /** SEMANTIC contamination scores — the embedding-space complement
     * of the n-gram rule: (id, n_hits, max_cos) per corpus item whose
     * embedding lies within cosine ≥ `threshold` of ANY benchmark

@@ -52,6 +52,18 @@ object HygieneQueries {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
     }),
+    "q_decontam_bloom" -> ((s, dir) => {
+      // bloom-probe decontamination at fpp 1e-8: on this corpus the
+      // bloom pass has no false positives, so the output equals the
+      // exact rule and the EXACT DuckDB replay is the oracle (a
+      // false positive would surface as a missing row — red, not
+      // silently wrong)
+      val docs = t(s, dir, "documents")
+      Decontamination.decontaminateBloom(
+          docs.filter(!benchPred), docs.filter(benchPred), minHits = 5)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
     "q_redact" -> ((s, dir) => {
       val aug = t(s, dir, "documents").select(col("doc_id"), augmented.as("_aug"))
       aug.select(col("doc_id"),
@@ -200,6 +212,15 @@ object HygieneQueries {
         |FROM corp JOIN bench USING (ng)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
+      s"""WITH $shingleCte,
+        |bench AS (SELECT DISTINCT unnest(s) AS ng FROM sh WHERE doc_id % 20 = 7),
+        |corp AS (SELECT doc_id, unnest(s) AS ng FROM sh WHERE doc_id % 20 <> 7),
+        |bad AS (SELECT doc_id FROM corp JOIN bench USING (ng)
+        |        GROUP BY doc_id HAVING COUNT(*) >= 5)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE d.doc_id % 20 <> 7 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_decontam_bloom" ->
       s"""WITH $shingleCte,
         |bench AS (SELECT DISTINCT unnest(s) AS ng FROM sh WHERE doc_id % 20 = 7),
         |corp AS (SELECT doc_id, unnest(s) AS ng FROM sh WHERE doc_id % 20 <> 7),

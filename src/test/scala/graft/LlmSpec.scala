@@ -100,6 +100,26 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("bloom decontamination: never keeps a contaminated doc; exact at tiny fpp") {
+    import graft.llm.Decontamination
+    val docs = Tables.t(spark, sfDir, "documents")
+    val bench = docs.filter(col("doc_id") % 20 === 7)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 7)
+    val exact = Decontamination.decontaminate(corpus, bench, minHits = 5)
+      .select("doc_id").as[Long].collect().toSet
+    val bloomed = Decontamination.decontaminateBloom(corpus, bench, minHits = 5)
+      .select("doc_id").as[Long].collect().toSet
+    // safety direction: bloom FPs can only drop MORE docs, never keep
+    // a contaminated one
+    assert(bloomed.subsetOf(exact))
+    // at fpp 1e-8 on this corpus the pass is exact
+    assert(bloomed == exact, s"bloom dropped clean docs: ${exact -- bloomed}")
+    // a deliberately terrible fpp must still satisfy the containment
+    val sloppy = Decontamination.decontaminateBloom(corpus, bench,
+        minHits = 5, fpp = 0.5).select("doc_id").as[Long].collect().toSet
+    assert(sloppy.subsetOf(exact))
+  }
+
   test("dropContained: supersets survive, mutual containment keeps min id, chains fold") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")

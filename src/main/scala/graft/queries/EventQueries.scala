@@ -59,6 +59,53 @@ object EventQueries {
         .select(col("user_id"), col("start_day"), col("end_day"), col("n_days"))
         .orderBy(col("user_id"), col("start_day"))
     }),
+    "q_rfm" -> ((s, dir) => {
+      // RFM segmentation: per-user recency/frequency/monetary rollup +
+      // global quintile scores. The quintile ntile runs on the
+      // |users|-sized AGGREGATE frame (not the event stream) with a
+      // user_id tiebreak for a deterministic total order; at 1e9-user
+      // scale swap the ntile for broadcast quantile-boundary
+      // bucketing — the rollup itself is one partial-aggregable
+      // groupBy however many events feed it.
+      import org.apache.spark.sql.expressions.Window
+      val ref = to_date(lit("2024-02-01"))
+      val base = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(datediff(ref, max(to_date(col("ts")))).as("recency_days"),
+          count(lit(1)).as("frequency"),
+          sumDec(col("value")).as("monetary"))
+      base.select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary"),
+          ntile(5).over(Window.orderBy(col("recency_days"), col("user_id")))
+            .as("r_score"),
+          ntile(5).over(Window.orderBy(col("frequency").desc, col("user_id")))
+            .as("f_score"),
+          ntile(5).over(Window.orderBy(col("monetary").desc, col("user_id")))
+            .as("m_score"))
+        .orderBy(col("user_id"))
+    }),
+    "q_twap" -> ((s, dir) => {
+      // Time-weighted average value per (user, day): each observation
+      // weighted by the exact microseconds until the next observation
+      // that day (the last one carries no weight — the TWAP
+      // convention for a closed window). Numerator is an exact
+      // decimal·int64 sum, so the final double division is
+      // bit-identical cross-engine. One shuffle (user, day).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"),
+          col("event_id"), col("value"))
+        .withColumn("_dt",
+          lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+        .filter(col("_dt").isNotNull)
+        .groupBy(col("user_id"), col("day"))
+        .agg((d(sum(dec(col("value")) * col("_dt"))) / d(sum(col("_dt"))))
+            .as("twap"),
+          (count(lit(1)) + 1).as("n_events"))
+        .orderBy(col("user_id"), col("day"))
+    }),
     "q_event_pattern" -> ((s, dir) => {
       // MATCH_RECOGNIZE-lite: view →(clicks/errors)*→ purchase counted
       // per user as a regex over the symbol-encoded event sequence;
@@ -71,6 +118,33 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_rfm" ->
+      s"""WITH base AS (
+        |  SELECT user_id,
+        |    datediff('day', max(CAST(CAST(ts AS TIMESTAMP) AS DATE)),
+        |             DATE '2024-02-01') AS recency_days,
+        |    count(*) AS frequency,
+        |    ${Q.oSumDec("value")} AS monetary
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(recency_days AS INT) AS recency_days,
+        |  frequency, monetary,
+        |  CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS INT) AS r_score,
+        |  CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS INT) AS f_score,
+        |  CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS INT) AS m_score
+        |FROM base ORDER BY user_id""".stripMargin,
+    "q_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(value AS DECIMAL(18,2)) AS v,
+        |    lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |      PARTITION BY user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+        |      ORDER BY ts, event_id) - epoch_us(CAST(ts AS TIMESTAMP)) AS dt
+        |  FROM events)
+        |SELECT user_id, day,
+        |  CAST(sum(v * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE) AS twap,
+        |  count(*) + 1 AS n_events
+        |FROM e WHERE dt IS NOT NULL
+        |GROUP BY user_id, day ORDER BY user_id, day""".stripMargin,
     "q_funnel" ->
       """WITH e AS (SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS ts,
         |    event_type AS ty FROM events),

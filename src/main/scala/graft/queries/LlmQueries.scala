@@ -369,6 +369,18 @@ object LlmQueries {
           col("p.sample_rate").as("sample_rate"), col("p.channels").as("channels"))
         .orderBy(col("doc_id"))
     }),
+    "q_mm_wav_rms" -> ((s, dir) => {
+      // REAL PCM decode: the WAV body (16-bit LE samples) becomes
+      // windowed RMS energy + per-doc peak with pure codegen builtins
+      // — integer sums of squares, one double sqrt at the end. DuckDB
+      // re-derives the identical samples from the source text's
+      // character codes, so the hash match certifies the byte-level
+      // LE decode, not a stub.
+      val media = Multimodal.mintHeaders(
+        Multimodal.attachPayload(t(s, dir, "documents")))
+      Multimodal.wavRms(media, window = 128)
+        .orderBy(col("doc_id"), col("win_idx"))
+    }),
     "q_mm_features" -> ((s, dir) => {
       // Oracle-checked: the stub "decoder" is a byte histogram over
       // the UTF-8 payload, which DuckDB reproduces byte-for-byte from
@@ -966,6 +978,29 @@ object LlmQueries {
         |  CASE WHEN doc_id % 4 = 2 THEN CAST((doc_id % 6 + 1) * 8000 AS BIGINT) END AS sample_rate,
         |  CASE WHEN doc_id % 4 = 2 THEN CAST(doc_id % 2 + 1 AS BIGINT) END AS channels
         |FROM documents WHERE doc_id < 600 ORDER BY doc_id""".stripMargin,
+    "q_mm_wav_rms" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_transform(range(1, len(text)//2 + 1),
+        |    i -> CASE WHEN ascii(substring(text, 2*i-1, 1))
+        |                   + 256*ascii(substring(text, 2*i, 1)) >= 32768
+        |         THEN ascii(substring(text, 2*i-1, 1))
+        |              + 256*ascii(substring(text, 2*i, 1)) - 65536
+        |         ELSE ascii(substring(text, 2*i-1, 1))
+        |              + 256*ascii(substring(text, 2*i, 1)) END) AS smp
+        |  FROM documents WHERE doc_id % 4 = 2),
+        |b AS (
+        |  SELECT doc_id, CAST(len(smp) AS INT) AS n_samples,
+        |    CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) AS peak, smp
+        |  FROM s WHERE len(smp) >= 128),
+        |e AS (
+        |  SELECT doc_id, n_samples, peak, smp,
+        |    unnest(range(0, n_samples // 128)) AS wi
+        |  FROM b)
+        |SELECT doc_id, n_samples, peak, CAST(wi AS INT) AS win_idx,
+        |  round(sqrt(CAST(list_aggregate(
+        |      list_transform(smp[wi*128+1 : wi*128+128],
+        |        x -> CAST(x AS BIGINT) * x), 'sum') AS DOUBLE) / 128), 6) AS rms
+        |FROM e ORDER BY doc_id, win_idx""".stripMargin,
     "q_mm_frames" ->
       """SELECT doc_id, n_frames, CAST(f AS INT) AS frame_idx
         |FROM (SELECT doc_id, CAST(doc_id % 30 + 1 AS INT) AS n_frames,

@@ -24,6 +24,37 @@ object MiscQueries2 {
     // itself, whose surviving case variant is first-come. Window runs
     // over the 5 GROUPS (post-agg), so the global sort is trivially
     // small at any corpus scale. ----
+    // Prepared-statement analog (MariaDB PREPARE/EXECUTE and
+    // EXECUTE IMMEDIATE ... USING — the reference runs these through
+    // the MariaDB front end): Spark's parameterized SQL binds NAMED
+    // and POSITIONAL markers server-side, exactly the injection-safe
+    // bind-variable contract. The oracle is the same statement with
+    // the literals inlined — a hash match proves binding changes
+    // nothing about semantics.
+    "q_param_query" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders WHERE o_totalprice < :cap AND o_orderstatus = :st
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+        Map("cap" -> 150000.0, "st" -> "F"))
+    }),
+    // Session-variable analog (MySQL @vars / funcexp's user-variable
+    // surface): DECLARE + SET VARIABLE then reference in a query —
+    // Spark 4 session variables give the same statement-to-statement
+    // state handoff.
+    "q_session_vars" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("DECLARE OR REPLACE VARIABLE g_cap DOUBLE DEFAULT 0.0")
+      s.sql("SET VARIABLE g_cap = 120000.0")
+      s.sql("DECLARE OR REPLACE VARIABLE g_pr STRING DEFAULT '1-URGENT'")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n
+          |FROM orders
+          |WHERE o_totalprice < g_cap AND o_orderpriority <> g_pr
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
     "q_fn_histogram" -> ((s, dir) => {
       // equi-width histogram via width_bucket (12 buckets over
       // [0, 600000), plus under/overflow buckets 0 and 13) — the
@@ -168,6 +199,16 @@ object MiscQueries2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_param_query" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_totalprice < 150000.0 AND o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_session_vars" ->
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE o_totalprice < 120000.0 AND o_orderpriority <> '1-URGENT'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_fn_time2" ->
       """SELECT o_orderkey,
         |  printf('%02d:%02d:%02d', sec // 3600, (sec % 3600) // 60, sec % 60) AS a_time,

@@ -106,6 +106,18 @@ object EventQueries {
           (count(lit(1)) + 1).as("n_events"))
         .orderBy(col("user_id"), col("day"))
     }),
+    "q_scd2" -> ((s, dir) => {
+      // SCD Type-2 dimension history from the raw event log: per-user
+      // event_type "state" versions with [valid_from, valid_to)
+      // intervals, no-op repeats suppressed, open version flagged
+      // current. One shuffle (both windows share the partitioning).
+      val log = t(s, dir, "events").filter(col("user_id") < 60)
+        .select(col("user_id"), col("ts").cast("timestamp_ntz").as("ts"),
+          col("event_id"), col("event_type"))
+      graft.operators.Scd2.build(log, key = Seq("user_id"), ts = "ts",
+          attrs = Seq("event_type"), tiebreak = Seq("event_id"))
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
     "q_event_pattern" -> ((s, dir) => {
       // MATCH_RECOGNIZE-lite: view →(clicks/errors)*→ purchase counted
       // per user as a regex over the symbol-encoded event sequence;
@@ -118,6 +130,22 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |  FROM events WHERE user_id < 60),
+        |k AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER w AS prev_t, lag(ts) OVER w AS prev_ts
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |kept AS (
+        |  SELECT user_id, ts, event_id, event_type FROM k
+        |  WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_t)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER w2 AS valid_to,
+        |  lead(ts) OVER w2 IS NULL AS is_current
+        |FROM kept WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from""".stripMargin,
     "q_rfm" ->
       s"""WITH base AS (
         |  SELECT user_id,

@@ -177,4 +177,25 @@ class EventAnalyticsSpec extends SparkSpec {
       (1, 0, 2L, 2L), (1, 1, 1L, 2L), (1, 3, 1L, 2L),
       (2, 0, 1L, 1L), (2, 2, 1L, 1L)))
   }
+
+  test("scd2: no-op suppression, null-safe attr compare, interval chaining") {
+    import spark.implicits._
+    // user 1: A, A (suppressed), B, B (suppressed), A — 3 versions
+    // user 2: null, null (suppressed: null <=> null), X — 2 versions
+    val log = Seq(
+      (1L, 1L, Some("A")), (1L, 2L, Some("A")), (1L, 3L, Some("B")),
+      (1L, 4L, Some("B")), (1L, 5L, Some("A")),
+      (2L, 1L, None), (2L, 2L, None), (2L, 3L, Some("X"))
+    ).toDF("k", "t", "state")
+    val got = graft.operators.Scd2.build(log, key = Seq("k"), ts = "t",
+        attrs = Seq("state"))
+      .orderBy("k", "valid_from")
+      .as[(Long, Option[String], Long, Option[Long], Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, Some("A"), 1L, Some(3L), false),
+      (1L, Some("B"), 3L, Some(5L), false),
+      (1L, Some("A"), 5L, None, true),
+      (2L, None, 1L, Some(3L), false),
+      (2L, Some("X"), 3L, None, true)))
+  }
 }

@@ -118,6 +118,35 @@ object EventQueries {
           attrs = Seq("event_type"), tiebreak = Seq("event_id"))
         .orderBy(col("user_id"), col("valid_from"))
     }),
+    "q_dim_lookup" -> ((s, dir) => {
+      // Point-in-time dimension lookup — the composition proof for
+      // Scd2 + AsOfJoin: purchases build a per-user value-band
+      // dimension history, then every click fact reads the band
+      // valid AT ITS TIMESTAMP via the backward as-of join. DuckDB's
+      // NATIVE ASOF JOIN over the replayed version table is the
+      // oracle — two independent temporal-join implementations must
+      // agree row for row.
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").filter(col("user_id") < 60)
+        .select(col("user_id"), col("ts").cast("timestamp_ntz").as("ts"),
+          col("event_id"), col("event_type"), col("value"))
+      val rn = Window.partitionBy(col("user_id"), col("ts"))
+        .orderBy(col("event_id").desc)
+      val bandLog = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") / 100).cast("int").as("band"))
+        .withColumn("_rn", row_number().over(rn)).filter(col("_rn") === 1)
+        .drop("_rn")
+      val versions = graft.operators.Scd2.build(bandLog, Seq("user_id"),
+          "ts", Seq("band"), Seq("event_id"))
+        .select(col("user_id"), col("valid_from").as("ts"), col("band"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      graft.operators.AsOfJoin.backward(clicks, versions, "user_id", "ts")
+        .select(col("user_id"), col("click_id"),
+          col("_asof.band").as("band"), col("_asof_ts").as("ver_ts"))
+        .orderBy(col("user_id"), col("click_id"))
+    }),
     "q_event_pattern" -> ((s, dir) => {
       // MATCH_RECOGNIZE-lite: view →(clicks/errors)*→ purchase counted
       // per user as a regex over the symbol-encoded event sequence;
@@ -130,6 +159,30 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dim_lookup" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |         event_type, value
+        |  FROM events WHERE user_id < 60),
+        |p0 AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(floor(value/100) AS INT) AS band,
+        |    row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM e WHERE event_type = 'purchase'),
+        |p AS (SELECT user_id, ts, event_id, band FROM p0 WHERE rn = 1),
+        |k AS (
+        |  SELECT user_id, ts, event_id, band,
+        |    lag(band) OVER w AS pb, lag(ts) OVER w AS pts
+        |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |v AS (SELECT user_id, ts, band FROM k
+        |      WHERE pts IS NULL OR band IS DISTINCT FROM pb),
+        |c AS (SELECT user_id, ts, event_id AS click_id FROM e
+        |      WHERE event_type = 'click')
+        |SELECT c.user_id, c.click_id, v.band, v.ts AS ver_ts
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.user_id, c.click_id""".stripMargin,
     "q_scd2" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type

@@ -371,4 +371,139 @@ object LanguageModel {
       .select(col("_id"), explode(col("_syms")).as("subword"))
       .groupBy(col("_id"), col("subword")).agg(count(lit(1)).as("cnt"))
   }
+
+  // ---- unigram-LM tokenizer (SentencePiece-style; Kudo 2018) ----
+
+  /** Train a unigram-LM piece vocabulary by EM over the word lattice
+    * — the OTHER published subword-tokenizer family next to [[bpeMerges]]
+    * (BPE grows pieces bottom-up; unigram starts from a large substring
+    * candidate set and prunes by likelihood).
+    *
+    * Scale shape: candidates seed from one flatMap over the DISTINCT
+    * word table (vocabulary-sized, not corpus-sized) with a top-k cut;
+    * each EM round is ONE distributed pass — per-word forward/backward
+    * expected counts against a BROADCAST piece table, partial-
+    * aggregable sum keyed by piece — and only the vocab-sized count
+    * table crosses to the driver for the M-step renormalize (the same
+    * metadata-sized collect contract as the IVF centroid pull).
+    * Single-character pieces are never pruned (full coverage by
+    * construction).
+    *
+    * @return (piece, logp) rows, vocabSize largest by probability
+    */
+  def unigramTrain(docs: DataFrame, vocabSize: Int, emRounds: Int = 2,
+      maxPieceLen: Int = 6, maxCandidates: Int = 4000,
+      text: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(TextAnalysis.tokens(lower(col(text)))).as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_n"))
+      .as[(String, Long)].persist()
+    // candidate substrings weighted by word frequency, top-k by mass
+    val cand = words.flatMap { case (w, n) =>
+      for {
+        i <- 0 until w.length
+        l <- 1 to math.min(maxPieceLen, w.length - i)
+      } yield (w.substring(i, i + l), n)
+    }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+      .toDF("piece", "mass")
+      .orderBy(col("mass").desc, col("piece")).limit(maxCandidates)
+      .as[(String, Long)].collect()
+    val chars = cand.filter(_._1.length == 1).map(_._1).toSet
+    val total = cand.map(_._2.toDouble).sum
+    var probs: Map[String, Double] = cand.map { case (p, m) => p -> m / total }.toMap
+    for (_ <- 1 to emRounds) {
+      val bc = spark.sparkContext.broadcast(probs)
+      val expected = words.flatMap { case (w, n) =>
+        val v = bc.value
+        val len = w.length
+        val alpha = new Array[Double](len + 1)
+        val beta = new Array[Double](len + 1)
+        alpha(0) = 1.0; beta(len) = 1.0
+        for (j <- 1 to len; i <- math.max(0, j - maxPieceLen) until j)
+          v.get(w.substring(i, j)).foreach(p => alpha(j) += alpha(i) * p)
+        for (i <- (len - 1) to 0 by -1; j <- (i + 1) to math.min(len, i + maxPieceLen))
+          v.get(w.substring(i, j)).foreach(p => beta(i) += p * beta(j))
+        val z = alpha(len)
+        if (z <= 0) Iterator.empty
+        else for {
+          i <- (0 until len).iterator
+          j <- ((i + 1) to math.min(len, i + maxPieceLen)).iterator
+          p <- v.get(w.substring(i, j)).iterator
+        } yield (w.substring(i, j), n * alpha(i) * p * beta(j) / z)
+      }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _).collect()
+      bc.destroy()
+      val z = expected.map(_._2).sum
+      if (z > 0) probs = expected.map { case (p, c) => p -> c / z }.toMap
+    }
+    words.unpersist()
+    // prune to vocabSize, single chars always survive
+    val (keepChars, multi) = probs.toSeq.partition { case (p, _) => p.length == 1 }
+    val kept = keepChars ++
+      multi.sortBy { case (p, pr) => (-pr, p) }
+        .take(math.max(0, vocabSize - chars.size))
+    val zk = kept.map(_._2).sum
+    spark.createDataFrame(kept.map { case (p, pr) =>
+      (p, math.log(pr / zk))
+    }).toDF("piece", "logp")
+  }
+
+  /** Segment each doc's (lowercased, space→'_', optionally truncated)
+    * text with a piece vocabulary. `greedy = true` takes the LONGEST
+    * matching piece at each position (deterministic, SQL-replayable —
+    * the driver-checked mode); `greedy = false` runs the Viterbi DP
+    * maximizing Σ logp (the unigram-LM decode; ties prefer the longer
+    * last piece). Characters absent from the vocabulary fall back to
+    * single-char pieces at `oovLogp`. One broadcast + one map — no
+    * shuffle. */
+  def unigramSegment(docs: DataFrame, vocab: Map[String, Double],
+      greedy: Boolean = false, maxLen: Int = 0, oovLogp: Double = -100.0,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val maxPiece = if (vocab.isEmpty) 1 else vocab.keys.map(_.length).max
+    val bc = spark.sparkContext.broadcast(vocab)
+    val prepped = docs.select(col(id).cast("long").as("_id"),
+      regexp_replace(lower(col(text)), " ", "_").as("_s"))
+    val capped = if (maxLen > 0)
+      prepped.withColumn("_s", substring(col("_s"), 1, maxLen)) else prepped
+    capped.as[(Long, String)].map { case (docId, s) =>
+      val v = bc.value
+      val pieces = Seq.newBuilder[String]
+      if (greedy) {
+        var pos = 0
+        while (pos < s.length) {
+          var l = math.min(maxPiece, s.length - pos)
+          while (l > 1 && !v.contains(s.substring(pos, pos + l))) l -= 1
+          val piece = s.substring(pos, pos + l)
+          pieces += piece // l == 1 falls back to the raw char
+          pos += l
+        }
+      } else {
+        val n = s.length
+        val best = Array.fill(n + 1)(Double.NegativeInfinity)
+        val back = new Array[Int](n + 1)
+        best(0) = 0.0
+        for (j <- 1 to n; i <- math.max(0, j - maxPiece) until j) {
+          val piece = s.substring(i, j)
+          val lp =
+            if (v.contains(piece)) v(piece)
+            else if (j - i == 1) oovLogp
+            else Double.NegativeInfinity
+          val cand = best(i) + lp
+          // >= : equal scores prefer the LONGER last piece (smaller i)
+          if (cand > best(j) || (cand == best(j) && i < back(j))) {
+            best(j) = cand; back(j) = i
+          }
+        }
+        var j = n
+        val rev = List.newBuilder[String]
+        while (j > 0) { rev += s.substring(back(j), j); j = back(j) }
+        pieces ++= rev.result().reverse
+      }
+      val out = pieces.result()
+      (docId, out.mkString("|"), out.size)
+    }.toDF(id, "pieces", "n_pieces")
+  }
 }

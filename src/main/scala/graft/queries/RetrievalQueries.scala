@@ -115,6 +115,21 @@ object RetrievalQueries {
         .select(col("doc_id"), md5(col("text")).as("text_md5"), col("n_cut"))
         .orderBy(col("doc_id"))
     }),
+    "q_unigram_greedy" -> ((s, dir) => {
+      // Greedy longest-match piece segmentation (the SQL-replayable
+      // mode of the unigram tokenizer; the Viterbi decode is
+      // spec-verified against exhaustive argmax in RetrievalSpec).
+      // DuckDB replays the identical longest-match walk as a
+      // single-path recursive CTE with a LATERAL best-piece probe.
+      import graft.llm.LanguageModel
+      val vocab = (("abcdefghijklmnopqrstuvwxyz_".map(_.toString)) ++
+        Seq("the", "merge", "batch", "join", "sort", "data", "key", "row"))
+        .map(p => p -> 0.0).toMap
+      LanguageModel.unigramSegment(
+          t(s, dir, "documents").filter(col("doc_id") < 300),
+          vocab, greedy = true, maxLen = 24)
+        .orderBy(col("doc_id"))
+    }),
     "q_bpe_pairs" -> ((s, dir) => {
       // round-1 BPE pair statistics — the oracle-checked slice of the
       // training loop (the full loop below is iterative-greedy, not
@@ -132,6 +147,27 @@ object RetrievalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_unigram_greedy" ->
+      ("""WITH RECURSIVE vocab(piece) AS (
+        |  SELECT unnest(['the','merge','batch','join','sort','data','key','row',""" +
+        "'a','b','c','d','e','f','g','h','i','j','k','l','m','n','o','p','q','r'," +
+        "'s','t','u','v','w','x','y','z','_'])" + """),
+        |d AS (SELECT doc_id, substring(replace(lower(text), ' ', '_'), 1, 24) AS s
+        |      FROM documents WHERE doc_id < 300),
+        |seg AS (
+        |  SELECT doc_id, s, 0 AS pos, '' AS pieces, 0 AS n FROM d
+        |  UNION ALL
+        |  SELECT seg.doc_id, seg.s, seg.pos + len(b.piece),
+        |    CASE WHEN seg.n = 0 THEN b.piece
+        |         ELSE seg.pieces || '|' || b.piece END,
+        |    seg.n + 1
+        |  FROM seg, LATERAL (
+        |    SELECT piece FROM vocab
+        |    WHERE substring(seg.s, seg.pos + 1, len(piece)) = piece
+        |    ORDER BY len(piece) DESC, piece LIMIT 1) b
+        |  WHERE seg.pos < len(seg.s))
+        |SELECT doc_id, pieces, CAST(n AS INT) AS n_pieces FROM seg
+        |WHERE pos = len(s) ORDER BY doc_id""").stripMargin,
     "q_bm25_topk" ->
       s"""WITH toks AS (
         |  SELECT doc_id, unnest($toksSql) AS t FROM documents),

@@ -402,4 +402,55 @@ class RetrievalSpec extends SparkSpec {
       x.getLong(0) -> x.getLong(2)).toMap
     assert(r === Map(1L -> 0L, 2L -> 0L))
   }
+
+  test("unigramSegment viterbi == exhaustive argmax; greedy is longest-match") {
+    import graft.llm.LanguageModel
+    // vocab with tie-free scores (distinct powers of 1/2)
+    val vocab = Map("ab" -> math.log(0.25), "bc" -> math.log(0.125),
+      "a" -> math.log(0.0625), "b" -> math.log(0.03125),
+      "c" -> math.log(0.015625), "abc" -> math.log(0.5))
+    def exhaustive(s: String): Double = {
+      def go(pos: Int): Double =
+        if (pos == s.length) 0.0
+        else (1 to math.min(3, s.length - pos)).map { l =>
+          val p = s.substring(pos, pos + l)
+          vocab.get(p).map(_ + go(pos + l)).getOrElse(Double.NegativeInfinity)
+        }.max
+      go(0)
+    }
+    val d = docs(1L -> "abcabc", 2L -> "abcb", 3L -> "cab")
+    val vit = LanguageModel.unigramSegment(d, vocab)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, txt) <- Seq(1L -> "abcabc", 2L -> "abcb", 3L -> "cab")) {
+      val score = vit(id).split('|').map(vocab).sum
+      assert(math.abs(score - exhaustive(txt)) < 1e-12,
+        s"doc $id: ${vit(id)} scored $score vs ${exhaustive(txt)}")
+    }
+    val greedy = LanguageModel.unigramSegment(d, vocab, greedy = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(greedy(2L) == "abc|b")       // longest-first even when
+    assert(vit(2L) == "abc|b")          // ...viterbi agrees here
+    assert(greedy(3L) == "c|ab")
+  }
+
+  test("unigramTrain: full char coverage, loss decreases, segments the corpus") {
+    import graft.llm.LanguageModel
+    val d = docs(
+      1L -> "the merge the merge sort", 2L -> "merge sort the batch",
+      3L -> "the the merge batch sort", 4L -> "sort batch merge the")
+    val vocab = LanguageModel.unigramTrain(d, vocabSize = 40, emRounds = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // every character of the corpus is a piece (coverage by construction)
+    for (ch <- "themergsortbach_".distinct.filter(_ != '_'))
+      assert(vocab.contains(ch.toString), s"missing char piece '$ch'")
+    // frequent whole words should survive as multi-char pieces
+    assert(vocab.keys.exists(_.length >= 3), s"no multi-char piece in $vocab")
+    // the trained vocab segments every doc with finite score
+    val seg = LanguageModel.unigramSegment(d, vocab)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(seg.length == 4 && seg.forall(_._3 > 0))
+    // segmenting with the vocab never emits an unknown multi-char piece
+    for ((_, pieces, _) <- seg; p <- pieces.split('|') if p.length > 1)
+      assert(vocab.contains(p), s"unknown piece $p")
+  }
 }

@@ -65,6 +65,26 @@ object RetrievalQueries {
       LanguageModel.crossEntropy(t(s, dir, "documents"))
         .orderBy(col("doc_id"))
     }),
+    "q_ccnet_buckets" -> ((s, dir) => {
+      // CCNet-style perplexity bucketing: per-doc LM cross-entropy →
+      // head/middle/tail terciles → per-bucket audit rollup (the
+      // bucket-then-sample hygiene recipe of the CCNet pipeline).
+      // Terciles come from ntile over the per-doc CE table — a
+      // docs-sized AGGREGATE frame; at corpus scale swap the ntile
+      // for broadcast approx-quantile thresholds, same downstream.
+      import org.apache.spark.sql.expressions.Window
+      val ce = LanguageModel.crossEntropy(t(s, dir, "documents"))
+      ce.withColumn("tercile",
+          ntile(3).over(Window.orderBy(col("xent"), col("doc_id"))))
+        .withColumn("bucket", element_at(
+          array(lit("head"), lit("middle"), lit("tail")), col("tercile")))
+        .groupBy(col("bucket")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          min(col("xent")).as("min_xent"),
+          max(col("xent")).as("max_xent"))
+        .orderBy(col("bucket"))
+    }),
     "q_importance_weights" -> ((s, dir) => {
       LanguageModel.importanceWeights(t(s, dir, "documents"),
           targetPred = col("source") === "src0")
@@ -219,6 +239,24 @@ object RetrievalQueries {
         |  round(ln(tot.total) - sum(ln(cnt.c)) / count(*), 6) AS xent
         |FROM toks JOIN cnt USING (t) CROSS JOIN tot
         |GROUP BY doc_id, tot.total ORDER BY doc_id""".stripMargin,
+    "q_ccnet_buckets" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS t FROM documents),
+        |cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+        |tot AS (SELECT sum(c) AS total FROM cnt),
+        |ce AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    round(ln(tot.total) - sum(ln(cnt.c)) / count(*), 6) AS xent
+        |  FROM toks JOIN cnt USING (t) CROSS JOIN tot
+        |  GROUP BY doc_id, tot.total),
+        |b AS (SELECT n_tokens, xent,
+        |        ntile(3) OVER (ORDER BY xent, doc_id) AS terc FROM ce)
+        |SELECT CASE terc WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  min(xent) AS min_xent, max(xent) AS max_xent
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_importance_weights" ->
       s"""WITH toks AS (
         |  SELECT doc_id, source = 'src0' AS tgt, unnest($toksSql) AS t FROM documents),

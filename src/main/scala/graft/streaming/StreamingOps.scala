@@ -255,6 +255,47 @@ object StreamingOps {
       }
   }
 
+  final case class Scd2State(state: String, validFrom: Long,
+      lastTs: Long, lastEid: Long)
+  final case class ClosedVersion(user_id: Long, state: String,
+      valid_from: java.sql.Timestamp, valid_to: java.sql.Timestamp)
+
+  /** Streaming twin of `operators/Scd2`: maintain each key's CURRENT
+    * dimension version in state and emit a version row the moment it
+    * CLOSES (the next differing state arrives). An Append sink can't
+    * retract, so open versions live only in state — the emitted
+    * stream is exactly the `is_current = false` half of the batch
+    * builder, which owns backfills and the open tail. No-op repeats
+    * (same state value) extend the current version without emitting;
+    * late events at or before the key's last accepted (ts, event_id)
+    * drop. State per key is one version — O(keys). */
+  def scd2Stream(spark: SparkSession, events: Dataset[Event],
+      stateOf: Event => String): Dataset[ClosedVersion] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, ClosedVersion](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[Scd2State]) =>
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[ClosedVersion]
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            if (st == null || t > st.lastTs ||
+                (t == st.lastTs && e.event_id > st.lastEid)) {
+              val s = stateOf(e)
+              if (st == null) st = Scd2State(s, t, t, e.event_id)
+              else if (s != st.state) {
+                out += ClosedVersion(uid, st.state,
+                  new java.sql.Timestamp(st.validFrom), new java.sql.Timestamp(t))
+                st = Scd2State(s, t, t, e.event_id)
+              } else st = st.copy(lastTs = t, lastEid = e.event_id)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
 
   /** Streaming EXACT dedup with bounded state: the first occurrence

@@ -392,6 +392,42 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 20)
   }
 
+  test("scd2Stream: closed versions match the batch builder across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingOps.scd2Stream(spark, input.toDS(), _.event_type)
+      .writeStream.format("memory").queryName("scd2s")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: A@:01, A@:02 (no-op extends), B@:03 closes [.:01, :03)
+    input.addData(ev(1, 1, 1, "A", 0), ev(2, 2, 1, "A", 0), ev(3, 3, 1, "B", 0))
+    q.processAllAvailable()
+    // batch 2: A@:05 closes B's version from CARRIED state; a late
+    // duplicate at :02 must not reopen anything
+    input.addData(ev(4, 5, 1, "A", 0), ev(5, 2, 1, "Z", 0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT * FROM scd2s ORDER BY valid_from")
+      .as[StreamingOps.ClosedVersion].collect().toSeq
+      .map(v => (v.state, v.valid_from.toString.substring(14, 16),
+        v.valid_to.toString.substring(14, 16)))
+    assert(got == Seq(("A", "01", "03"), ("B", "03", "05")), s"got $got")
+    // batch equivalence: the closed half of Scd2.build on the same log
+    val log = Seq((1L, 1, "A", 1L), (1L, 2, "A", 2L), (1L, 3, "B", 3L),
+        (1L, 5, "A", 4L))
+      .map { case (u, m, st, id) =>
+        (u, Timestamp.valueOf(f"2026-01-01 10:$m%02d:00"), id, st) }
+      .toDF("user_id", "ts", "event_id", "state")
+    val batch = graft.operators.Scd2.build(log, Seq("user_id"), "ts",
+        Seq("state"), Seq("event_id"))
+      .filter(!org.apache.spark.sql.functions.col("is_current"))
+      .orderBy("valid_from")
+      .select("state", "valid_from", "valid_to")
+      .collect().map(r => (r.getString(0),
+        r.getTimestamp(1).toString.substring(14, 16),
+        r.getTimestamp(2).toString.substring(14, 16))).toSeq
+    assert(batch == got, s"stream $got vs batch $batch")
+  }
+
   test("driftStream: EWMA+CUSUM recurrences carry across batches, late events drop") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

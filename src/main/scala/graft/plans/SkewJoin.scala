@@ -20,6 +20,32 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Key-skew audit — the measurement that DECIDES whether a join
+    * needs `saltedInnerJoin` (or a bigger AQE skew factor): per-key
+    * counts reduced to one row of distribution shape — NDV, total,
+    * max/mean ratio (the direct skew-factor input), p99-to-median,
+    * and the Gini coefficient of the key mass. One partial-aggregable
+    * groupBy + one aggregation over the NDV-sized count table; the
+    * rank window runs on per-key counts, not rows. */
+  def keySkewAudit(df: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(key).as("_k"))
+      .agg(count(lit(1)).as("_c"))
+    // rank by (count, key) — deterministic; Gini needs the sorted index
+    val w = Window.orderBy(col("_c"), col("_k"))
+    counts.withColumn("_i", row_number().over(w))
+      .agg(
+        count(lit(1)).as("ndv"),
+        sum(col("_c")).as("total"),
+        max(col("_c")).as("max_key"),
+        (max(col("_c")) / (sum(col("_c")) / count(lit(1)))).as("max_mean_ratio"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY _c)").as("p99_key"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _c)").as("p50_key"),
+        round((lit(2) * sum(col("_i") * col("_c"))
+            / (count(lit(1)) * sum(col("_c")))
+          - (count(lit(1)) + 1) / count(lit(1)).cast("double")), 6).as("gini"))
+  }
+
   /** Inner equi-join `left.key = right.key` with the left side salted
     * and the right side replicated `salts` ways. */
   def saltedInnerJoin(

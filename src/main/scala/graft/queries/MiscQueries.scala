@@ -34,6 +34,20 @@ object MiscQueries {
     // Pseudocolumns ($partition/$segmentdir/$extentid family,
     // ref dbcon/execplan/pseudocolumn.h:39-51, pseudocc.cpp) — on
     // Spark the file-metadata struct plays this role.
+    "q_skew_audit" -> ((s, dir) => {
+      // key-skew audit (plans/SkewJoin.keySkewAudit): the distribution
+      // shape that decides salting / AQE skew factors — NDV, totals,
+      // max/mean ratio, p99/p50 key mass, Gini — for two join keys.
+      // Integer inputs + single double divisions keep it engine-exact.
+      import graft.plans.SkewJoin
+      val a = SkewJoin.keySkewAudit(t(s, dir, "lineitem"), "l_partkey")
+        .withColumn("keyname", lit("l_partkey"))
+      val b = SkewJoin.keySkewAudit(t(s, dir, "events"), "user_id")
+        .withColumn("keyname", lit("user_id"))
+      a.unionByName(b)
+        .withColumn("max_mean_ratio", round(col("max_mean_ratio"), 6))
+        .orderBy(col("keyname"))
+    }),
     "q_pseudocols" -> ((s, dir) => {
       // no data column projected: count(1) per file needs only the
       // constant-per-file metadata struct, so ReadSchema stays empty
@@ -72,7 +86,21 @@ object MiscQueries {
     })
   )
 
+  private def skewAuditSql(table: String, key: String): String =
+    s"""SELECT '$key' AS keyname, CAST(count(*) AS BIGINT) AS ndv,
+      |  CAST(sum(c) AS BIGINT) AS total, CAST(max(c) AS BIGINT) AS max_key,
+      |  round(max(c) / (sum(c) / count(*)), 6) AS max_mean_ratio,
+      |  CAST(quantile_disc(c, 0.99) AS BIGINT) AS p99_key,
+      |  CAST(quantile_disc(c, 0.5) AS BIGINT) AS p50_key,
+      |  round(CAST(2 * sum(i * c) AS DOUBLE) / (count(*) * sum(c))
+      |    - (count(*) + 1) / CAST(count(*) AS DOUBLE), 6) AS gini
+      |FROM (SELECT c, row_number() OVER (ORDER BY c, k) AS i
+      |      FROM (SELECT $key AS k, count(*) AS c FROM $table GROUP BY 1))""".stripMargin
+
   val oracle: Map[String, String] = sameSql ++ Map(
+    "q_skew_audit" ->
+      (skewAuditSql("lineitem", "l_partkey") + "\nUNION ALL\n" +
+        skewAuditSql("events", "user_id") + "\nORDER BY keyname"),
     "q_pseudocols" ->
       """SELECT 'lineitem.parquet' AS fname, COUNT(*) AS n FROM lineitem""".stripMargin,
     "q_window_groupconcat" ->

@@ -94,6 +94,77 @@ object HygieneQueries {
           emb.filter(col("vec_id") % 20 === 7), threshold = 0.35)
         .orderBy(col("vec_id"))
     }),
+    "q_psi" -> ((s, dir) => {
+      // Population Stability Index of each source's n_chars
+      // distribution vs the src0 reference — the drift metric model
+      // monitoring uses next to KL (q_source_kl). Fixed-width buckets
+      // (no global sort), Laplace 0.5 smoothing over the dense 6-bucket
+      // grid, and the per-source sum folds a bucket-SORTED array so
+      // the float total is order-deterministic cross-engine.
+      val d = t(s, dir, "documents")
+        .select(col("source"), floor(col("n_chars") / 100).cast("int").as("b"))
+      val counts = d.groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
+      val dense = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .withColumn("b", explode(sequence(lit(0), lit(5))))
+        .join(counts, Seq("source", "b"), "left")
+        .na.fill(0, Seq("c"))
+        .withColumn("p", (col("c") + 0.5) / (col("n") + 3.0))
+      val ref = dense.filter(col("source") === "src0")
+        .select(col("b"), col("p").as("q"))
+      dense.filter(col("source") =!= "src0")
+        .join(broadcast(ref), "b")
+        .withColumn("contrib", (col("p") - col("q")) * log(col("p") / col("q")))
+        .groupBy(col("source"))
+        .agg(round(expr(
+          "aggregate(array_sort(collect_list(struct(b, contrib))), " +
+            "cast(0 as double), (a, x) -> a + x.contrib)"), 6).as("psi"))
+        .orderBy(col("source"))
+    }),
+    "q_benford" -> ((s, dir) => {
+      // Benford first-digit audit over order totals: per-digit counts,
+      // observed share, the Benford expectation log10(1 + 1/d), and
+      // the chi-square contribution — the classic fabricated-data
+      // screen. First digit extracted via integer/string arithmetic
+      // (never float log10 of the value — engines could disagree at a
+      // power-of-ten boundary).
+      val o = t(s, dir, "orders").withColumn("d",
+        substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+          .cast("int"))
+      val exp = log(lit(1) + lit(1.0) / col("d")) / log(lit(10.0))
+      o.groupBy(col("d")).agg(count(lit(1)).as("n_d"))
+        .crossJoin(broadcast(o.agg(count(lit(1)).as("n"))))
+        .withColumn("share", round(col("n_d") / col("n"), 6))
+        .withColumn("benford", round(exp, 6))
+        .withColumn("chi2_part",
+          round(pow(col("n_d") - col("n") * exp, 2) / (col("n") * exp), 6))
+        .select(col("d"), col("n_d"), col("share"), col("benford"),
+          col("chi2_part"))
+        .orderBy(col("d"))
+    }),
+    "q_seasonal_z" -> ((s, dir) => {
+      // Seasonally-adjusted z-score: each event scored against its
+      // (event_type, day-of-week) population — mean/std from EXACT
+      // decimal sums (Σx, Σx² in DECIMAL, one double sqrt at the end)
+      // so the scores are bit-reproducible. Zero-variance groups
+      // yield NULL, not Inf.
+      val e = t(s, dir, "events").filter(col("event_id") < 3000)
+        .select(col("event_id"), col("event_type"),
+          dayofweek(col("ts")).cast("int").as("dow"), col("value"))
+      val prof = e.groupBy(col("event_type"), col("dow")).agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("value"))).as("s1"),
+        sum(dec(col("value")) * dec(col("value"))).as("s2"))
+      val mean = d(col("s1")) / col("n")
+      val variance = (col("n") * d(col("s2")) - d(col("s1")) * d(col("s1"))) /
+        (col("n") * (col("n") - 1))
+      e.join(prof, Seq("event_type", "dow"))
+        .filter(col("n") >= 2)
+        .withColumn("z", when(variance > 0,
+          round((col("value") - mean) / sqrt(variance), 6)))
+        .select(col("event_id"), col("event_type"), col("dow"),
+          col("value"), col("z"))
+        .orderBy(col("event_id"))
+    }),
     "q_quality_rules" -> ((s, dir) => {
       // Gopher-style rule signals + composite pass flag; all-integer
       // thresholds so the flag is engine-exact. The required-stopword
@@ -204,6 +275,55 @@ object HygieneQueries {
   private val phonePat = Redaction.PhonePattern
 
   val oracle: Map[String, String] = Map(
+    "q_psi" ->
+      """WITH d AS (SELECT source, CAST(floor(n_chars/100) AS INT) AS b
+        |           FROM documents),
+        |counts AS (SELECT source, b, count(*) AS c FROM d GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT t.source, t.n, g.b, coalesce(c.c, 0) AS c,
+        |    (coalesce(c.c, 0) + 0.5) / (t.n + 3.0) AS p
+        |  FROM (SELECT source, count(*) AS n FROM d GROUP BY 1) t
+        |  CROSS JOIN (SELECT unnest(range(0, 6)) AS b) g
+        |  LEFT JOIN counts c ON c.source = t.source AND c.b = g.b),
+        |ref AS (SELECT b, p AS q FROM dense WHERE source = 'src0')
+        |SELECT dense.source,
+        |  round(list_reduce(list((p - q) * ln(p / q) ORDER BY dense.b),
+        |    (a, x) -> a + x), 6) AS psi
+        |FROM dense JOIN ref USING (b) WHERE dense.source <> 'src0'
+        |GROUP BY dense.source ORDER BY source""".stripMargin,
+    "q_benford" ->
+      """WITH o AS (
+        |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INT) AS d
+        |  FROM orders),
+        |agg AS (SELECT d, count(*) AS n_d FROM o GROUP BY d),
+        |t AS (SELECT count(*) AS n FROM o)
+        |SELECT agg.d, CAST(agg.n_d AS BIGINT) AS n_d,
+        |  round(agg.n_d / t.n, 6) AS share,
+        |  round(ln(1 + 1.0/agg.d) / ln(10), 6) AS benford,
+        |  round(pow(agg.n_d - t.n * (ln(1 + 1.0/agg.d) / ln(10)), 2)
+        |    / (t.n * (ln(1 + 1.0/agg.d) / ln(10))), 6) AS chi2_part
+        |FROM agg CROSS JOIN t ORDER BY agg.d""".stripMargin,
+    "q_seasonal_z" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INT) AS dow, value
+        |  FROM events WHERE event_id < 3000),
+        |prof AS (
+        |  SELECT event_type, dow, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS s1,
+        |    sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS s2
+        |  FROM e GROUP BY 1, 2)
+        |SELECT e.event_id, e.event_type, e.dow, e.value,
+        |  CASE WHEN (prof.n * CAST(prof.s2 AS DOUBLE)
+        |        - CAST(prof.s1 AS DOUBLE) * CAST(prof.s1 AS DOUBLE))
+        |        / (prof.n * (prof.n - 1)) > 0
+        |    THEN round((e.value - CAST(prof.s1 AS DOUBLE) / prof.n)
+        |      / sqrt((prof.n * CAST(prof.s2 AS DOUBLE)
+        |          - CAST(prof.s1 AS DOUBLE) * CAST(prof.s1 AS DOUBLE))
+        |        / (prof.n * (prof.n - 1))), 6) END AS z
+        |FROM e JOIN prof USING (event_type, dow)
+        |WHERE prof.n >= 2 ORDER BY e.event_id""".stripMargin,
     "q_decontam_scores" ->
       s"""WITH $shingleCte,
         |bench AS (SELECT DISTINCT unnest(s) AS ng FROM sh WHERE doc_id % 20 = 7),

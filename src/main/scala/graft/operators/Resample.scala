@@ -145,6 +145,45 @@ object Resample {
     }
   }
 
+  /** Holt-Winters ADDITIVE triple exponential smoothing — level +
+    * trend + a `period`-slot seasonal component:
+    * l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1}),
+    * b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1},
+    * s_t = γ(x_t − l_t) + (1−γ)s_{t−m};
+    * seeded l_1 = x_1, b_1 = 0, pre-window seasonals 0 (indices are
+    * LEARNED over the first cycles rather than pre-estimated — the
+    * deterministic-init variant, so both engines can replay it
+    * exactly). Same one-shuffle sorted fold as [[ewma]]; per-series
+    * state is period + 2 doubles (the seasonal ring). Returns
+    * (key, rn, x, level, trend, season). */
+  def holtWinters(ds: org.apache.spark.sql.Dataset[(Long, Long, Long, Double)],
+      alpha: Double, beta: Double, gamma: Double, period: Int)
+      : org.apache.spark.sql.Dataset[(Long, Long, Double, Double, Double, Double)] = {
+    import ds.sparkSession.implicits._
+    require(period >= 1)
+    val named = ds.toDF("_1", "_2", "_3", "_4").as[(Long, Long, Long, Double)]
+    named.groupByKey(_._1).flatMapSortedGroups($"_2", $"_3") { (k, it) =>
+      val seas = new Array[Double](period)
+      var l = 0.0
+      var b = 0.0
+      var rn = 0L
+      it.map { case (_, _, _, x) =>
+        rn += 1
+        val idx = ((rn - 1) % period).toInt // slot of s_{t−m} (ring)
+        val sm = seas(idx)
+        if (rn == 1L) { l = x; b = 0.0 }
+        else {
+          val nl = alpha * (x - sm) + (1 - alpha) * (l + b)
+          b = beta * (nl - l) + (1 - beta) * b
+          l = nl
+        }
+        val ns = gamma * (x - l) + (1 - gamma) * sm
+        seas(idx) = ns
+        (k, rn, x, l, b, ns)
+      }
+    }
+  }
+
   /** Tabular CUSUM change detection (Page): the recursive pair
     * sp_t = max(0, sp_{t−1} + (x_t − target − slack)),
     * sn_t = min(0, sn_{t−1} + (x_t − target + slack)),

@@ -72,6 +72,22 @@ object ResampleQueries {
         .toDF("user_id", "rn", "x", "level", "trend")
         .orderBy(col("user_id"), col("rn"))
     }),
+    "q_holt_winters" -> ((s, dir) => {
+      // Additive Holt-Winters with a 7-slot seasonal ring (α=0.5,
+      // β=γ=0.25 — exact doubles). DuckDB carries the ring as a LIST
+      // column through the recursive CTE (head = s_{t−m}, push-back on
+      // update), mirroring the fold's arithmetic op for op — the
+      // seasonal recursion matches bit-exact.
+      import s.implicits._
+      val src = t(s, dir, "events").filter(col("user_id") < 25)
+        .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+          col("value").cast("double"))
+        .as[(Long, Long, Long, Double)]
+      Resample.holtWinters(src, alpha = 0.5, beta = 0.25, gamma = 0.25,
+          period = 7)
+        .toDF("user_id", "rn", "x", "level", "trend", "season")
+        .orderBy(col("user_id"), col("rn"))
+    }),
     "q_cusum" -> ((s, dir) => {
       // Page's tabular CUSUM drift detector over each user's series
       // (target 50, slack 1.5, alarm threshold 100) — the recursive
@@ -130,6 +146,34 @@ object ResampleQueries {
         |          s.level AS l0, s.trend AS b0
         |        FROM o JOIN s ON o.user_id = s.user_id AND o.rn = s.rn + 1) q)
         |SELECT user_id, rn, x, level, trend FROM s
+        |ORDER BY user_id, rn""".stripMargin,
+    "q_holt_winters" ->
+      """WITH RECURSIVE o AS (
+        |  SELECT user_id, CAST(value AS DOUBLE) AS x,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS rn
+        |  FROM events WHERE user_id < 25),
+        |s AS (
+        |  SELECT user_id, rn, x, x AS level, CAST(0 AS DOUBLE) AS trend,
+        |    CAST(0.25 AS DOUBLE)*(x - x) + CAST(0.75 AS DOUBLE)*CAST(0 AS DOUBLE)
+        |      AS season,
+        |    [CAST(0 AS DOUBLE), 0, 0, 0, 0, 0,
+        |     CAST(0.25 AS DOUBLE)*(x - x) + CAST(0.75 AS DOUBLE)*CAST(0 AS DOUBLE)]
+        |      AS seas
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT user_id, rn, x, nl,
+        |    CAST(0.25 AS DOUBLE)*(nl - l0) + CAST(0.75 AS DOUBLE)*b0,
+        |    CAST(0.25 AS DOUBLE)*(x - nl) + CAST(0.75 AS DOUBLE)*sm,
+        |    seas0[2:7] ||
+        |      [CAST(0.25 AS DOUBLE)*(x - nl) + CAST(0.75 AS DOUBLE)*sm]
+        |  FROM (SELECT o.user_id, o.rn, o.x,
+        |          s.seas[1] AS sm, s.level AS l0, s.trend AS b0,
+        |          s.seas AS seas0,
+        |          CAST(0.5 AS DOUBLE)*(o.x - s.seas[1])
+        |            + CAST(0.5 AS DOUBLE)*(s.level + s.trend) AS nl
+        |        FROM o JOIN s ON o.user_id = s.user_id AND o.rn = s.rn + 1) q)
+        |SELECT user_id, rn, x, level, trend, season FROM s
         |ORDER BY user_id, rn""".stripMargin,
     "q_cusum" ->
       """WITH RECURSIVE o AS (

@@ -80,6 +80,17 @@ class ResampleSpec extends SparkSpec {
       Seq((10.0, 0.0), (15.0, 2.5), (23.75, 5.625)))
   }
 
+  test("holtWinters: seasonal ring recursion matches hand-computed values") {
+    val src = Seq((1L, 1L, 0L, 10.0), (1L, 2L, 0L, 20.0), (1L, 3L, 0L, 30.0)).toDS()
+    val got = Resample.holtWinters(src, alpha = 0.5, beta = 0.5, gamma = 0.5,
+        period = 2)
+      .collect().sortBy(_._2).toSeq
+    // t2: l=.5*20+.5*10=15, b=2.5, s=.5*(20-15)=2.5
+    // t3 reads s_1 (=0): l=.5*30+.5*17.5=23.75, b=5.625, s=3.125
+    assert(got.map(r => (r._4, r._5, r._6)) ==
+      Seq((10.0, 0.0, 0.0), (15.0, 2.5, 2.5), (23.75, 5.625, 3.125)))
+  }
+
   test("cusum: one-sided sums clamp at zero and alarm past h") {
     val src = Seq(12.0, 13.0, 9.0, 5.0, 5.0).zipWithIndex
       .map { case (x, i) => (1L, i.toLong, 0L, x) }.toDS()

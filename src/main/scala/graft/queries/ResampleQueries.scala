@@ -23,6 +23,64 @@ object ResampleQueries {
           "user_id", "day", Seq("n"))
         .orderBy(col("user_id"), col("day"))
     }),
+    "q_seasonal_decomp" -> ((s, dir) => {
+      // Classical additive decomposition of each event type's daily
+      // series: trend = centered 7-day MA (DECIMAL through the window
+      // sum so segment-tree vs running-sum evaluation order can't
+      // matter), seasonal = day-of-week mean of the detrended values
+      // (folded over a day-SORTED array for a deterministic float
+      // total), residual = the rest. Only full-window days emit.
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"))).as("v_dec"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-3, 3)
+      val trended = daily
+        .withColumn("n_win", count(lit(1)).over(w))
+        .withColumn("trend", d(sum(col("v_dec")).over(w)) / 7)
+        .filter(col("n_win") === 7)
+        .withColumn("v", d(col("v_dec")))
+        .withColumn("det", col("v") - col("trend"))
+        .withColumn("dow", dayofweek(col("day")).cast("int"))
+      val seasonal = trended.groupBy(col("event_type"), col("dow"))
+        .agg((expr("aggregate(array_sort(collect_list(struct(day, det))), " +
+            "cast(0 as double), (a, x) -> a + x.det)") / count(lit(1)))
+          .as("seasonal"))
+      trended.join(seasonal, Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"), round(col("v"), 6).as("v"),
+          round(col("trend"), 6).as("trend"),
+          round(col("seasonal"), 6).as("seasonal"),
+          round(col("det") - col("seasonal"), 6).as("residual"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+    "q_walkforward" -> ((s, dir) => {
+      // Walk-forward (expanding-window) time-series CV folds: quartile
+      // boundaries from percentile_disc on event time (broadcast
+      // thresholds + scan-side bucketing — never a global sort), fold
+      // k trains on quartiles <= k and tests on quartile k+1. The
+      // leakage-free temporal complement of q_split_leakfree. Output
+      // is the per-(fold, role) audit a training job logs.
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t"))
+      val b = e.agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY t)").as("b1"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY t)").as("b2"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY t)").as("b3"))
+      e.crossJoin(broadcast(b))
+        .withColumn("qt", lit(1) + (col("t") > col("b1")).cast("int")
+          + (col("t") > col("b2")).cast("int")
+          + (col("t") > col("b3")).cast("int"))
+        .withColumn("fold", explode(sequence(lit(1), lit(3))))
+        .withColumn("role", when(col("qt") <= col("fold"), "train")
+          .when(col("qt") === col("fold") + 1, "test"))
+        .filter(col("role").isNotNull)
+        .groupBy(col("fold").cast("int").as("fold"), col("role"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("t")).as("min_t"), max(col("t")).as("max_t"))
+        .orderBy(col("fold"), col("role"))
+    }),
     "q_resample_ohlc" -> ((s, dir) => {
       // OHLC bars: weekly open/high/low/close per event type. Open and
       // close are min_by/max_by over the total (ts, event_id) order —
@@ -193,6 +251,53 @@ object ResampleQueries {
         |  FROM o JOIN s ON o.user_id = s.user_id AND o.rn = s.rn + 1)
         |SELECT user_id, rn, x, sp, sn, (sp > 100.0 OR sn < -100.0) AS alarm
         |FROM s ORDER BY user_id, rn""".stripMargin,
+    "q_walkforward" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |b AS (SELECT quantile_disc(t, 0.25) AS b1, quantile_disc(t, 0.5) AS b2,
+        |             quantile_disc(t, 0.75) AS b3 FROM e),
+        |q AS (SELECT e.*, 1 + CAST(t > b1 AS INT) + CAST(t > b2 AS INT)
+        |        + CAST(t > b3 AS INT) AS qt
+        |      FROM e CROSS JOIN b),
+        |f AS (SELECT q.*, fold FROM q
+        |      CROSS JOIN (SELECT unnest([1, 2, 3]) AS fold) folds),
+        |r AS (SELECT CAST(fold AS INT) AS fold,
+        |        CASE WHEN qt <= fold THEN 'train'
+        |             WHEN qt = fold + 1 THEN 'test' END AS role,
+        |        user_id, t
+        |      FROM f)
+        |SELECT fold, role, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(min(t) AS BIGINT) AS min_t, CAST(max(t) AS BIGINT) AS max_t
+        |FROM r WHERE role IS NOT NULL
+        |GROUP BY fold, role ORDER BY fold, role""".stripMargin,
+    "q_seasonal_decomp" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS v_dec
+        |  FROM events GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT event_type, day, CAST(v_dec AS DOUBLE) AS v,
+        |    CAST(sum(v_dec) OVER w AS DOUBLE) / 7 AS trend,
+        |    count(*) OVER w AS n_win,
+        |    CAST(dayofweek(day) + 1 AS INT) AS dow
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |full_ AS (
+        |  SELECT event_type, day, v, trend, v - trend AS det, dow
+        |  FROM tr WHERE n_win = 7),
+        |seas AS (
+        |  SELECT event_type, dow,
+        |    list_reduce(list(det ORDER BY day), (a, x) -> a + x) / count(*)
+        |      AS seasonal
+        |  FROM full_ GROUP BY 1, 2)
+        |SELECT f.event_type, f.day, round(f.v, 6) AS v,
+        |  round(f.trend, 6) AS trend, round(s.seasonal, 6) AS seasonal,
+        |  round(f.det - s.seasonal, 6) AS residual
+        |FROM full_ f JOIN seas s USING (event_type, dow)
+        |ORDER BY f.event_type, f.day""".stripMargin,
     "q_resample_locf" ->
       """WITH obs AS (
         |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

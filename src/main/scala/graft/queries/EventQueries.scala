@@ -147,6 +147,42 @@ object EventQueries {
           col("_asof.band").as("band"), col("_asof_ts").as("ver_ts"))
         .orderBy(col("user_id"), col("click_id"))
     }),
+    "q_funnel_latency" -> ((s, dir) => {
+      // Time-to-convert distribution: first purchase at/after each
+      // user's first view, latency in exact integer microseconds —
+      // counts + discrete percentiles are engine-exact by
+      // construction (no float math anywhere).
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("t")).as("vt"))
+      val lat = ev.filter(col("event_type") === "purchase")
+        .join(v, "user_id").filter(col("t") >= col("vt"))
+        .groupBy(col("user_id")).agg(min(col("t") - col("vt")).as("lat"))
+      lat.agg(count(lit(1)).as("n_converts"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY lat)").as("p25_us"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lat)").as("p50_us"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lat)").as("p90_us"),
+        min(col("lat")).as("min_us"), max(col("lat")).as("max_us"))
+    }),
+    "q_ref_integrity" -> ((s, dir) => {
+      // Referential-integrity audit across the star schema: orphaned
+      // children and childless parents via anti-join counts — the
+      // constraint checks a columnstore (no FK enforcement, like the
+      // reference) runs as batch hygiene.
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      def cnt(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(lit(name).as("check_"), count(lit(1)).as("violations"))
+      cnt("lineitem_orphans",
+          li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti"))
+        .unionByName(cnt("orders_childless",
+          o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")))
+        .unionByName(cnt("orders_badcust",
+          o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")))
+        .orderBy(col("check_"))
+    }),
     "q_event_pattern" -> ((s, dir) => {
       // MATCH_RECOGNIZE-lite: view →(clicks/errors)*→ purchase counted
       // per user as a regex over the symbol-encoded event sequence;
@@ -159,6 +195,33 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_funnel_latency" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |v AS (SELECT user_id, min(t) AS vt FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |lat AS (SELECT ev.user_id, min(ev.t - v.vt) AS lat
+        |        FROM ev JOIN v USING (user_id)
+        |        WHERE ev.event_type = 'purchase' AND ev.t >= v.vt
+        |        GROUP BY ev.user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converts,
+        |  CAST(quantile_disc(lat, 0.25) AS BIGINT) AS p25_us,
+        |  CAST(quantile_disc(lat, 0.5) AS BIGINT) AS p50_us,
+        |  CAST(quantile_disc(lat, 0.9) AS BIGINT) AS p90_us,
+        |  CAST(min(lat) AS BIGINT) AS min_us,
+        |  CAST(max(lat) AS BIGINT) AS max_us
+        |FROM lat""".stripMargin,
+    "q_ref_integrity" ->
+      """SELECT 'lineitem_orphans' AS check_, CAST(count(*) AS BIGINT) AS violations
+        |FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'orders_childless', CAST(count(*) AS BIGINT) FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |UNION ALL
+        |SELECT 'orders_badcust', CAST(count(*) AS BIGINT) FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |ORDER BY check_""".stripMargin,
     "q_dim_lookup" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,

@@ -71,6 +71,54 @@ object AggExtraQueries {
           n.as("n"))
         .orderBy(col("l_returnflag"))
     }),
+    "q_abc_analysis" -> ((s, dir) => {
+      // Pareto / ABC classification of parts by revenue: exact-DECIMAL
+      // cumulative revenue through BOTH window sums (running + whole),
+      // so segment-tree vs running-sum window evaluation can't move a
+      // bit; the one double division producing the share is
+      // deterministic. The windows run over the parts-sized AGGREGATE
+      // (not lineitem) — at catalog scale swap for quantile-threshold
+      // classing, same downstream.
+      import org.apache.spark.sql.expressions.Window
+      val rev = t(s, dir, "lineitem").groupBy(col("l_partkey"))
+        .agg(sum(dec(col("l_extendedprice"))).as("rev_dec"))
+      val ord = Window.orderBy(col("rev_dec").desc, col("l_partkey"))
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      rev.withColumn("share", d(sum(col("rev_dec")).over(run)) /
+          d(sum(col("rev_dec")).over(whole)))
+        .withColumn("cls", when(col("share") <= 0.8, "A")
+          .when(col("share") <= 0.95, "B").otherwise("C"))
+        .select(col("l_partkey"), d(col("rev_dec")).as("revenue"),
+          round(col("share"), 6).as("share"), col("cls"))
+        .orderBy(col("share"), col("l_partkey"))
+    }),
+    "q_basket_lift" -> ((s, dir) => {
+      // Market-basket association: support/confidence/lift for part
+      // pairs co-occurring in >= 3 orders. All counts integer; each
+      // metric is one double division of exact int64 products —
+      // engine-deterministic. Pair generation is the same
+      // support-floored basket self-join as the triangle edges.
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val nOrders = op.select(col("o")).distinct().agg(count(lit(1)).as("n_orders"))
+      val item = op.groupBy(col("p")).agg(count(lit(1)).as("c"))
+      val pairs = op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+        .agg(count(lit(1)).as("cab")).filter(col("cab") >= 3)
+      pairs
+        .join(item.select(col("p").as("pa"), col("c").as("ca")), "pa")
+        .join(item.select(col("p").as("pb"), col("c").as("cb")), "pb")
+        .crossJoin(broadcast(nOrders))
+        .select(col("pa"), col("pb"), col("cab"),
+          round(col("cab") / col("n_orders"), 6).as("support"),
+          round(col("cab") / col("ca"), 6).as("confidence"),
+          round((col("cab") * col("n_orders")) / (col("ca") * col("cb")), 6)
+            .as("lift"))
+        .orderBy(col("lift").desc, col("pa"), col("pb"))
+        .limit(50)
+    }),
     "q_agg_pctdisc" -> ((s, dir) => {
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
         .agg(
@@ -101,6 +149,35 @@ object AggExtraQueries {
          |  ROUND((${oSxy("l_quantity", "l_extendedprice")}) / 1e3, 4) AS sxy_k,
          |  COUNT(*) AS n
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_abc_analysis" ->
+      """WITH rev AS (
+        |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM lineitem GROUP BY l_partkey),
+        |s AS (
+        |  SELECT l_partkey, CAST(rev_dec AS DOUBLE) AS revenue,
+        |    CAST(sum(rev_dec) OVER (ORDER BY rev_dec DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(sum(rev_dec) OVER () AS DOUBLE) AS share
+        |  FROM rev)
+        |SELECT l_partkey, revenue, round(share, 6) AS share,
+        |  CASE WHEN share <= 0.8 THEN 'A' WHEN share <= 0.95 THEN 'B'
+        |       ELSE 'C' END AS cls
+        |FROM s ORDER BY share, l_partkey""".stripMargin,
+    "q_basket_lift" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |n AS (SELECT count(DISTINCT o) AS n_orders FROM op),
+        |item AS (SELECT p, count(*) AS c FROM op GROUP BY p),
+        |pairs AS (
+        |  SELECT a.p AS pa, b.p AS pb, count(*) AS cab
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT pa, pb, CAST(cab AS BIGINT) AS cab,
+        |  round(cab / n.n_orders, 6) AS support,
+        |  round(cab / ia.c, 6) AS confidence,
+        |  round((cab * n.n_orders) / (ia.c * ib.c), 6) AS lift
+        |FROM pairs JOIN item ia ON ia.p = pairs.pa
+        |JOIN item ib ON ib.p = pairs.pb CROSS JOIN n
+        |ORDER BY lift DESC, pa, pb LIMIT 50""".stripMargin,
     "q_agg_pctdisc" ->
       s"""SELECT l_returnflag,
          |  quantile_disc(l_quantity, 0.5) AS p50_disc,

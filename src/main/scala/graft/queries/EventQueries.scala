@@ -147,6 +147,26 @@ object EventQueries {
           col("_asof.band").as("band"), col("_asof_ts").as("ver_ts"))
         .orderBy(col("user_id"), col("click_id"))
     }),
+    "q_cohort_ltv" -> ((s, dir) => {
+      // Cumulative LTV curve per first-purchase cohort: revenue by
+      // cohort age with an exact-DECIMAL running sum (window order
+      // can't move a bit), buyers counted distinct per (cohort, age).
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      val cohort = e.groupBy(col("user_id")).agg(min(col("day")).as("c0"))
+      val daily = e.join(cohort, "user_id")
+        .groupBy(col("c0").as("cohort_day"),
+          datediff(col("day"), col("c0")).cast("int").as("age"))
+        .agg(sum(dec(col("value"))).as("rev_dec"),
+          countDistinct(col("user_id")).as("buyers"))
+      val w = Window.partitionBy(col("cohort_day")).orderBy(col("age"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.withColumn("cum_ltv", d(sum(col("rev_dec")).over(w)))
+        .select(col("cohort_day"), col("age"), d(col("rev_dec")).as("revenue"),
+          col("buyers"), col("cum_ltv"))
+        .orderBy(col("cohort_day"), col("age"))
+    }),
     "q_funnel_latency" -> ((s, dir) => {
       // Time-to-convert distribution: first purchase at/after each
       // user's first view, latency in exact integer microseconds —
@@ -195,6 +215,22 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_cohort_ltv" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |cohort AS (SELECT user_id, min(day) AS c0 FROM e GROUP BY user_id),
+        |daily AS (
+        |  SELECT c.c0 AS cohort_day,
+        |    CAST(datediff('day', c.c0, e.day) AS INT) AS age,
+        |    sum(CAST(e.value AS DECIMAL(18,2))) AS rev_dec,
+        |    CAST(count(DISTINCT e.user_id) AS BIGINT) AS buyers
+        |  FROM e JOIN cohort c USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort_day, age, CAST(rev_dec AS DOUBLE) AS revenue, buyers,
+        |  CAST(sum(rev_dec) OVER (PARTITION BY cohort_day ORDER BY age
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS cum_ltv
+        |FROM daily ORDER BY cohort_day, age""".stripMargin,
     "q_funnel_latency" ->
       """WITH ev AS (SELECT user_id, event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),

@@ -147,6 +147,25 @@ object EventQueries {
           col("_asof.band").as("band"), col("_asof_ts").as("ver_ts"))
         .orderBy(col("user_id"), col("click_id"))
     }),
+    "q_seq_patterns" -> ((s, dir) => {
+      // Sequential-pattern support ("a then b"): a user supports the
+      // pattern iff some a-event strictly precedes some b-event ⇔
+      // min(a.ts) < max(b.ts) — so the whole mining pass is one
+      // (user, type) min/max rollup self-joined on user over the
+      // BOUNDED type alphabet (the SPADE id-list trick relationally):
+      // no per-user sequence materializes anywhere.
+      val ut = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          struct(col("ts"), col("event_id")).as("o"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("o")).as("mn"), max(col("o")).as("mx"))
+      ut.as("a").join(ut.as("b"), col("a.user_id") === col("b.user_id"))
+        .filter(col("a.mn") < col("b.mx"))
+        .groupBy(col("a.event_type").as("first_"),
+          col("b.event_type").as("then_"))
+        .agg(countDistinct(col("a.user_id")).as("support"))
+        .orderBy(col("first_"), col("then_"))
+    }),
     "q_cohort_ltv" -> ((s, dir) => {
       // Cumulative LTV curve per first-purchase cohort: revenue by
       // cohort age with an exact-DECIMAL running sum (window order
@@ -215,6 +234,29 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_seq_patterns" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events),
+        |ut0 AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM e),
+        |ut AS (
+        |  SELECT user_id, event_type,
+        |    max(CASE WHEN rn_a = 1 THEN ts END) AS mn_ts,
+        |    max(CASE WHEN rn_a = 1 THEN event_id END) AS mn_id,
+        |    max(CASE WHEN rn_d = 1 THEN ts END) AS mx_ts,
+        |    max(CASE WHEN rn_d = 1 THEN event_id END) AS mx_id
+        |  FROM ut0 GROUP BY 1, 2)
+        |SELECT a.event_type AS first_, b.event_type AS then_,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS support
+        |FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |WHERE (a.mn_ts, a.mn_id) < (b.mx_ts, b.mx_id)
+        |GROUP BY 1, 2 ORDER BY first_, then_""".stripMargin,
     "q_cohort_ltv" ->
       """WITH e AS (
         |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value

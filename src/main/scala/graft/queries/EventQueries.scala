@@ -147,6 +147,51 @@ object EventQueries {
           col("_asof.band").as("band"), col("_asof_ts").as("ver_ts"))
         .orderBy(col("user_id"), col("click_id"))
     }),
+    "q_growth_accounting" -> ((s, dir) => {
+      // Growth accounting: each (user, active-day) classified
+      // new / retained / resurrected from the user's previous active
+      // day, plus churned = active the day before but gone today —
+      // all integer counts from one lag/lead pass over the distinct
+      // (user, day) activity table (one shuffle by user).
+      import org.apache.spark.sql.expressions.Window
+      val ud = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val lagged = ud.withColumn("prev", lag(col("day"), 1).over(w))
+        .withColumn("next_", lead(col("day"), 1).over(w))
+      val classed = lagged.groupBy(col("day")).agg(
+        sum(when(col("prev").isNull, 1).otherwise(0)).as("n_new"),
+        sum(when(datediff(col("day"), col("prev")) === 1, 1).otherwise(0))
+          .as("n_retained"),
+        sum(when(col("prev").isNotNull &&
+          datediff(col("day"), col("prev")) > 1, 1).otherwise(0))
+          .as("n_resurrected"))
+      val churned = lagged
+        .filter(col("next_").isNull || datediff(col("next_"), col("day")) > 1)
+        .select(date_add(col("day"), 1).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n_churned"))
+      classed.join(churned, Seq("day"), "left")
+        .na.fill(0, Seq("n_churned"))
+        .orderBy(col("day"))
+    }),
+    "q_stickiness" -> ((s, dir) => {
+      // DAU / trailing-7-day WAU stickiness: exact distinct actives
+      // per sliding week via a bounded day-grid range join (the day
+      // table is calendar-sized — broadcast; the activity table is
+      // scanned once per side). Ratio is one double division.
+      val ud = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val days = ud.select(col("day").as("d")).distinct()
+      val dau = ud.groupBy(col("day").as("d"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val wau = broadcast(days).join(ud,
+          datediff(col("d"), col("day")).between(0, 6))
+        .groupBy(col("d")).agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, "d")
+        .select(col("d").as("day"), col("dau"), col("wau"),
+          round(col("dau") / col("wau"), 6).as("stickiness"))
+        .orderBy(col("day"))
+    }),
     "q_seq_patterns" -> ((s, dir) => {
       // Sequential-pattern support ("a then b"): a user supports the
       // pattern iff some a-event strictly precedes some b-event ⇔
@@ -234,6 +279,46 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_growth_accounting" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |lagged AS (
+        |  SELECT user_id, day,
+        |    lag(day) OVER w AS prev, lead(day) OVER w AS next_
+        |  FROM ud WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+        |classed AS (
+        |  SELECT day,
+        |    CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |    CAST(sum(CASE WHEN datediff('day', prev, day) = 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN prev IS NOT NULL
+        |      AND datediff('day', prev, day) > 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM lagged GROUP BY day),
+        |churned AS (
+        |  SELECT day + 1 AS day, CAST(count(*) AS BIGINT) AS n_churned
+        |  FROM lagged
+        |  WHERE next_ IS NULL OR datediff('day', day, next_) > 1
+        |  GROUP BY day + 1)
+        |SELECT c.day, c.n_new, c.n_retained, c.n_resurrected,
+        |  coalesce(ch.n_churned, 0) AS n_churned
+        |FROM classed c LEFT JOIN churned ch USING (day)
+        |ORDER BY c.day""".stripMargin,
+    "q_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |days AS (SELECT DISTINCT day AS d FROM ud),
+        |dau AS (SELECT day AS d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |        FROM ud GROUP BY 1),
+        |wau AS (SELECT days.d, CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau
+        |        FROM days JOIN ud
+        |          ON datediff('day', ud.day, days.d) BETWEEN 0 AND 6
+        |        GROUP BY days.d)
+        |SELECT dau.d AS day, dau.dau, wau.wau,
+        |  round(dau.dau / wau.wau, 6) AS stickiness
+        |FROM dau JOIN wau USING (d) ORDER BY day""".stripMargin,
     "q_seq_patterns" ->
       """WITH e AS (
         |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id

@@ -147,6 +147,77 @@ object EventQueries {
           col("_asof.band").as("band"), col("_asof_ts").as("ver_ts"))
         .orderBy(col("user_id"), col("click_id"))
     }),
+    "q_attribution" -> ((s, dir) => {
+      // Batch multi-touch attribution: every purchase credits the
+      // clicks in its trailing 1-day window under three models —
+      // first-touch, last-touch, linear. Credits are INTEGER ppm
+      // (floor(1e6/n) for linear) so the per-channel sums are exact;
+      // channel derives from the click's props payload. The join is
+      // user-keyed with a bounded time band.
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"), col("event_id"),
+          (get_json_object(col("props"), "$.k").cast("long") % 3)
+            .as("channel"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("t").as("pt"), col("event_id").as("pid"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("t").as("ct"),
+          col("event_id").as("cid"), col("channel"))
+      val touches = purchases.join(clicks, Seq("user_id"))
+        .filter(col("ct") <= col("pt") &&
+          col("ct") > col("pt") - lit(86400000000L))
+      val w = Window.partitionBy(col("pid"))
+      val ranked = touches
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("rn_first", row_number().over(
+          w.orderBy(col("ct"), col("cid"))))
+        .withColumn("rn_last", row_number().over(
+          w.orderBy(col("ct").desc, col("cid").desc)))
+      ranked.groupBy(col("channel")).agg(
+          sum(when(col("rn_first") === 1, 1000000L).otherwise(0L))
+            .as("first_touch_ppm"),
+          sum(when(col("rn_last") === 1, 1000000L).otherwise(0L))
+            .as("last_touch_ppm"),
+          sum(floor(lit(1000000L) / col("n"))).as("linear_ppm"),
+          count(lit(1)).as("n_touches"))
+        .orderBy(col("channel"))
+    }),
+    "q_survival_km" -> ((s, dir) => {
+      // Kaplan-Meier survival over user lifetimes (days from first to
+      // last activity; lifetimes ending >= 7 days before the corpus
+      // horizon are churn EVENTS, later ones are CENSORED). S(t) =
+      // Π(1 − d_s/n_s) folds ln-terms over a duration-SORTED array
+      // per row (the distinct-duration table is tiny), so the float
+      // product is order-deterministic cross-engine.
+      val ud = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val life = ud.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          datediff(col("d1"), col("d0")).cast("int").as("dur"),
+          (col("d1") <= to_date(lit("2024-01-23"))).cast("int").as("died"))
+      val byDur = life.groupBy(col("dur")).agg(
+        count(lit(1)).as("n_at"), sum(col("died")).as("d_at"))
+      // risk set = users with duration >= t (inclusive); terms for
+      // every distinct duration, folded in dur order up to each row
+      val withRisk = byDur
+        .withColumn("all_", expr("collect_list(struct(dur, n_at, d_at)) over ()"))
+        .withColumn("n_risk", expr(
+          "aggregate(filter(all_, x -> x.dur >= dur), 0L, (a, x) -> a + x.n_at)"))
+        // ln(greatest(term, 1e-300)): an all-deaths tail would be
+        // ln(0) — the floor keeps both engines finite and rounds to
+        // the same 0.0 survival
+        .withColumn("surv", expr(
+          "round(exp(aggregate(array_sort(filter(all_, x -> x.dur <= dur)), " +
+          "cast(0 as double), (a, x) -> a + ln(greatest(1 - x.d_at / " +
+          "aggregate(filter(all_, y -> y.dur >= x.dur), 0L, (a2, y) -> a2 + y.n_at)" +
+          ", 1e-300)))), 6)"))
+      withRisk.select(col("dur"), col("n_at"), col("d_at"),
+          col("n_risk"), col("surv"))
+        .orderBy(col("dur"))
+    }),
     "q_growth_accounting" -> ((s, dir) => {
       // Growth accounting: each (user, active-day) classified
       // new / retained / resurrected from the user's previous active
@@ -279,6 +350,56 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+        |    event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) % 3
+        |      AS channel
+        |  FROM events),
+        |p AS (SELECT user_id, t AS pt, event_id AS pid FROM ev
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, t AS ct, event_id AS cid, channel FROM ev
+        |      WHERE event_type = 'click'),
+        |touch AS (
+        |  SELECT p.pid, c.ct, c.cid, c.channel,
+        |    count(*) OVER (PARTITION BY p.pid) AS n,
+        |    row_number() OVER (PARTITION BY p.pid ORDER BY c.ct, c.cid)
+        |      AS rn_first,
+        |    row_number() OVER (PARTITION BY p.pid ORDER BY c.ct DESC, c.cid DESC)
+        |      AS rn_last
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |  WHERE c.ct <= p.pt AND c.ct > p.pt - 86400000000)
+        |SELECT channel,
+        |  CAST(sum(CASE WHEN rn_first = 1 THEN 1000000 ELSE 0 END) AS BIGINT)
+        |    AS first_touch_ppm,
+        |  CAST(sum(CASE WHEN rn_last = 1 THEN 1000000 ELSE 0 END) AS BIGINT)
+        |    AS last_touch_ppm,
+        |  CAST(sum(1000000 // n) AS BIGINT) AS linear_ppm,
+        |  CAST(count(*) AS BIGINT) AS n_touches
+        |FROM touch GROUP BY channel ORDER BY channel""".stripMargin,
+    "q_survival_km" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |life AS (
+        |  SELECT user_id, CAST(datediff('day', min(day), max(day)) AS INT)
+        |      AS dur,
+        |    CAST(max(day) <= DATE '2024-01-23' AS INT) AS died
+        |  FROM ud GROUP BY user_id),
+        |bydur AS (SELECT dur, count(*) AS n_at, sum(died) AS d_at
+        |          FROM life GROUP BY dur),
+        |terms AS (
+        |  SELECT b.dur, b.n_at, b.d_at,
+        |    (SELECT sum(x.n_at) FROM bydur x WHERE x.dur >= b.dur) AS n_risk,
+        |    ln(greatest(1 - b.d_at /
+        |      (SELECT sum(x.n_at) FROM bydur x WHERE x.dur >= b.dur), 1e-300))
+        |      AS term
+        |  FROM bydur b)
+        |SELECT t.dur, CAST(t.n_at AS BIGINT) AS n_at,
+        |  CAST(t.d_at AS BIGINT) AS d_at, CAST(t.n_risk AS BIGINT) AS n_risk,
+        |  round(exp((SELECT list_reduce(list(s.term ORDER BY s.dur),
+        |    (a, x) -> a + x) FROM terms s WHERE s.dur <= t.dur)), 6) AS surv
+        |FROM terms t ORDER BY t.dur""".stripMargin,
     "q_growth_accounting" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day

@@ -263,6 +263,57 @@ object EventQueries {
           round(col("dau") / col("wau"), 6).as("stickiness"))
         .orderBy(col("day"))
     }),
+    "q_ab_test" -> ((s, dir) => {
+      // Two-proportion z-test between experiment arms (user_id parity):
+      // conversion = user made a >300-value purchase (the whole-corpus
+      // any-purchase rate is 100% — degenerate). Counts are integers; the pooled
+      // z-statistic is a fixed chain of double ops over them —
+      // engine-deterministic, rounded at the end.
+      val users = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 300, 1)
+          .otherwise(0)).as("converted"))
+        .withColumn("arm", (col("user_id") % 2).cast("int"))
+      val arms = users.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("k"))
+      val a = arms.filter(col("arm") === 0)
+        .select(col("n").as("n0"), col("k").as("k0"))
+      val b = arms.filter(col("arm") === 1)
+        .select(col("n").as("n1"), col("k").as("k1"))
+      val p0 = col("k0").cast("double") / col("n0").cast("double")
+      val p1 = col("k1").cast("double") / col("n1").cast("double")
+      val pp = (col("k0") + col("k1")).cast("double") /
+        (col("n0") + col("n1")).cast("double")
+      a.crossJoin(b).select(
+        col("n0"), col("k0"), col("n1"), col("k1"),
+        round(p0, 6).as("cr0"), round(p1, 6).as("cr1"),
+        round((p1 - p0) / sqrt(pp * (lit(1) - pp) *
+          (lit(1.0) / col("n0").cast("double")
+            + lit(1.0) / col("n1").cast("double"))), 6).as("z"))
+    }),
+    "q_seq_triples" -> ((s, dir) => {
+      // 3-step sequential patterns (a then b then c): supported iff
+      // some b-event lies strictly between min(a-events) and
+      // max(c-events) — the middle step joins EVENT rows to the two
+      // extrema tables, so the blow-up is bounded by the type
+      // alphabet squared, never by sequence length.
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          struct(col("ts"), col("event_id")).as("o"))
+      val ut = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("o")).as("mn"), max(col("o")).as("mx"))
+      ev.select(col("user_id"), col("event_type").as("mid_"), col("o"))
+        .join(ut.select(col("user_id"), col("event_type").as("first_"),
+          col("mn")), "user_id")
+        .filter(col("mn") < col("o"))
+        .join(ut.select(col("user_id"), col("event_type").as("third_"),
+          col("mx")), "user_id")
+        .filter(col("o") < col("mx"))
+        .groupBy(col("first_"), col("mid_"), col("third_"))
+        .agg(countDistinct(col("user_id")).as("support"))
+        .filter(col("support") >= 5)
+        .orderBy(col("first_"), col("mid_"), col("third_"))
+    }),
     "q_seq_patterns" -> ((s, dir) => {
       // Sequential-pattern support ("a then b"): a user supports the
       // pattern iff some a-event strictly precedes some b-event ⇔
@@ -350,6 +401,52 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ab_test" ->
+      """WITH users AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 300 THEN 1 ELSE 0 END)
+        |      AS converted,
+        |    CAST(user_id % 2 AS INT) AS arm
+        |  FROM events GROUP BY user_id),
+        |arms AS (SELECT arm, count(*) AS n, sum(converted) AS k
+        |         FROM users GROUP BY arm),
+        |a AS (SELECT n AS n0, k AS k0 FROM arms WHERE arm = 0),
+        |b AS (SELECT n AS n1, k AS k1 FROM arms WHERE arm = 1)
+        |SELECT CAST(n0 AS BIGINT) AS n0, CAST(k0 AS BIGINT) AS k0,
+        |  CAST(n1 AS BIGINT) AS n1, CAST(k1 AS BIGINT) AS k1,
+        |  round(k0 / n0, 6) AS cr0, round(k1 / n1, 6) AS cr1,
+        |  round((k1 / n1 - k0 / n0)
+        |    / sqrt(((k0 + k1) / (n0 + n1)) * (1 - (k0 + k1) / (n0 + n1))
+        |      * (1.0 / n0 + 1.0 / n1)), 6) AS z
+        |FROM a CROSS JOIN b""".stripMargin,
+    "q_seq_triples" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events),
+        |ut0 AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM e),
+        |ut AS (
+        |  SELECT user_id, event_type,
+        |    max(CASE WHEN rn_a = 1 THEN ts END) AS mn_ts,
+        |    max(CASE WHEN rn_a = 1 THEN event_id END) AS mn_id,
+        |    max(CASE WHEN rn_d = 1 THEN ts END) AS mx_ts,
+        |    max(CASE WHEN rn_d = 1 THEN event_id END) AS mx_id
+        |  FROM ut0 GROUP BY 1, 2)
+        |SELECT a.event_type AS first_, m.event_type AS mid_,
+        |  c.event_type AS third_,
+        |  CAST(count(DISTINCT m.user_id) AS BIGINT) AS support
+        |FROM e m
+        |JOIN ut a ON a.user_id = m.user_id
+        |  AND (a.mn_ts, a.mn_id) < (m.ts, m.event_id)
+        |JOIN ut c ON c.user_id = m.user_id
+        |  AND (m.ts, m.event_id) < (c.mx_ts, c.mx_id)
+        |GROUP BY 1, 2, 3 HAVING count(DISTINCT m.user_id) >= 5
+        |ORDER BY first_, mid_, third_""".stripMargin,
     "q_attribution" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t,

@@ -263,6 +263,87 @@ object EventQueries {
           round(col("dau") / col("wau"), 6).as("stickiness"))
         .orderBy(col("day"))
     }),
+    "q_chi2_independence" -> ((s, dir) => {
+      // Chi-square independence screen for event_type × day-of-week:
+      // observed integer counts, expected = row_tot·col_tot/N (exact
+      // int64 product, one double division), per-cell contribution —
+      // no cross-cell float sum, so every value is deterministic.
+      import org.apache.spark.sql.expressions.Window
+      val cells = t(s, dir, "events")
+        .groupBy(col("event_type"), dayofweek(col("ts")).cast("int").as("dow"))
+        .agg(count(lit(1)).as("obs"))
+      val wr = Window.partitionBy(col("event_type"))
+      val wc = Window.partitionBy(col("dow"))
+      val wt = Window.partitionBy()
+      cells
+        .withColumn("row_tot", sum(col("obs")).over(wr))
+        .withColumn("col_tot", sum(col("obs")).over(wc))
+        .withColumn("n", sum(col("obs")).over(wt))
+        .withColumn("expected",
+          round((col("row_tot") * col("col_tot")).cast("double") / col("n"), 6))
+        .withColumn("chi2_part", round(
+          pow(col("obs") - (col("row_tot") * col("col_tot")).cast("double")
+            / col("n"), 2) /
+          ((col("row_tot") * col("col_tot")).cast("double") / col("n")), 6))
+        .select(col("event_type"), col("dow"), col("obs"),
+          col("expected"), col("chi2_part"))
+        .orderBy(col("event_type"), col("dow"))
+    }),
+    "q_segment_entropy" -> ((s, dir) => {
+      // Behavioral-mix profile per user segment: Shannon entropy and
+      // Gini impurity of the event-type distribution — both folded
+      // over type-SORTED arrays so the float totals are
+      // order-deterministic cross-engine.
+      val seg = t(s, dir, "events")
+        .groupBy((col("user_id") % 4).cast("int").as("segment"),
+          col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val withTot = seg.groupBy(col("segment"))
+        .agg(sum(col("c")).as("n"),
+          expr("collect_list(struct(event_type, c))").as("parts"))
+      withTot.select(col("segment"), col("n"),
+          round(expr(
+            "aggregate(array_sort(parts), cast(0 as double), " +
+            "(a, x) -> a - (x.c / cast(n as double)) * " +
+            "ln(x.c / cast(n as double)))"), 6).as("entropy"),
+          round(expr(
+            "1 - aggregate(array_sort(parts), cast(0 as double), " +
+            "(a, x) -> a + (x.c / cast(n as double)) * " +
+            "(x.c / cast(n as double)))"), 6).as("gini"))
+        .orderBy(col("segment"))
+    }),
+    "q_moving_corr" -> ((s, dir) => {
+      // Rolling 7-day correlation between click and purchase daily
+      // totals: Σx, Σy, Σx², Σy², Σxy all carried as exact DECIMAL
+      // through the window frames; the corr formula is one chain of
+      // double ops per row. Full windows only; zero-variance windows
+      // yield NULL.
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "click", dec(col("value")))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("x"),
+          sum(when(col("event_type") === "purchase", dec(col("value")))
+            .otherwise(lit(0).cast("decimal(18,2)"))).as("y"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      val n = count(lit(1)).over(w)
+      val sx = d(sum(col("x")).over(w))
+      val sy = d(sum(col("y")).over(w))
+      val sxx = d(sum(col("x") * col("x")).over(w))
+      val syy = d(sum(col("y") * col("y")).over(w))
+      val sxy = d(sum(col("x") * col("y")).over(w))
+      val varx = n * sxx - sx * sx
+      val vary = n * syy - sy * sy
+      daily
+        .withColumn("n_win", n)
+        .withColumn("corr7", when(varx > 0 && vary > 0,
+          round((n * sxy - sx * sy) / sqrt(varx * vary), 6)))
+        .filter(col("n_win") === 7)
+        .select(col("day"), d(col("x")).as("clicks_v"),
+          d(col("y")).as("purch_v"), col("corr7"))
+        .orderBy(col("day"))
+    }),
     "q_ab_test" -> ((s, dir) => {
       // Two-proportion z-test between experiment arms (user_id parity):
       // conversion = user made a >300-value purchase (the whole-corpus
@@ -401,6 +482,66 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_chi2_independence" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |    CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INT) AS dow,
+        |    count(*) AS obs
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, dow, obs,
+        |    sum(obs) OVER (PARTITION BY event_type) AS row_tot,
+        |    sum(obs) OVER (PARTITION BY dow) AS col_tot,
+        |    sum(obs) OVER () AS n
+        |  FROM cells)
+        |SELECT event_type, dow, CAST(obs AS BIGINT) AS obs,
+        |  round(CAST(row_tot * col_tot AS DOUBLE) / n, 6) AS expected,
+        |  round(pow(obs - CAST(row_tot * col_tot AS DOUBLE) / n, 2)
+        |    / (CAST(row_tot * col_tot AS DOUBLE) / n), 6) AS chi2_part
+        |FROM t ORDER BY event_type, dow""".stripMargin,
+    "q_segment_entropy" ->
+      """WITH seg AS (
+        |  SELECT CAST(user_id % 4 AS INT) AS segment, event_type,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT segment, sum(c) AS n,
+        |        list(c ORDER BY event_type) AS cs
+        |      FROM seg GROUP BY segment)
+        |SELECT segment, CAST(n AS BIGINT) AS n,
+        |  round(list_reduce(list_transform(cs,
+        |    x -> -(x / CAST(n AS DOUBLE)) * ln(x / CAST(n AS DOUBLE))),
+        |    (a, x) -> a + x), 6) AS entropy,
+        |  round(1 - list_reduce(list_transform(cs,
+        |    x -> (x / CAST(n AS DOUBLE)) * (x / CAST(n AS DOUBLE))),
+        |    (a, x) -> a + x), 6) AS gini
+        |FROM g ORDER BY segment""".stripMargin,
+    "q_moving_corr" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS x,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT day, CAST(x AS DOUBLE) AS xv, CAST(y AS DOUBLE) AS yv,
+        |    count(*) OVER w AS n_win,
+        |    CAST(sum(x) OVER w AS DOUBLE) AS sx,
+        |    CAST(sum(y) OVER w AS DOUBLE) AS sy,
+        |    CAST(sum(x * x) OVER w AS DOUBLE) AS sxx,
+        |    CAST(sum(y * y) OVER w AS DOUBLE) AS syy,
+        |    CAST(sum(x * y) OVER w AS DOUBLE) AS sxy
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day, xv AS clicks_v, yv AS purch_v,
+        |  CASE WHEN n_win * sxx - sx * sx > 0 AND n_win * syy - sy * sy > 0
+        |    THEN round((n_win * sxy - sx * sy)
+        |      / sqrt((n_win * sxx - sx * sx) * (n_win * syy - sy * sy)), 6)
+        |  END AS corr7
+        |FROM t WHERE n_win = 7 ORDER BY day""".stripMargin,
     "q_ab_test" ->
       """WITH users AS (
         |  SELECT user_id,

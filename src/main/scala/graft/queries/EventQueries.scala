@@ -263,6 +263,53 @@ object EventQueries {
           round(col("dau") / col("wau"), 6).as("stickiness"))
         .orderBy(col("day"))
     }),
+    "q_max_concurrency" -> ((s, dir) => {
+      // Peak concurrent activity per day: each user's daily activity
+      // span becomes +1/−1 boundary events; a running sum over the
+      // (time, delta, user) total order gives instantaneous
+      // concurrency, max'd per day — the classic interval-overlap
+      // counting shape, all integers, one shuffle by day.
+      import org.apache.spark.sql.expressions.Window
+      val spans = t(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(min(unix_micros(col("ts"))).as("t0"),
+          max(unix_micros(col("ts"))).as("t1"))
+      // end boundaries sort BEFORE starts at the same instant via
+      // delta asc (-1 < +1): a span ending exactly when another
+      // starts does not overlap it
+      val bounds = spans.select(col("day"), col("t0").as("t"),
+          lit(1).as("delta"), col("user_id"))
+        .unionByName(spans.select(col("day"), col("t1").as("t"),
+          lit(-1).as("delta"), col("user_id")))
+      val w = Window.partitionBy(col("day"))
+        .orderBy(col("t"), col("delta"), col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bounds.withColumn("conc", sum(col("delta")).over(w))
+        .groupBy(col("day"))
+        .agg(max(col("conc")).as("peak_concurrency"),
+          (count(lit(1)) / 2).cast("long").as("n_users"))
+        .orderBy(col("day"))
+    }),
+    "q_wow_growth" -> ((s, dir) => {
+      // Week-over-week growth per event type: exact decimal weekly
+      // totals, lag, and one double division per row (NULL on a
+      // zero/missing base week).
+      import org.apache.spark.sql.expressions.Window
+      val weekly = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          weekofyear(col("ts")).cast("int").as("wk"))
+        .agg(sum(dec(col("value"))).as("tot_dec"),
+          count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+      weekly
+        .withColumn("prev_dec", lag(col("tot_dec"), 1).over(w))
+        .withColumn("wow_pct", when(col("prev_dec") > 0,
+          round((d(col("tot_dec")) - d(col("prev_dec"))) / d(col("prev_dec"))
+            * 100, 6)))
+        .select(col("event_type"), col("wk"), d(col("tot_dec")).as("total"),
+          col("n"), col("wow_pct"))
+        .orderBy(col("event_type"), col("wk"))
+    }),
     "q_chi2_independence" -> ((s, dir) => {
       // Chi-square independence screen for event_type × day-of-week:
       // observed integer counts, expected = row_tot·col_tot/N (exact
@@ -482,6 +529,41 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_max_concurrency" ->
+      """WITH spans AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT day, t0 AS t, 1 AS delta, user_id FROM spans
+        |  UNION ALL
+        |  SELECT day, t1 AS t, -1 AS delta, user_id FROM spans),
+        |runs AS (
+        |  SELECT day, sum(delta) OVER (PARTITION BY day
+        |    ORDER BY t, delta, user_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM bounds)
+        |SELECT r.day, CAST(max(r.conc) AS BIGINT) AS peak_concurrency,
+        |  CAST((SELECT count(*) FROM spans s WHERE s.day = r.day)
+        |    AS BIGINT) AS n_users
+        |FROM runs r GROUP BY r.day ORDER BY r.day""".stripMargin,
+    "q_wow_growth" ->
+      """WITH weekly AS (
+        |  SELECT event_type,
+        |    CAST(weekofyear(CAST(ts AS TIMESTAMP)) AS INT) AS wk,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS tot_dec,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, wk, tot_dec, n,
+        |    lag(tot_dec) OVER (PARTITION BY event_type ORDER BY wk) AS prev_dec
+        |  FROM weekly)
+        |SELECT event_type, wk, CAST(tot_dec AS DOUBLE) AS total, n,
+        |  CASE WHEN prev_dec > 0 THEN
+        |    round((CAST(tot_dec AS DOUBLE) - CAST(prev_dec AS DOUBLE))
+        |      / CAST(prev_dec AS DOUBLE) * 100, 6) END AS wow_pct
+        |FROM t ORDER BY event_type, wk""".stripMargin,
     "q_chi2_independence" ->
       """WITH cells AS (
         |  SELECT event_type,

@@ -263,6 +263,27 @@ object EventQueries {
           round(col("dau") / col("wau"), 6).as("stickiness"))
         .orderBy(col("day"))
     }),
+    "q_anomaly_days" -> ((s, dir) => {
+      // Robust anomaly screen over daily totals: |day − median| > 3·MAD
+      // flags the day. Median and MAD via percentile_disc (discrete —
+      // engine-identical by the SQL-standard smallest-cume rule);
+      // totals exact decimal, the deviation one double chain. The
+      // 1-row robust-stats frame broadcasts back over the day table.
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sumDec(col("value")).as("total"))
+      val med = daily.agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY total)").as("med"))
+      val withDev = daily.crossJoin(broadcast(med))
+        .withColumn("absdev", abs(col("total") - col("med")))
+      val mad = withDev.agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY absdev)").as("mad"))
+      withDev.crossJoin(broadcast(mad))
+        .select(col("day"), col("total"),
+          round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+          (col("absdev") > lit(3) * col("mad")).as("anomaly"))
+        .orderBy(col("day"))
+    }),
     "q_max_concurrency" -> ((s, dir) => {
       // Peak concurrent activity per day: each user's daily activity
       // span becomes +1/−1 boundary events; a running sum over the
@@ -529,6 +550,18 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_anomaly_days" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM events GROUP BY 1),
+        |med AS (SELECT quantile_disc(total, 0.5) AS med FROM daily),
+        |dev AS (SELECT day, total, med, abs(total - med) AS absdev
+        |        FROM daily CROSS JOIN med),
+        |mad AS (SELECT quantile_disc(absdev, 0.5) AS mad FROM dev)
+        |SELECT day, total, round(med, 6) AS med, round(mad, 6) AS mad,
+        |  absdev > 3 * mad AS anomaly
+        |FROM dev CROSS JOIN mad ORDER BY day""".stripMargin,
     "q_max_concurrency" ->
       """WITH spans AS (
         |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

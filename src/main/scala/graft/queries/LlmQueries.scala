@@ -133,6 +133,45 @@ object LlmQueries {
       Dedup.jaccardDupPairs(t(s, dir, "documents"), threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_novelty" -> ((s, dir) => {
+      // Per-doc n-gram novelty under the doc_id ingestion order: the
+      // fraction of a doc's shingles never seen in ANY earlier doc.
+      // First-occurrence is one groupBy(shingle).min(doc_id) joined
+      // back — no quadratic history scan; the curve is the marginal
+      // value signal dataset-ordering work optimizes.
+      val sh = t(s, dir, "documents").select(col("doc_id"),
+        explode(call_function("shingle_set", col("text"), lit(3))).as("ng"))
+      val firstSeen = sh.groupBy(col("ng")).agg(min(col("doc_id")).as("first_doc"))
+      sh.join(firstSeen, "ng")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty", round(
+          col("n_novel").cast("double") / col("n_shingles"), 6))
+        .orderBy(col("doc_id"))
+    }),
+    "q_heaps_curve" -> ((s, dir) => {
+      // Heaps-law vocabulary growth: cumulative distinct tokens vs
+      // cumulative token volume in doc_id order — each token's
+      // first-occurrence doc contributes one new type there; both
+      // curves are integer running sums over the docs-sized frame.
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        explode(graft.llm.TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      val perDoc = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+      val newTypes = toks.groupBy(col("tok")).agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDoc.join(newTypes, Seq("doc_id"), "left")
+        .na.fill(0, Seq("n_new"))
+        .withColumn("cum_tokens", sum(col("n_tok")).over(w))
+        .withColumn("cum_types", sum(col("n_new")).over(w))
+        .filter(col("doc_id") % 50 === 0) // sampled curve points
+        .select(col("doc_id"), col("cum_tokens"), col("cum_types"))
+        .orderBy(col("doc_id"))
+    }),
     "q_dedup_containment" -> ((s, dir) => {
       // Asymmetric containment join |A∩B|/|A| ≥ 0.8 — catches the
       // short-doc-embedded-in-long-doc duplication Jaccard misses.
@@ -569,6 +608,44 @@ object LlmQueries {
         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q_novelty" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      ELSE [txt] END)) AS ng
+        |  FROM (SELECT doc_id, lower(text) AS txt,
+        |          list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0) AS toks
+        |        FROM documents)),
+        |fs AS (SELECT ng, min(doc_id) AS first_doc FROM sh GROUP BY ng)
+        |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  round(sum(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 6) AS novelty
+        |FROM sh JOIN fs USING (ng)
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+    "q_heaps_curve" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |      x -> length(x) > 0)) AS tok
+        |  FROM documents),
+        |per_doc AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+        |nt AS (SELECT doc_id, count(*) AS n_new
+        |       FROM (SELECT tok, min(doc_id) AS doc_id FROM toks GROUP BY tok)
+        |       GROUP BY doc_id)
+        |SELECT p.doc_id,
+        |  CAST(sum(p.n_tok) OVER (ORDER BY p.doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens,
+        |  CAST(sum(coalesce(nt.n_new, 0)) OVER (ORDER BY p.doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_types
+        |FROM per_doc p LEFT JOIN nt USING (doc_id)
+        |QUALIFY p.doc_id % 50 = 0
+        |ORDER BY p.doc_id""".stripMargin,
     "q_dedup_containment" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(

@@ -133,6 +133,54 @@ object LlmQueries {
       Dedup.jaccardDupPairs(t(s, dir, "documents"), threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_term_dispersion" -> ((s, dir) => {
+      // Term burstiness: variance-to-mean dispersion of per-doc counts
+      // for every term with df >= 100 — bursty terms (topical) score
+      // >1, uniform function words ~<=1. Zero-count docs enter the
+      // moments via N and Σc (Σc² over nonzero docs only — absent
+      // docs contribute 0): all integer sums, one double chain.
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        explode(graft.llm.TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      val perDoc = toks.groupBy(col("tok"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+      val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("nd"))
+      val stats = perDoc.groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"), sum(col("c")).as("cf"),
+          sum(col("c") * col("c")).as("cf2"))
+        .filter(col("df") >= 100)
+      val mean = col("cf").cast("double") / col("nd")
+      stats.crossJoin(broadcast(nDocs))
+        .select(col("tok"), col("df"), col("cf"),
+          round(mean, 6).as("mean_c"),
+          round((col("cf2").cast("double") / col("nd") - mean * mean) / mean, 6)
+            .as("dispersion"))
+        .orderBy(col("tok"))
+    }),
+    "q_collocations" -> ((s, dir) => {
+      // Collocation strength: pointwise mutual information of adjacent
+      // token pairs with count floor 50 — PMI = ln(N·c_xy/(c_x·c_y))
+      // from exact integer counts (the int64 products stay in range),
+      // one ln per row. Deterministic (pmi, pair) ordering.
+      val toksArr = t(s, dir, "documents")
+        .select(graft.llm.TextAnalysis.tokens(lower(col("text"))).as("ts"))
+      val bi = toksArr.select(explode(expr(
+          "transform(sequence(1, size(ts) - 1), " +
+          "i -> struct(ts[i - 1] AS x, ts[i] AS y))")).as("b"))
+        .select(col("b.x").as("x"), col("b.y").as("y"))
+      val uni = toksArr.select(explode(col("ts")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val n = toksArr.agg(sum(size(col("ts"))).as("n"))
+      bi.groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+        .filter(col("cxy") >= 50)
+        .join(uni.select(col("tok").as("x"), col("c").as("cx")), "x")
+        .join(uni.select(col("tok").as("y"), col("c").as("cy")), "y")
+        .crossJoin(broadcast(n))
+        .select(col("x"), col("y"), col("cxy"),
+          round(log((col("n") * col("cxy")).cast("double") /
+            (col("cx") * col("cy")).cast("double")), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("x"), col("y"))
+        .limit(30)
+    }),
     "q_novelty" -> ((s, dir) => {
       // Per-doc n-gram novelty under the doc_id ingestion order: the
       // fraction of a doc's shingles never seen in ANY earlier doc.
@@ -608,6 +656,42 @@ object LlmQueries {
         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q_term_dispersion" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |      x -> length(x) > 0)) AS tok
+        |  FROM documents),
+        |pd AS (SELECT tok, doc_id, count(*) AS c FROM toks GROUP BY 1, 2),
+        |st AS (SELECT tok, count(*) AS df, sum(c) AS cf,
+        |         sum(c * c) AS cf2
+        |       FROM pd GROUP BY tok HAVING count(*) >= 100),
+        |nd AS (SELECT count(*) AS nd FROM documents)
+        |SELECT tok, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf,
+        |  round(CAST(cf AS DOUBLE) / nd.nd, 6) AS mean_c,
+        |  round((CAST(cf2 AS DOUBLE) / nd.nd
+        |      - (CAST(cf AS DOUBLE) / nd.nd) * (CAST(cf AS DOUBLE) / nd.nd))
+        |    / (CAST(cf AS DOUBLE) / nd.nd), 6) AS dispersion
+        |FROM st CROSS JOIN nd ORDER BY tok""".stripMargin,
+    "q_collocations" ->
+      """WITH ta AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |    x -> length(x) > 0) AS ts
+        |  FROM documents),
+        |bi AS (
+        |  SELECT ts[i - 1] AS x, ts[i] AS y
+        |  FROM ta, LATERAL (SELECT unnest(range(2, len(ts) + 1)) AS i) t),
+        |uni AS (SELECT unnest(ts) AS tok FROM ta),
+        |uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+        |n AS (SELECT sum(len(ts)) AS n FROM ta),
+        |co AS (SELECT x, y, count(*) AS cxy FROM bi GROUP BY 1, 2
+        |       HAVING count(*) >= 50)
+        |SELECT co.x, co.y, CAST(co.cxy AS BIGINT) AS cxy,
+        |  round(ln(CAST(n.n * co.cxy AS DOUBLE)
+        |    / CAST(ux.c * uy.c AS DOUBLE)), 6) AS pmi
+        |FROM co JOIN uc ux ON ux.tok = co.x
+        |JOIN uc uy ON uy.tok = co.y CROSS JOIN n
+        |ORDER BY pmi DESC, co.x, co.y LIMIT 30""".stripMargin,
     "q_novelty" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct(

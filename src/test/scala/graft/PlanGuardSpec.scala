@@ -24,7 +24,7 @@ class PlanGuardSpec extends SparkSpec {
   private val allowNestedLoop =
     Set("q_join_cross", "q_ann_brute", "q_hard_negatives", "q_sketch_approx",
       "q_const_projection", "q_topk_ties",
-      "q_decontam_semantic", "q_bm25_topk", "q_lm_entropy", "q_ccnet_buckets", "q_benford", "q_walkforward", "q_basket_lift", "q_stickiness", "q_ab_test", "q_anomaly_days",
+      "q_decontam_semantic", "q_bm25_topk", "q_lm_entropy", "q_ccnet_buckets", "q_benford", "q_walkforward", "q_basket_lift", "q_stickiness", "q_ab_test", "q_anomaly_days", "q_term_dispersion", "q_collocations",
       "q_importance_weights",
       "q_source_kl", "q_lm_bigram", "q_lm_trigram", "q_sample_temperature",
       "q_curriculum", "q_mix_epochs")

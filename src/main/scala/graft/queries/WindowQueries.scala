@@ -62,6 +62,34 @@ object WindowQueries {
             .as("w_ties_excl"))
         .orderBy(col("k1"), col("k2"))
     }),
+    // SQL:2011 GROUPS frame mode — Spark has ROWS and RANGE only.
+    // GROUPS n PRECEDING..m FOLLOWING = rows whose PEER GROUP (tie
+    // class of the sort key) is within n/m groups — re-expressed as a
+    // RANGE frame over dense_rank (group index): two window passes,
+    // ONE shuffle (same partitioning+sort). DuckDB's NATIVE GROUPS
+    // is the oracle.
+    "q_window_groups" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DateType, DecimalType}
+      val f = col("l_returnflag")
+      val sdate = col("l_shipdate").cast(DateType)
+      val de = col("l_extendedprice").cast(DecimalType(18, 2))
+      val byDate = Window.partitionBy(f).orderBy(sdate)
+      val byGrp = Window.partitionBy(f).orderBy(col("g"))
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey").as("k1"),
+          col("l_linenumber").cast("int").as("k2"), f.as("rf"), sdate.as("sd"),
+          de.as("de"))
+        .withColumn("g", dense_rank().over(
+          Window.partitionBy(col("rf")).orderBy(col("sd"))))
+        .withColumn("grp_sum", d(sum(col("de")).over(
+          Window.partitionBy(col("rf")).orderBy(col("g"))
+            .rangeBetween(-1, 1))))
+        .withColumn("grp_cnt", count(lit(1)).over(
+          Window.partitionBy(col("rf")).orderBy(col("g"))
+            .rangeBetween(-2, 0)))
+        .select(col("k1"), col("k2"), col("grp_sum"), col("grp_cnt"))
+        .orderBy(col("k1"), col("k2"))
+    }),
     "q_window_rank" -> ((s, dir) => {
       val w = wPrio.orderBy(col("o_totalprice").desc, col("o_orderkey"))
       t(s, dir, "orders").filter(col("o_custkey") < 40)
@@ -190,6 +218,29 @@ object WindowQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_groups" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS rf, CAST(l_shipdate AS DATE) AS sd,
+        |    l_orderkey AS k1, CAST(l_linenumber AS INT) AS k2,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS de
+        |  FROM lineitem WHERE l_orderkey < 2000),
+        |g1 AS (SELECT rf, sd, sum(de) AS gde, count(*) AS gn
+        |       FROM b GROUP BY rf, sd),
+        |gi AS (SELECT rf, sd, gde, gn,
+        |         row_number() OVER (PARTITION BY rf ORDER BY sd) AS g
+        |       FROM g1),
+        |n1 AS (SELECT a.rf, a.sd, sum(x.gde) AS s11
+        |       FROM gi a JOIN gi x ON x.rf = a.rf
+        |         AND x.g BETWEEN a.g - 1 AND a.g + 1
+        |       GROUP BY a.rf, a.sd),
+        |n2 AS (SELECT a.rf, a.sd, sum(x.gn) AS c20
+        |       FROM gi a JOIN gi x ON x.rf = a.rf
+        |         AND x.g BETWEEN a.g - 2 AND a.g
+        |       GROUP BY a.rf, a.sd)
+        |SELECT b.k1, b.k2, CAST(n1.s11 AS DOUBLE) AS grp_sum,
+        |  CAST(n2.c20 AS BIGINT) AS grp_cnt
+        |FROM b JOIN n1 USING (rf, sd) JOIN n2 USING (rf, sd)
+        |ORDER BY k1, k2""".stripMargin,
     "q_window_exclude" ->
       """WITH b AS (
         |  SELECT l_returnflag AS f, CAST(l_shipdate AS DATE) AS sd,

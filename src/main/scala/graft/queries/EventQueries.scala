@@ -263,6 +263,22 @@ object EventQueries {
           round(col("dau") / col("wau"), 6).as("stickiness"))
         .orderBy(col("day"))
     }),
+    "q_ratio_report" -> ((s, dir) => {
+      // RATIO_TO_REPORT analog (Oracle's analytic; MySQL spells it as
+      // a windowed division): each (event_type, dow) cell's share of
+      // its type and of the grand total — integer counts, two window
+      // sums, one double division each.
+      import org.apache.spark.sql.expressions.Window
+      val cells = t(s, dir, "events")
+        .groupBy(col("event_type"), dayofweek(col("ts")).cast("int").as("dow"))
+        .agg(count(lit(1)).as("n"))
+      cells
+        .withColumn("of_type", round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("event_type"))), 6))
+        .withColumn("of_total", round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy()), 6))
+        .orderBy(col("event_type"), col("dow"))
+    }),
     "q_anomaly_days" -> ((s, dir) => {
       // Robust anomaly screen over daily totals: |day − median| > 3·MAD
       // flags the day. Median and MAD via percentile_disc (discrete —
@@ -550,6 +566,17 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ratio_report" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |    CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INT) AS dow,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, dow, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n AS DOUBLE)
+        |    / sum(n) OVER (PARTITION BY event_type), 6) AS of_type,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS of_total
+        |FROM cells ORDER BY event_type, dow""".stripMargin,
     "q_anomaly_days" ->
       """WITH daily AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

@@ -133,6 +133,22 @@ object LlmQueries {
       Dedup.jaccardDupPairs(t(s, dir, "documents"), threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_dup_rate" -> ((s, dir) => {
+      // Per-source duplication audit: exact-duplicate rate from
+      // md5(text) groups — docs, distinct payloads, dup rate, and the
+      // largest duplicate class. The per-source health row a corpus
+      // intake dashboard shows.
+      val d0 = t(s, dir, "documents")
+        .select(col("source"), md5(col("text")).as("h"))
+      val grp = d0.groupBy(col("source"), col("h")).agg(count(lit(1)).as("c"))
+      grp.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_docs"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("max_class"),
+          round(lit(1) - count(lit(1)).cast("double") / sum(col("c")), 6)
+            .as("dup_rate"))
+        .orderBy(col("source"))
+    }),
     "q_term_dispersion" -> ((s, dir) => {
       // Term burstiness: variance-to-mean dispersion of per-doc counts
       // for every term with df >= 100 — bursty terms (topical) score
@@ -656,6 +672,15 @@ object LlmQueries {
         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q_dup_rate" ->
+      """WITH grp AS (
+        |  SELECT source, md5(text) AS h, count(*) AS c
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(max(c) AS BIGINT) AS max_class,
+        |  round(1 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_rate
+        |FROM grp GROUP BY source ORDER BY source""".stripMargin,
     "q_term_dispersion" ->
       """WITH toks AS (
         |  SELECT doc_id,

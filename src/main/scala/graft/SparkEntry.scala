@@ -31,7 +31,8 @@ object SparkEntry {
     RecursiveQueries.queries, RelExtraQueries.queries, ResampleQueries.queries,
     TypeMatrixQueries.queries, GraphQueries.queries, FuzzyQueries.queries,
     CatalogQueries.queries, ExtractionQueries.queries, DmlQueries.queries,
-    SsbQueries.queries, JsonEdgeQueries.queries, EmbeddingQueries.queries)
+    SsbQueries.queries, JsonEdgeQueries.queries, EmbeddingQueries.queries,
+    MmPhashQueries.queries)
 
   private def oracleModules: Seq[Map[String, String]] = Seq(
     CoreQueries.oracle, WindowQueries.oracle, Dbt3Queries.oracle,
@@ -43,7 +44,8 @@ object SparkEntry {
     RecursiveQueries.oracle, RelExtraQueries.oracle, ResampleQueries.oracle,
     TypeMatrixQueries.oracle, GraphQueries.oracle, FuzzyQueries.oracle,
     CatalogQueries.oracle, ExtractionQueries.oracle, DmlQueries.oracle,
-    SsbQueries.oracle, JsonEdgeQueries.oracle, EmbeddingQueries.oracle)
+    SsbQueries.oracle, JsonEdgeQueries.oracle, EmbeddingQueries.oracle,
+    MmPhashQueries.oracle)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     queryModules.iterator.flatten.toMap

@@ -970,9 +970,6 @@ object Dedup {
       id: String = "doc_id",
       text: String = "text",
       maxDist: Int = 3): DataFrame = {
-    require(maxDist >= 0 && maxDist < 32, s"maxDist must be in [0, 32), got $maxDist")
-    val bands = maxDist + 1
-    val bounds = (0 to bands).map(b => 64 * b / bands)
     // token-less docs (NULL/empty/whitespace text) all hash to 0 and
     // would pair MUTUALLY — millions of empty docs in a real corpus
     // is a quadratic garbage-pair blowup, and hamming between
@@ -980,8 +977,25 @@ object Dedup {
     // them here; identical-empty duplicates are the exact-dedup
     // pass's domain.
     val sh = simhash(docs.filter(size(TextAnalysis.tokens(col(text))) > 0), id, text)
-      .select(col(id).as("_id"), col("simhash"))
-    val banded = sh.select(col("_id"), col("simhash"),
+    bandedHashPairs(sh, id, "simhash", maxDist)
+  }
+
+  /** Pigeonhole-banded near-dup pairs over ANY 64-bit hash column:
+    * a pair within hamming ≤ maxDist must agree exactly on at least
+    * one of maxDist+1 disjoint bit bands, so banding loses no
+    * qualifying pair (recall 1.0 by construction). Shared by the text
+    * SimHash and the multimodal perceptual-hash operators; the join
+    * is per-band-bucket — never all-pairs. */
+  def bandedHashPairs(
+      hashed: DataFrame,
+      id: String,
+      hash: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 32, s"maxDist must be in [0, 32), got $maxDist")
+    val bands = maxDist + 1
+    val bounds = (0 to bands).map(b => 64 * b / bands)
+    val base = hashed.select(col(id).as("_id"), col(hash).as("_h"))
+    val banded = base.select(col("_id"), col("_h"),
       explode(array((0 until bands).map { b =>
         val lo = bounds(b)
         val w = bounds(b + 1) - lo
@@ -990,7 +1004,7 @@ object Dedup {
         // all-ones mask explicitly
         val mask = if (w == 64) -1L else (1L << w) - 1
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), lo).bitwiseAND(mask).as("key"))
+          shiftright(col("_h"), lo).bitwiseAND(mask).as("key"))
       }: _*)).as("_bk"))
     // hamming is a cheap xor+popcount per collision row — filtering
     // BEFORE the distinct shrinks its shuffle from the full collision
@@ -998,7 +1012,7 @@ object Dedup {
     banded.as("a").join(banded.as("b"),
         col("a._bk") === col("b._bk") && col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
-        hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
+        hamming(col("a._h"), col("b._h")).as("hamming"))
       .filter(col("hamming") <= maxDist)
       .distinct()
   }

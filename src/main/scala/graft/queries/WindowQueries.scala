@@ -214,10 +214,64 @@ object WindowQueries {
           d(sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount"))))
             .over(w)).as("run_rev"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q_window_sliding_distinct" -> ((s, dir) => {
+      // Trailing-7-day DISTINCT customer count per order day — the
+      // framed distinct neither engine's window step supports
+      // natively at this grain. Exact rewrite: per-day distinct SETS
+      // (one groupBy — dedup happens map-side), then a days-grain
+      // sliding union. The window runs over the DAYS table (bounded
+      // by the calendar, ~2.4k rows regardless of order volume), so
+      // the single-partition sort is metadata-sized; the unbounded
+      // cardinality work all happened in the distributed groupBy.
+      // Scale path for high-cardinality sets: the HLL-sketch sibling
+      // below.
+      val daily = t(s, dir, "orders")
+        .select(to_date(col("o_orderdate")).as("day"), col("o_custkey"))
+        .groupBy(col("day"))
+        .agg(collect_set(col("o_custkey")).as("cs"),
+          count(lit(1)).as("n_orders"))
+      val w = Window.orderBy(unix_date(col("day"))).rangeBetween(-6, 0)
+      daily.select(col("day"),
+          sum(col("n_orders")).over(w).as("n_orders_7d"),
+          size(array_distinct(flatten(collect_list(col("cs")).over(w))))
+            .cast("long").as("distinct_cust_7d"))
+        .orderBy(col("day"))
+    }),
+    "q_window_sliding_hll" -> ((s, dir) => {
+      // The 100 TB shape of the same query: per-day HLL sketches
+      // (DataSketches hll_sketch_agg — fixed ~KB state per day
+      // regardless of set size) merged across the 7-day frame with
+      // hll_union_agg. No set materialization anywhere; this is also
+      // the streaming-compatible formulation (sketches are mergeable
+      // monoids). Rows-only at the driver gate (sketch internals are
+      // engine-specific); WindowDistinctSpec asserts the estimate
+      // lands within HLL error of q_window_sliding_distinct's exact
+      // counts.
+      val daily = t(s, dir, "orders")
+        .select(to_date(col("o_orderdate")).as("day"), col("o_custkey"))
+        .groupBy(col("day"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+          count(lit(1)).as("n_orders"))
+      val w = Window.orderBy(unix_date(col("day"))).rangeBetween(-6, 0)
+      daily.select(col("day"),
+          sum(col("n_orders")).over(w).as("n_orders_7d"),
+          hll_sketch_estimate(hll_union_agg(col("sk")).over(w))
+            .as("approx_cust_7d"))
+        .orderBy(col("day"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_sliding_distinct" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, o_custkey FROM orders),
+        |days AS (SELECT DISTINCT day FROM daily)
+        |SELECT t.day,
+        |  COUNT(*) AS n_orders_7d,
+        |  COUNT(DISTINCT x.o_custkey) AS distinct_cust_7d
+        |FROM days t JOIN daily x ON x.day BETWEEN t.day - 6 AND t.day
+        |GROUP BY t.day ORDER BY t.day""".stripMargin,
     "q_window_groups" ->
       """WITH b AS (
         |  SELECT l_returnflag AS rf, CAST(l_shipdate AS DATE) AS sd,

@@ -81,4 +81,20 @@ class WindowDistinctSpec extends SparkSpec {
     assert(r.map(_.getDouble(4)).forall(_ == 80.0))
     assert(r.map(_.getInt(5)).toSeq == Seq(1, 2, 3, 4))
   }
+
+  test("sliding HLL distinct tracks the exact sliding distinct within sketch error") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = graft.queries.WindowQueries.queries("q_window_sliding_distinct")(spark, dir)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(2)).toMap
+    val approx = graft.queries.WindowQueries.queries("q_window_sliding_hll")(spark, dir)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(2).toDouble).toMap
+    assert(exact.keySet == approx.keySet, "same day grain")
+    // default lgConfigK=12 → relative standard error ~1.6%; assert a
+    // generous 3σ envelope (counts here are small, so also allow ±2)
+    exact.foreach { case (day, n) =>
+      val est = approx(day)
+      assert(math.abs(est - n) <= math.max(2.0, 0.05 * n),
+        s"day $day: exact $n vs HLL $est")
+    }
+  }
 }

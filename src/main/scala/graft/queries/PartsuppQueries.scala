@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+/** TRUE-schema DBT-3 Q2/Q11/Q16/Q20 over a DERIVED partsupp.
+  *
+  * The driver's testdata ships no partsupp table, so the main
+  * Dbt3Queries adaptations preserve join topology through the
+  * lineitem fact. These four close the remaining fidelity gap: a
+  * deterministic partsupp is derived from part × a 4-row supplier
+  * index — the TPC-H generator's own shape (4 suppliers per part;
+  * ref `mysql-test/columnstore/include/dbt3/createPartsupp.inc`) —
+  * with integer-arithmetic keys/qty and an exact-decimal supplycost,
+  * so BOTH engines materialize the identical table from the same base
+  * data and the original TPC-H query text runs unmodified on top.
+  *
+  * One SQL text per query runs on Spark and DuckDB alike (the
+  * Dbt3Queries sameSql pattern). Scale: partsupp is 4·|part| rows
+  * built with a cross join against a 4-row VALUES list — no shuffle
+  * to derive; the queries then exercise the real TPC-H shapes
+  * (correlated MIN subquery, HAVING vs global scalar, COUNT(DISTINCT)
+  * grouping, doubly-correlated IN + aggregate subquery).
+  */
+object PartsuppQueries {
+  import Q._
+
+  /** Derived partsupp: 4 deterministic suppliers per part. supplycost
+    * is built as DECIMAL(18,0)·0.01 then cast — multiplication only,
+    * because decimal DIVISION scale rules differ across engines. */
+  private val psCte =
+    """partsupp AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |    CAST((p_partkey + i * 17) % (SELECT COUNT(*) FROM supplier) AS BIGINT) AS ps_suppkey,
+      |    CAST((p_partkey * 7 + i * 13) % 9999 + 1 AS INT) AS ps_availqty,
+      |    CAST(CAST((p_partkey * 31 + i * 11) % 100000 + 100 AS DECIMAL(18,0))
+      |      * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2)) AS ps_supplycost
+      |  FROM part CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i))""".stripMargin
+
+  private val sameSql: Map[String, String] = Map(
+    // Q2 true shape: min-cost supplier in a region, correlated MIN
+    // over partsupp (ref dbt3 2.sql).
+    "q2_true_mincost" ->
+      s"""WITH $psCte
+         |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+         |FROM part, supplier, partsupp, nation, region
+         |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+         |  AND p_size <= 8 AND p_type = 'LARGE'
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND ps_supplycost = (SELECT MIN(ps2.ps_supplycost)
+         |      FROM partsupp ps2, supplier s2, nation n2, region r2
+         |      WHERE p_partkey = ps2.ps_partkey AND s2.s_suppkey = ps2.ps_suppkey
+         |        AND s2.s_nationkey = n2.n_nationkey
+         |        AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'ASIA')
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+         |LIMIT 100""".stripMargin,
+
+    // Q11 true shape: important stock = per-part partsupp value vs a
+    // global-scalar threshold (fraction scaled to this corpus's
+    // part/supplier ratio; TPC-H uses 0.0001/SF).
+    "q11_true_important" ->
+      s"""WITH $psCte
+         |SELECT ps_partkey, CAST(SUM(ps_supplycost * ps_availqty) AS DOUBLE) AS value
+         |FROM partsupp, supplier, nation
+         |WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         |  AND n_name = 'NATION_3'
+         |GROUP BY ps_partkey
+         |HAVING SUM(ps_supplycost * ps_availqty) > (
+         |  SELECT SUM(ps_supplycost * ps_availqty) * 0.002
+         |  FROM partsupp, supplier, nation
+         |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         |    AND n_name = 'NATION_3')
+         |ORDER BY value DESC""".stripMargin,
+
+    // Q16 true shape: supplier count by part attribute over partsupp
+    // with a NOT-IN supplier exclusion (complaints → name pattern).
+    "q16_true_suppcnt" ->
+      s"""WITH $psCte
+         |SELECT p_brand, p_type, p_size,
+         |  CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+         |FROM partsupp, part
+         |WHERE p_partkey = ps_partkey AND p_brand <> 'Brand#1'
+         |  AND p_type NOT LIKE 'SMALL%' AND p_size IN (1, 2, 3, 4, 5, 6, 7, 8)
+         |  AND ps_suppkey NOT IN (
+         |    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%00007%')
+         |GROUP BY p_brand, p_type, p_size
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // Q20 true shape: potential part promotion — doubly-correlated
+    // aggregate subquery (availqty vs half the shipped quantity of
+    // THAT part from THAT supplier).
+    "q20_true_potential" ->
+      s"""WITH $psCte
+         |SELECT s_name, CAST(s_nationkey AS INT) AS s_nationkey
+         |FROM supplier, nation
+         |WHERE s_suppkey IN (
+         |    SELECT ps_suppkey FROM partsupp
+         |    WHERE ps_partkey IN (
+         |        SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+         |      AND ps_availqty > (SELECT 0.5 * SUM(CAST(l_quantity AS DECIMAL(18,2)))
+         |          FROM lineitem
+         |          WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+         |            AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |            AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'))
+         |  AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+         |ORDER BY s_name""".stripMargin
+  )
+
+  val queries: Map[String, QFn] = sameSql.map { case (n, s) =>
+    n -> ((sp: SparkSession, dir: String) => Q.sql(sp, dir, s))
+  }
+
+  val oracle: Map[String, String] = sameSql
+}

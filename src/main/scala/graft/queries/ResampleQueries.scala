@@ -14,6 +14,84 @@ object ResampleQueries {
   import Q._
 
   val queries: Map[String, QFn] = Map(
+    "q_acf" -> ((s, dir) => {
+      // Autocorrelation function, lags 1–7, of each event type's daily
+      // total — the pre-model diagnostic that sizes AR terms and
+      // confirms weekly seasonality. Fully relational: lag columns via
+      // ONE window pass (never a self-join per lag), moments as exact
+      // DECIMAL sums, and the mean-centered expansion
+      //   r_k = (Σxy − x̄(Σh+Σt) + n_k·x̄²) / (Σx² − n·x̄²)
+      // evaluated in a mirrored double sequence so DuckDB replays it
+      // bit-exactly. Scales: one type-keyed shuffle; series length is
+      // calendar-bounded.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"))).as("x"))
+      val withLags = daily.select(col("event_type") +: col("x") +:
+        (1 to 7).map(k => lag(col("x"), k).over(w).as(s"l$k")): _*)
+      val pairs = withLags.select(col("event_type"), col("x"),
+          explode(array((1 to 7).map(k =>
+            struct(lit(k).as("lag"), col(s"l$k").as("xl"))): _*)).as("p"))
+        .select(col("event_type"), col("p.lag").as("lag"),
+          col("x"), col("p.xl").as("xl"))
+        .filter(col("xl").isNotNull)
+      val perLag = pairs.groupBy(col("event_type"), col("lag"))
+        .agg(count(lit(1)).as("nk"), sum(col("x") * col("xl")).as("sxy"),
+          sum(col("x")).as("sh"), sum(col("xl")).as("st"))
+      val tot = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+          sum(col("x") * col("x")).as("sxx"))
+      val mean = col("s").cast("double") / col("n")
+      perLag.join(tot, "event_type")
+        .select(col("event_type"), col("lag"), col("n").as("n_days"),
+          col("nk"),
+          round((col("sxy").cast("double") - mean * (col("sh") + col("st")).cast("double")
+              + col("nk") * mean * mean)
+            / (col("sxx").cast("double") - col("n") * mean * mean), 6).as("acf"))
+        .orderBy(col("event_type"), col("lag"))
+    }),
+    "q_ljung_box" -> ((s, dir) => {
+      // Ljung–Box portmanteau whiteness test on the same lag-1..7
+      // autocorrelations: Q = n(n+2)·Σ r_k²/(n−k), df = 7, rejected
+      // at the χ²₀.₀₅ critical value. The 7 per-lag double terms are
+      // floor-grid quantized (1e12) before the cross-row sum so the
+      // total is order-independent — the one place a 7-term double
+      // sum could diverge between engines.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"))).as("x"))
+      val withLags = daily.select(col("event_type") +: col("x") +:
+        (1 to 7).map(k => lag(col("x"), k).over(w).as(s"l$k")): _*)
+      val pairs = withLags.select(col("event_type"), col("x"),
+          explode(array((1 to 7).map(k =>
+            struct(lit(k).as("lag"), col(s"l$k").as("xl"))): _*)).as("p"))
+        .select(col("event_type"), col("p.lag").as("lag"),
+          col("x"), col("p.xl").as("xl"))
+        .filter(col("xl").isNotNull)
+      val perLag = pairs.groupBy(col("event_type"), col("lag"))
+        .agg(count(lit(1)).as("nk"), sum(col("x") * col("xl")).as("sxy"),
+          sum(col("x")).as("sh"), sum(col("xl")).as("st"))
+      val tot = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+          sum(col("x") * col("x")).as("sxx"))
+      val mean = col("s").cast("double") / col("n")
+      val r = round((col("sxy").cast("double") - mean * (col("sh") + col("st")).cast("double")
+          + col("nk") * mean * mean)
+        / (col("sxx").cast("double") - col("n") * mean * mean), 6)
+      perLag.join(tot, "event_type")
+        .select(col("event_type"), col("n"),
+          floor(r * r / (col("n") - col("lag")) * lit(1e12)).as("qterm"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_days"),
+          round((max(col("n")) * (max(col("n")) + 2)).cast("double")
+            * (sum(col("qterm")).cast("double") / lit(1e12)), 6).as("q_stat"))
+        .withColumn("whiteness_rejected", col("q_stat") > 14.067140)
+        .orderBy(col("event_type"))
+    }),
     "q_resample_locf" -> ((s, dir) => {
       val obs = t(s, dir, "events").filter(col("user_id") < 50)
         .select(col("user_id"), to_date(col("ts")).as("day"))
@@ -173,6 +251,60 @@ object ResampleQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_acf" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT event_type, x,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn FROM daily),
+        |tot AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS s, SUM(x*x) AS sxx
+        |  FROM idx GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type, k.lag, a.x, b.x AS xl
+        |  FROM idx a JOIN (VALUES (1),(2),(3),(4),(5),(6),(7)) k(lag) ON true
+        |  JOIN idx b ON b.event_type = a.event_type AND b.rn = a.rn - k.lag),
+        |pl AS (SELECT event_type, lag, COUNT(*) AS nk, SUM(x*xl) AS sxy,
+        |  SUM(x) AS sh, SUM(xl) AS st FROM pairs GROUP BY 1, 2)
+        |SELECT p.event_type, CAST(p.lag AS INT) AS lag, t.n AS n_days, p.nk,
+        |  round((CAST(p.sxy AS DOUBLE)
+        |      - (CAST(t.s AS DOUBLE)/t.n) * CAST(p.sh + p.st AS DOUBLE)
+        |      + p.nk * (CAST(t.s AS DOUBLE)/t.n) * (CAST(t.s AS DOUBLE)/t.n))
+        |    / (CAST(t.sxx AS DOUBLE) - t.n * (CAST(t.s AS DOUBLE)/t.n) * (CAST(t.s AS DOUBLE)/t.n)),
+        |    6) AS acf
+        |FROM pl p JOIN tot t USING (event_type)
+        |ORDER BY event_type, lag""".stripMargin,
+    "q_ljung_box" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT event_type, x,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn FROM daily),
+        |tot AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS s, SUM(x*x) AS sxx
+        |  FROM idx GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type, k.lag, a.x, b.x AS xl
+        |  FROM idx a JOIN (VALUES (1),(2),(3),(4),(5),(6),(7)) k(lag) ON true
+        |  JOIN idx b ON b.event_type = a.event_type AND b.rn = a.rn - k.lag),
+        |pl AS (SELECT event_type, lag, COUNT(*) AS nk, SUM(x*xl) AS sxy,
+        |  SUM(x) AS sh, SUM(xl) AS st FROM pairs GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT p.event_type, t.n,
+        |    round((CAST(p.sxy AS DOUBLE)
+        |        - (CAST(t.s AS DOUBLE)/t.n) * CAST(p.sh + p.st AS DOUBLE)
+        |        + p.nk * (CAST(t.s AS DOUBLE)/t.n) * (CAST(t.s AS DOUBLE)/t.n))
+        |      / (CAST(t.sxx AS DOUBLE) - t.n * (CAST(t.s AS DOUBLE)/t.n) * (CAST(t.s AS DOUBLE)/t.n)),
+        |      6) AS r, p.lag
+        |  FROM pl p JOIN tot t USING (event_type)),
+        |qt AS (SELECT event_type, n,
+        |  CAST(floor(r * r / (n - lag) * 1e12) AS BIGINT) AS qterm FROM rk)
+        |SELECT event_type, MAX(n) AS n_days,
+        |  round(CAST(MAX(n) * (MAX(n) + 2) AS DOUBLE)
+        |    * (CAST(SUM(qterm) AS DOUBLE) / 1e12), 6) AS q_stat,
+        |  round(CAST(MAX(n) * (MAX(n) + 2) AS DOUBLE)
+        |    * (CAST(SUM(qterm) AS DOUBLE) / 1e12), 6) > 14.067140 AS whiteness_rejected
+        |FROM qt GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_ewma" ->
       """WITH RECURSIVE o AS (
         |  SELECT user_id, CAST(value AS DOUBLE) AS x,

@@ -92,6 +92,79 @@ object ResampleQueries {
         .withColumn("whiteness_rejected", col("q_stat") > 14.067140)
         .orderBy(col("event_type"))
     }),
+    "q_mann_kendall" -> ((s, dir) => {
+      // Mann–Kendall monotone-trend test per event type: S = Σ_{i<j}
+      // sign(x_j − x_i) over the day-ordered series, tie-corrected
+      // variance, normal z. Sign statistics are ALL-INTEGER (exact
+      // decimal compares → ±1/0), so only the final z touches doubles
+      // — the robust trend test that needs no distributional
+      // assumptions. Pair volume is quadratic in CALENDAR DAYS (series
+      // length), not event volume — bounded regardless of corpus size.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"))).as("x"))
+        .withColumn("rn", row_number().over(w))
+      val sStat = daily.as("a").join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") && col("a.rn") < col("b.rn"))
+        .groupBy(col("a.event_type").as("event_type"))
+        .agg(sum(signum(col("b.x") - col("a.x")).cast("long")).as("s_stat"))
+      val ties = daily.groupBy(col("event_type"), col("x"))
+        .agg(count(lit(1)).as("tc"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("tc") * (col("tc") - 1) * (col("tc") * 2 + 5)).as("tie_term"),
+          sum(col("tc")).as("n"))
+      val varNum = col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tie_term")
+      sStat.join(ties, "event_type")
+        .select(col("event_type"), col("n").as("n_days"), col("s_stat"),
+          varNum.as("var18"),
+          round(when(col("s_stat") > 0,
+              (col("s_stat") - 1).cast("double") / sqrt(varNum.cast("double") / 18))
+            .when(col("s_stat") < 0,
+              (col("s_stat") + 1).cast("double") / sqrt(varNum.cast("double") / 18))
+            .otherwise(lit(0.0)), 6).as("z"),
+          when(col("s_stat") > 0, lit("increasing"))
+            .when(col("s_stat") < 0, lit("decreasing"))
+            .otherwise(lit("none")).as("direction"))
+        .orderBy(col("event_type"))
+    }),
+    "q_changepoint" -> ((s, dir) => {
+      // Single-changepoint screen (binary segmentation, first split):
+      // the day r maximizing the between-segment score
+      // (P_r·n − S·r)²/(r(n−r)) — prefix sums are EXACT decimals via
+      // one ordered window, the score is a mirrored double sequence,
+      // and the argmax tie-breaks on the earlier day. One window pass
+      // + one ranking per type; no pairwise work.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"))).as("x"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("p", sum(col("x")).over(cum))
+      val tot = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      val scored = daily.join(tot, "event_type")
+        .filter(col("rn") < col("n"))
+        .withColumn("dev",
+          col("p").cast("double") * col("n") - col("s").cast("double") * col("rn"))
+        .withColumn("score",
+          col("dev") * col("dev") / (col("rn") * (col("n") - col("rn"))).cast("double"))
+      val best = Window.partitionBy(col("event_type"))
+        .orderBy(col("score").desc, col("rn"))
+      scored.withColumn("rk", row_number().over(best))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("n").as("n_days"),
+          col("day").as("split_day"), col("rn").as("split_idx"),
+          round(col("score"), 4).as("score"),
+          round(col("p").cast("double") / col("rn"), 6).as("mean_left"),
+          round((col("s") - col("p")).cast("double") / (col("n") - col("rn")), 6)
+            .as("mean_right"))
+        .orderBy(col("event_type"))
+    }),
     "q_resample_locf" -> ((s, dir) => {
       val obs = t(s, dir, "events").filter(col("user_id") < 50)
         .select(col("user_id"), to_date(col("ts")).as("day"))
@@ -305,6 +378,60 @@ object ResampleQueries {
         |  round(CAST(MAX(n) * (MAX(n) + 2) AS DOUBLE)
         |    * (CAST(SUM(qterm) AS DOUBLE) / 1e12), 6) > 14.067140 AS whiteness_rejected
         |FROM qt GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT event_type, x,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn FROM daily),
+        |sp AS (
+        |  SELECT a.event_type,
+        |    CAST(SUM(CAST(sign(b.x - a.x) AS BIGINT)) AS BIGINT) AS s_stat
+        |  FROM idx a JOIN idx b ON b.event_type = a.event_type AND a.rn < b.rn
+        |  GROUP BY 1),
+        |tg AS (SELECT event_type, x, COUNT(*) AS tc FROM idx GROUP BY 1, 2),
+        |tt AS (SELECT event_type,
+        |  CAST(SUM(tc*(tc-1)*(2*tc+5)) AS BIGINT) AS tie_term,
+        |  CAST(SUM(tc) AS BIGINT) AS n FROM tg GROUP BY 1)
+        |SELECT s.event_type, t.n AS n_days, s.s_stat,
+        |  t.n*(t.n-1)*(2*t.n+5) - t.tie_term AS var18,
+        |  round(CASE
+        |    WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+        |      / sqrt(CAST(t.n*(t.n-1)*(2*t.n+5) - t.tie_term AS DOUBLE) / 18)
+        |    WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+        |      / sqrt(CAST(t.n*(t.n-1)*(2*t.n+5) - t.tie_term AS DOUBLE) / 18)
+        |    ELSE 0.0 END, 6) AS z,
+        |  CASE WHEN s.s_stat > 0 THEN 'increasing'
+        |       WHEN s.s_stat < 0 THEN 'decreasing'
+        |       ELSE 'none' END AS direction
+        |FROM sp s JOIN tt t USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT event_type, day, x,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+        |  SUM(x) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM daily),
+        |tot AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS s FROM idx GROUP BY 1),
+        |scored AS (
+        |  SELECT i.event_type, i.day, i.rn, i.p, t.n, t.s,
+        |    (CAST(i.p AS DOUBLE) * t.n - CAST(t.s AS DOUBLE) * i.rn)
+        |      * (CAST(i.p AS DOUBLE) * t.n - CAST(t.s AS DOUBLE) * i.rn)
+        |      / CAST(i.rn * (t.n - i.rn) AS DOUBLE) AS score
+        |  FROM idx i JOIN tot t USING (event_type)
+        |  WHERE i.rn < t.n),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |  ORDER BY score DESC, rn) AS rk FROM scored)
+        |SELECT event_type, n AS n_days, day AS split_day,
+        |  CAST(rn AS INT) AS split_idx, round(score, 4) AS score,
+        |  round(CAST(p AS DOUBLE) / rn, 6) AS mean_left,
+        |  round(CAST(s - p AS DOUBLE) / (n - rn), 6) AS mean_right
+        |FROM best WHERE rk = 1 ORDER BY event_type""".stripMargin,
     "q_ewma" ->
       """WITH RECURSIVE o AS (
         |  SELECT user_id, CAST(value AS DOUBLE) AS x,

@@ -500,6 +500,61 @@ object LlmQueries {
       feats.select(col("doc_id") +: col("format") +:
           col("n_bytes").cast("int").as("n_bytes") +: fCols: _*)
         .orderBy(col("doc_id"))
+    }),
+    "q_readability" -> ((s, dir) => {
+      // Flesch reading-ease screen per doc: sentence/word/vowel-group
+      // counts are ALL-INTEGER regexp counts on the scan projection
+      // (no shuffle until the final sort), the score is one mirrored
+      // double formula. The vowel-group syllable proxy is the
+      // standard cheap estimator; a hyphenation dictionary slots into
+      // the same contract. Readability gates are a stock quality
+      // filter tier next to the Gopher rules (q_quality_rules).
+      val words = size(regexp_extract_all(col("text"), lit("[^ \\t\\n\\f\\r]+"), lit(0)))
+      val sents = size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+      val syll = size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+      t(s, dir, "documents")
+        .select(col("doc_id"), words.as("n_words"), sents.as("n_sents"),
+          syll.as("n_syll"))
+        .filter(col("n_words") > 0)
+        .withColumn("flesch", round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double")
+            / greatest(col("n_sents"), lit(1)).cast("double"))
+          - lit(84.6) * (col("n_syll").cast("double")
+            / col("n_words").cast("double")), 4))
+        .withColumn("band",
+          when(col("flesch") >= 60, lit("easy"))
+            .when(col("flesch") >= 30, lit("standard"))
+            .otherwise(lit("difficult")))
+        .orderBy(col("doc_id"))
+    }),
+    "q_zipf_slope" -> ((s, dir) => {
+      // Zipf rank-frequency fit over the top-1000 vocabulary: OLS
+      // slope of ln(freq) on ln(rank). The ln values are floor-grid
+      // quantized (1e6) to exact int64 so every cross-row moment sum
+      // is order-independent; the closed-form slope/intercept then
+      // runs in one mirrored double sequence. A healthy natural
+      // corpus sits near slope −1; a template-flooded crawl flattens.
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents").select(
+        explode(graft.llm.TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      val ranked = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("c").desc, col("tok"))))
+        .filter(col("r") <= 1000)
+        .select(floor(log(col("r").cast("double")) * 1e6).as("qx"),
+          floor(log(col("c").cast("double")) * 1e6).as("qy"))
+      val m = ranked.agg(count(lit(1)).as("n"),
+        sum(col("qx")).as("sx"), sum(col("qy")).as("sy"),
+        sum(col("qx") * col("qy")).as("sxy"), sum(col("qx") * col("qx")).as("sxx"))
+      val n = col("n").cast("double")
+      val sx = col("sx").cast("double") / 1e6
+      val sy = col("sy").cast("double") / 1e6
+      val sxy = col("sxy").cast("double") / 1e12
+      val sxx = col("sxx").cast("double") / 1e12
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      m.select(col("n").as("n_terms"),
+        round(slope, 4).as("zipf_slope"),
+        round((sy - slope * sx) / n, 4).as("intercept"))
     })
   )
 
@@ -1192,6 +1247,43 @@ object LlmQueries {
         |FROM (SELECT doc_id, CAST(doc_id % 30 + 1 AS INT) AS n_frames,
         |        unnest(range(0, doc_id % 30 + 1, 5)) AS f
         |      FROM documents WHERE doc_id % 4 = 3)
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS INT) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS INT) AS n_sents,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INT) AS n_syll
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, n_words, n_sents, n_syll,
+        |    round(206.835
+        |      - 1.015 * (CAST(n_words AS DOUBLE) / CAST(greatest(n_sents, 1) AS DOUBLE))
+        |      - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)), 4) AS flesch
+        |  FROM c WHERE n_words > 0)
+        |SELECT doc_id, n_words, n_sents, n_syll, flesch,
+        |  CASE WHEN flesch >= 60 THEN 'easy'
+        |       WHEN flesch >= 30 THEN 'standard'
+        |       ELSE 'difficult' END AS band
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q_zipf_slope" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |    x -> length(x) > 0)) AS tok FROM documents),
+        |rk AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        |rr AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM rk),
+        |q AS (SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1e6) AS BIGINT) AS qx,
+        |             CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS qy
+        |      FROM rr WHERE r <= 1000),
+        |m AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(qx) AS DOUBLE) / 1e6 AS sx, CAST(SUM(qy) AS DOUBLE) / 1e6 AS sy,
+        |  CAST(SUM(qx*qy) AS DOUBLE) / 1e12 AS sxy,
+        |  CAST(SUM(qx*qx) AS DOUBLE) / 1e12 AS sxx FROM q),
+        |m2 AS (SELECT n, sx, sy,
+        |  (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) AS sl
+        |  FROM m)
+        |SELECT n AS n_terms, round(sl, 4) AS zipf_slope,
+        |  round((sy - sl * sx) / CAST(n AS DOUBLE), 4) AS intercept
+        |FROM m2""".stripMargin
   )
 }

@@ -130,6 +130,37 @@ object ResampleQueries {
             .otherwise(lit("none")).as("direction"))
         .orderBy(col("event_type"))
     }),
+    "q_theil_sen" -> ((s, dir) => {
+      // Theil–Sen robust slope per event type: the LOWER MEDIAN of all
+      // pairwise slopes (x_j−x_i)/(d_j−d_i) over the daily series —
+      // selection only (row_number at ⌈m/2⌉ with (slope, i, j) ties),
+      // no interpolation arithmetic, so the double survives the
+      // cross-engine hash bit-exact. Pair volume is quadratic in
+      // CALENDAR DAYS, bounded regardless of event volume; the
+      // breakdown point (29% outliers) is what OLS slope lacks.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"))).as("x"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("dk", unix_date(col("day")))
+      val pairs = daily.as("a").join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") && col("a.rn") < col("b.rn"))
+        .select(col("a.event_type").as("event_type"),
+          col("a.rn").as("i"), col("b.rn").as("j"),
+          ((col("b.x") - col("a.x")).cast("double")
+            / (col("b.dk") - col("a.dk")).cast("double")).as("slope"))
+      val m = pairs.groupBy(col("event_type")).agg(count(lit(1)).as("n_pairs"))
+      val sel = Window.partitionBy(col("event_type"))
+        .orderBy(col("slope"), col("i"), col("j"))
+      pairs.withColumn("rk", row_number().over(sel))
+        .join(m, "event_type")
+        .filter(col("rk") === ((col("n_pairs") + 1) / 2).cast("long"))
+        .select(col("event_type"), col("n_pairs"),
+          round(col("slope"), 6).as("ts_slope"))
+        .orderBy(col("event_type"))
+    }),
     "q_changepoint" -> ((s, dir) => {
       // Single-changepoint screen (binary segmentation, first split):
       // the day r maximizing the between-segment score
@@ -378,6 +409,25 @@ object ResampleQueries {
         |  round(CAST(MAX(n) * (MAX(n) + 2) AS DOUBLE)
         |    * (CAST(SUM(qterm) AS DOUBLE) / 1e12), 6) > 14.067140 AS whiteness_rejected
         |FROM qt GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT event_type, x,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+        |  CAST(day - DATE '1970-01-01' AS INT) AS dk FROM daily),
+        |pairs AS (
+        |  SELECT a.event_type, a.rn AS i, b.rn AS j,
+        |    CAST(b.x - a.x AS DOUBLE) / CAST(b.dk - a.dk AS DOUBLE) AS slope
+        |  FROM idx a JOIN idx b ON b.event_type = a.event_type AND a.rn < b.rn),
+        |m AS (SELECT event_type, COUNT(*) AS n_pairs FROM pairs GROUP BY 1),
+        |rkd AS (SELECT p.*, row_number() OVER (PARTITION BY event_type
+        |  ORDER BY slope, i, j) AS rk FROM pairs p)
+        |SELECT r.event_type, m.n_pairs, round(r.slope, 6) AS ts_slope
+        |FROM rkd r JOIN m USING (event_type)
+        |WHERE r.rk = (m.n_pairs + 1) // 2
+        |ORDER BY event_type""".stripMargin,
     "q_mann_kendall" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

@@ -20,10 +20,17 @@ class PlanGuardSpec extends SparkSpec {
   // same bounded shape as q_sketch_approx. q_curriculum crossJoins a
   // 1-row broadcast percentile-thresholds frame (same class).
   // q_topk_ties joins the 1-row broadcast k-th-value threshold (the
-  // WITH TIES rewrite) — same bounded class.
+  // WITH TIES rewrite) — same bounded class. q_emb_label_margin
+  // crossJoins the broadcast label-centroid frame (#labels rows —
+  // bounded by the label alphabet, the q_ann_brute class). The
+  // q*_true_* partsupp derivations cross join a 4-ROW VALUES supplier
+  // index (the TPC-H 4-suppliers-per-part rule) and compare against
+  // an uncorrelated 1-row scalar — both constant-bounded.
   private val allowNestedLoop =
     Set("q_join_cross", "q_ann_brute", "q_hard_negatives", "q_sketch_approx",
-      "q_const_projection", "q_topk_ties",
+      "q_const_projection", "q_topk_ties", "q_emb_label_margin",
+      "q2_true_mincost", "q11_true_important", "q16_true_suppcnt",
+      "q20_true_potential",
       "q_decontam_semantic", "q_bm25_topk", "q_lm_entropy", "q_ccnet_buckets", "q_benford", "q_walkforward", "q_basket_lift", "q_stickiness", "q_ab_test", "q_anomaly_days", "q_term_dispersion", "q_collocations",
       "q_importance_weights",
       "q_source_kl", "q_lm_bigram", "q_lm_trigram", "q_sample_temperature",

@@ -501,6 +501,33 @@ object LlmQueries {
           col("n_bytes").cast("int").as("n_bytes") +: fCols: _*)
         .orderBy(col("doc_id"))
     }),
+    "q_mlm_masking" -> ((s, dir) => {
+      // Masked-LM training-target construction (BERT recipe): each
+      // token masks independently at 15% via the md5-threshold
+      // determinism idiom (same as Sampling — no RNG state, identical
+      // on re-run and in the DuckDB replay). One scan-side projection
+      // builds (input with [MASK] holes, pos:token targets); no
+      // shuffle until the output sort. The 100 TB shape: pure per-row
+      // work, embarrassingly parallel.
+      val toks = graft.llm.TextAnalysis.tokens(col("text"))
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), toks.as("ts"))
+        .filter(size(col("ts")) > 0)
+      val withIdx = base.withColumn("idx", transform(col("ts"), (tk, i) =>
+        struct(i.as("i"), tk.as("tk"),
+          (conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+            i.cast("string"))), 1, 15), 16, 10).cast("long") % 100 < 15)
+            .as("m"))))
+      withIdx.select(col("doc_id"), size(col("ts")).as("n_tokens"),
+          size(filter(col("idx"), e => e.getField("m"))).as("n_masked"),
+          array_join(transform(col("idx"), e =>
+            when(e.getField("m"), lit("[MASK]")).otherwise(e.getField("tk"))),
+            " ").as("input_text"),
+          array_join(transform(filter(col("idx"), e => e.getField("m")), e =>
+            concat(e.getField("i").cast("string"), lit(":"), e.getField("tk"))),
+            " ").as("target_text"))
+        .orderBy(col("doc_id"))
+    }),
     "q_readability" -> ((s, dir) => {
       // Flesch reading-ease screen per doc: sentence/word/vowel-group
       // counts are ALL-INTEGER regexp counts on the scan projection
@@ -1248,6 +1275,26 @@ object LlmQueries {
         |        unnest(range(0, doc_id % 30 + 1, 5)) AS f
         |      FROM documents WHERE doc_id % 4 = 3)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_mlm_masking" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \t\n\f\r]+'),
+        |      x -> length(x) > 0) AS ts
+        |  FROM documents),
+        |b AS (SELECT doc_id, ts, len(ts) AS n FROM d WHERE len(ts) > 0),
+        |ix AS (SELECT doc_id, n,
+        |  list_transform(range(0, n), i -> struct_pack(
+        |    i := i, tk := ts[CAST(i + 1 AS INT)],
+        |    m := ('0x' || substr(md5(doc_id || ':' || i), 1, 15))::BIGINT % 100 < 15))
+        |  AS idx
+        |  FROM b)
+        |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        |  CAST(len(list_filter(idx, e -> e.m)) AS INT) AS n_masked,
+        |  array_to_string(list_transform(idx,
+        |    e -> CASE WHEN e.m THEN '[MASK]' ELSE e.tk END), ' ') AS input_text,
+        |  COALESCE(array_to_string(list_transform(list_filter(idx, e -> e.m),
+        |    e -> e.i || ':' || e.tk), ' '), '') AS target_text
+        |FROM ix ORDER BY doc_id""".stripMargin,
     "q_readability" ->
       """WITH c AS (
         |  SELECT doc_id,

@@ -294,4 +294,23 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getString(1) == """{"a": [1, 2, {"b": "x, y: z"}], "c": {}}""")
     assert(r.isNullAt(2))                          // malformed -> NULL
   }
+
+  test("nondeterministic tail: RAND(seed) reproducible, SYSDATE/NOW sane") {
+    // The reference's only nondeterministic scalars (func_rand.cpp,
+    // sysdate in the MariaDB front end). Seeded RAND re-evaluates to
+    // the same per-partition stream — the property callers rely on
+    // for reproducible sampling; an oracle hash-compare is
+    // definitionally impossible, so this spec is the evidence.
+    val a = spark.sql("SELECT rand(42) AS r FROM range(5)")
+      .collect().map(_.getDouble(0)).toSeq
+    val b = spark.sql("SELECT rand(42) AS r FROM range(5)")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(a == b, "seeded RAND must reproduce across executions")
+    assert(a.forall(x => x >= 0.0 && x < 1.0))
+    assert(a.distinct.size > 1, "stream varies within the partition")
+    val now = spark.sql("SELECT current_timestamp()")
+      .collect()(0).getTimestamp(0)
+    assert(math.abs(now.getTime - System.currentTimeMillis()) < 60000,
+      "SYSDATE/current_timestamp tracks wall clock")
+  }
 }

@@ -189,50 +189,22 @@ object Multimodal {
       when(isWav, le2(22)).as("channels"))
   }
 
-  /** Decoded payload bytes as array<int> (0–255): the hex → pairs →
-    * conv decode shared by the byte-level kernels. One O(n) pass. */
-  def payloadBytes(payload: Column): Column =
-    transform(regexp_extract_all(hex(payload), lit("(..)"), lit(1)),
-      h => conv(h, 16, 10).cast("int"))
-
-  /** aHash-style 64-bit perceptual fingerprint over a decoded byte
-    * array: 64 stripe floor-means vs the global cell sum — bit i set
-    * iff 64·cell_i > Σcells. All-integer, so the DuckDB oracle replays
-    * it exactly; robust to per-byte re-encode noise (median hamming 0
+  /** aHash-style 64-bit perceptual fingerprint of a binary payload —
+    * the native `ahash64` kernel (MediaFunctions.AHash64, codegen'd:
+    * one O(n) primitive loop per row; the first implementation was a
+    * hex→array-HOF pipeline — interpreted, 20× slower, the two
+    * slowest queries in the bench). All-integer stripe floor-means +
+    * the 64·cell > Σcells bit rule, so the DuckDB oracle replays it
+    * exactly; robust to per-byte re-encode noise (median hamming 0
     * under +3-mod-256 perturbation of every 50th byte on this corpus)
     * though not to truncation — the DCT pHash that adds truncation
-    * robustness slots into the same contract in production.
-    *
-    * The byte array and cell array are LET-BOUND via single-element
-    * `transform(array(e), v -> …)` wrappers: Catalyst's projection
-    * collapse would otherwise inline the O(n) decode into each of the
-    * 64 stripe slices (the AnnSearch.asDouble lesson, 64× the cost).
-    */
-  def aHashBytes(bytes: Column): Column = {
-    val build = (bs: Column) => {
-      val n = size(bs)
-      def lo(i: Column): Column =
-        floor((i.cast("long") * n).cast("double") / 64.0).cast("int")
-      val cells = transform(sequence(lit(0), lit(63)), i => {
-        val l = lo(i)
-        val len = lo(i + 1) - l
-        floor(aggregate(slice(bs, l + 1, len), lit(0L), (a, x) => a + x)
-          .cast("double") / len).cast("long")
-      })
-      element_at(transform(array(cells), cs => {
-        val tot = aggregate(cs, lit(0L), (a, x) => a + x)
-        aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, i) =>
-          acc.bitwiseOR(when(element_at(cs, i + 1) * 64 > tot,
-            call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))))
-      }), 1)
-    }
-    element_at(transform(array(bytes), build), 1)
-  }
+    * robustness slots into the same contract in production. NULL
+    * under 64 bytes (no full stripe coverage). */
+  def aHash(payload: Column): Column = call_function("ahash64", payload)
 
-  /** Deterministic re-encode stand-in: every 50th byte perturbed by
-    * +3 mod 256 — the "same media, different encoder settings" noise
-    * profile the perceptual hash is designed to see through. */
-  def reencodeNoise(bytes: Column): Column =
-    transform(bytes, (x, i) =>
-      when(i % 50 === 0, (x + 3) % 256).otherwise(x))
+  /** Deterministic re-encode stand-in (native kernel): every 50th
+    * byte perturbed +3 mod 256 — the "same media, different encoder
+    * settings" noise profile the perceptual hash sees through. */
+  def reencodeNoise(payload: Column): Column =
+    call_function("reencode_noise", payload)
 }

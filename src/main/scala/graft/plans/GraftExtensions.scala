@@ -72,6 +72,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => graft.functions.TextNativeFunctions.TokenFingerprintMd5(es.head))
     inject("bpe_token_count",
       es => graft.functions.TextNativeFunctions.BpeTokenCount(es.head))
+    inject("ahash64",
+      es => graft.functions.MediaFunctions.AHash64(es.head))
+    inject("reencode_noise",
+      es => graft.functions.MediaFunctions.ReencodeNoise(es.head))
     inject("simhash64",
       es => graft.functions.TextNativeFunctions.SimHash64(es.head))
     inject("simhash64_md5",

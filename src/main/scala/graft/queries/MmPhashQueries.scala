@@ -20,14 +20,13 @@ object MmPhashQueries {
   val queries: Map[String, QFn] = Map(
     "q_mm_phash" -> ((s, dir) => {
       // Per-payload 64-bit aHash fingerprint — the persisted column an
-      // incremental media-dedup pass banding-joins against.
+      // incremental media-dedup pass banding-joins against. One native
+      // kernel call per row inside whole-stage codegen.
       val media = Multimodal.attachPayload(t(s, dir, "documents"))
       media.select(col("doc_id"),
-          Multimodal.payloadBytes(col("payload")).as("b"))
-        .withColumn("n_bytes", size(col("b")))
+          length(col("payload")).cast("int").as("n_bytes"),
+          Multimodal.aHash(col("payload")).as("ahash"))
         .filter(col("n_bytes") >= 64)
-        .select(col("doc_id"), col("n_bytes"),
-          Multimodal.aHashBytes(col("b")).as("ahash"))
         .orderBy(col("doc_id"))
     }),
     "q_mm_phash_dups" -> ((s, dir) => {
@@ -37,16 +36,14 @@ object MmPhashQueries {
       // of the identical integer pipeline — recall of the banding is
       // proven by the hash match.
       val media = Multimodal.attachPayload(t(s, dir, "documents"))
-      val bs = media.select(col("doc_id"),
-          Multimodal.payloadBytes(col("payload")).as("b"))
-        .withColumn("n", size(col("b")))
-        .filter(col("n") >= 64)
+      val bs = media.select(col("doc_id"), col("payload"))
+        .filter(length(col("payload")) >= 64)
       val variants = bs.select(
         (col("doc_id") + NoiseVariantOffset).as("doc_id"),
-        Multimodal.reencodeNoise(col("b")).as("b"))
-      val un = bs.select(col("doc_id"), col("b")).unionByName(variants)
+        Multimodal.reencodeNoise(col("payload")).as("payload"))
+      val un = bs.unionByName(variants)
       val hashed = un.select(col("doc_id"),
-        Multimodal.aHashBytes(col("b")).as("ahash"))
+        Multimodal.aHash(col("payload")).as("ahash"))
       Dedup.bandedHashPairs(hashed, "doc_id", "ahash", maxDist = 6)
         .orderBy(col("id_a"), col("id_b"))
     })

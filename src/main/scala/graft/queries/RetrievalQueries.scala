@@ -50,6 +50,44 @@ object RetrievalQueries {
       Retrieval.bm25TopK(t(s, dir, "documents"),
         terms = Seq("spark", "shuffle", "fast"), k = 20)
     }),
+    "q_hybrid_rrf" -> ((s, dir) => {
+      // Hybrid retrieval with reciprocal-rank fusion — the modern
+      // lexical+semantic search standard: BM25 ranks fuse with
+      // query-by-example embedding-cosine ranks as Σ 1/(60+rank),
+      // absent-ranker contributes 0. Both rank lists cut at 50 on the
+      // ROUNDED-grid order with id tie-breaks; the fusion sum is two
+      // fixed-order double terms — cross-engine deterministic end to
+      // end. The sem ranking here is a global row_number (corpus sort
+      // at audit scale); the 100 TB formulation swaps it for
+      // TakeOrderedAndProject on (cos, id) — same 50-row output —
+      // and the fusion still joins two 50-row frames.
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val lex = Retrieval.bm25(docs, terms = Seq("spark", "shuffle", "fast"))
+        .withColumn("lex_rank", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .filter(col("lex_rank") <= 50)
+        .select(col("doc_id"), col("lex_rank"))
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"))
+      val sem = emb.join(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          round(graft.llm.AnnSearch.cosine(col("v"), col("qv")), 6).as("cos"))
+        .filter(col("doc_id") =!= 0)
+        .withColumn("sem_rank", row_number().over(
+          Window.orderBy(col("cos").desc, col("doc_id"))))
+        .filter(col("sem_rank") <= 50)
+        .select(col("doc_id"), col("sem_rank"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (col("lex_rank") + 60), lit(0.0))
+            + coalesce(lit(1.0) / (col("sem_rank") + 60), lit(0.0)), 6))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("lex_rank"), col("sem_rank"), col("rrf"))
+    }),
     "q_tfidf_pairs" -> ((s, dir) => {
       // distinctive-term tf-cosine similarity join (sparse-vector
       // sibling of the embedding-cosine dedup): integer dot/norms,
@@ -205,6 +243,39 @@ object RetrievalQueries {
         |  GROUP BY tf.doc_id)
         |SELECT doc_id, n_terms, bm25 FROM sc
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q_hybrid_rrf" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS t FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |g AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks
+        |       WHERE t IN ('spark', 'shuffle', 'fast') GROUP BY doc_id, t),
+        |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(ln(1.0 + (g.n - df.df + 0.5) / (df.df + 0.5))
+        |        * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / g.avgdl))), 6) AS bm25
+        |  FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN g
+        |  GROUP BY tf.doc_id),
+        |lexf AS (SELECT doc_id, CAST(lex_rank AS INT) AS lex_rank FROM (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+        |  FROM sc) WHERE lex_rank <= 50),
+        |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |qv AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+        |semsc AS (SELECT vec_id AS doc_id,
+        |  round(least(greatest(CASE WHEN dn > 0 THEN ip / dn ELSE 0.0 END, -1.0), 1.0), 6) AS cos
+        |  FROM (SELECT e.vec_id, list_inner_product(e.v, q.qv) AS ip,
+        |          sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.qv, q.qv)) AS dn
+        |        FROM emb e CROSS JOIN qv q)
+        |  WHERE vec_id <> 0),
+        |semf AS (SELECT doc_id, CAST(sem_rank AS INT) AS sem_rank FROM (
+        |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
+        |  FROM semsc) WHERE sem_rank <= 50)
+        |SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+        |  round(COALESCE(CAST(1.0 AS DOUBLE) / (l.lex_rank + 60), 0.0)
+        |    + COALESCE(CAST(1.0 AS DOUBLE) / (s.sem_rank + 60), 0.0), 6) AS rrf
+        |FROM lexf l FULL OUTER JOIN semf s ON l.doc_id = s.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     "q_tfidf_pairs" ->
       s"""WITH toks AS (
         |  SELECT doc_id, unnest($toksSql) AS t FROM documents),

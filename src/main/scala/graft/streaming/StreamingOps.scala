@@ -312,6 +312,29 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** STREAM-STREAM interval join (view→conversion attribution): each
+    * conversion matches the views of the SAME user within
+    * [view_ts, view_ts + horizon]. Both sides carry watermarks and the
+    * join condition carries the time bound, so Spark derives a state
+    * eviction horizon for EACH side — state is (watermark + horizon) ×
+    * arrival rate, never unbounded (the condition-less stream-stream
+    * join Spark rejects outright). Append-mode: a pair emits once both
+    * watermarks pass it. The batch twin is q_attribution. */
+  def attributionJoin(views: DataFrame, conversions: DataFrame,
+      watermark: String = "1 hour", horizonMinutes: Int = 30): DataFrame = {
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val c = conversions.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("conv_ts"),
+        col("event_id").as("conv_id"), col("value"))
+    v.join(c, expr(
+        s"""user_id = c_user AND conv_ts >= view_ts
+           |AND conv_ts <= view_ts + interval $horizonMinutes minutes""".stripMargin))
+      .select(col("user_id"), col("view_id"), col("conv_id"),
+        col("view_ts"), col("conv_ts"), col("value"))
+  }
+
   /** Incremental near-dup: probe each incoming document against a
     * STATIC reference corpus via minhash64 band buckets — the
     * stream-static join, so the historical corpus is never rescanned

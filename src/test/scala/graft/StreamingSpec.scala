@@ -118,6 +118,33 @@ class StreamingSpec extends SparkSpec {
     assert(rows.lastOption.contains((9.0, 9.0, 1.0, 1.0, 4L)))
   }
 
+  test("stream-stream interval join: conversions attribute to in-horizon views only") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val q = StreamingOps.attributionJoin(views.toDF(), buys.toDF(),
+        watermark = "10 minutes", horizonMinutes = 30)
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append).start()
+    // user 1: view at 10:01; buys at 10:11 (in horizon) and 10:45
+    // (beyond 30 min). user 2: buy at 10:05 with NO prior view.
+    views.addData(ev(1, 1, 1, "view", 0.0))
+    buys.addData(ev(10, 11, 1, "purchase", 5.0),
+      ev(11, 45, 1, "purchase", 7.0), ev(12, 5, 2, "purchase", 9.0))
+    q.processAllAvailable()
+    // a second batch: view for user 2 AFTER its buy — must not match
+    // (conv_ts >= view_ts), and a matching later buy does
+    views.addData(ev(2, 50, 2, "view", 0.0))
+    buys.addData(ev(13, 55, 2, "purchase", 3.0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+        "SELECT user_id, view_id, conv_id, value FROM attr ORDER BY conv_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    q.stop()
+    assert(rows == Seq((1L, 1L, 10L, 5.0), (2L, 2L, 13L, 3.0)),
+      "exactly the in-horizon, view-before-buy pairs attribute")
+  }
+
   test("streaming heavy hitters: per-window sketch across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

@@ -39,6 +39,25 @@ object GraphQueries {
       graft.operators.Triangles.perNodeCounts(e, "pa", "pb")
         .orderBy(col("node"))
     }),
+    "q_graph_kcore" -> ((s, dir) => {
+      // k-core decomposition of the co-purchase graph (same >=2
+      // support sparsifier as q_graph_triangles): coreness histogram
+      // — the density profile that locates spam/bot cores and picks
+      // robust hub sets. Iterative peel, not SQL-expressible (needs
+      // aggregation under recursion) → rows-only at the driver gate;
+      // GraphRankSpec pins the decomposition against hand-peeled
+      // ground truth.
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+        .select(col("pa"), col("pb"))
+      graft.operators.KCore.coreness(e, "pa", "pb")
+        .groupBy(col("coreness")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("coreness"))
+    }),
     "q_graph_degree" -> ((s, dir) => {
       // degree profile of the same graph — the skew audit that sizes
       // the rank job's reduce keys (a 10^6-degree hub needs salting)

@@ -42,4 +42,30 @@ class GraphRankSpec extends SparkSpec {
       .agg(sum(col("rank"))).as[Long].collect().head
     assert(total <= scale && total > 0)
   }
+
+  // triangle {a,b,c} — chain c–d–e — 4-clique {w,x,y,z} bridged to c:
+  // known cores: clique nodes 3, triangle nodes 2, chain tail 1.
+  private def coreGraph = Seq(
+    ("a", "b"), ("b", "c"), ("a", "c"),             // triangle
+    ("c", "d"), ("d", "e"),                          // chain
+    ("w", "x"), ("w", "y"), ("w", "z"),              // 4-clique
+    ("x", "y"), ("x", "z"), ("y", "z"),
+    ("c", "w")                                       // bridge
+  ).toDF("u", "v")
+
+  test("coreness matches the hand-peeled decomposition") {
+    val got = graft.operators.KCore.coreness(coreGraph, "u", "v")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "a" -> 2L, "b" -> 2L, "c" -> 2L, "d" -> 1L, "e" -> 1L,
+      "w" -> 3L, "x" -> 3L, "y" -> 3L, "z" -> 3L))
+  }
+
+  test("k-core(2) drops the chain tail but keeps triangle + clique") {
+    val got = graft.operators.KCore.kCore(coreGraph, "u", "v", k = 2)
+      .select(col("node")).as[String].collect().toSet
+    assert(got == Set("a", "b", "c", "w", "x", "y", "z"))
+    // cascade test: removing e drops d too (its degree falls to 1)
+    assert(!got.contains("d") && !got.contains("e"))
+  }
 }

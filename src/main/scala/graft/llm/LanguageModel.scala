@@ -166,6 +166,57 @@ object LanguageModel {
       .select(col("_id").as(id), col("n_trigrams"), col("xent_tri"))
   }
 
+  /** Per-document cross-entropy under an interpolated KNESER-NEY
+    * bigram model — the smoothing KenLM actually ships (Kneser & Ney
+    * 1995; Chen & Goodman 1999 empirical study), i.e. the real CCNet
+    * perplexity-gate arithmetic rather than the add-one/JM stand-ins:
+    *
+    *   p_KN(c|p) = ( max(c(p,c) − D, 0) + D·N1+(p,·)·p_cont(c) ) / c(p)
+    *   p_cont(c) = N1+(·,c) / |{distinct bigrams}|
+    *
+    * with fixed discount D (0.75, the Chen-Goodman default). The
+    * continuation probability p_cont weighs a word by how many
+    * DISTINCT contexts it follows, not raw frequency — the KN insight
+    * that demotes "Francisco" (frequent, one context) below "the".
+    * Scoring corpus = training corpus, so every scored bigram has
+    * c(p,c) ≥ 1 and the discounted term plus the backoff mass keep
+    * p strictly inside (0,1).
+    *
+    * Scale shape: ONE bigram explode; every model statistic (c(p,c),
+    * c(p), N1+(p,·), N1+(·,c), |bigrams|) is an integer aggregate
+    * over the bigram-count table — 4 partial-aggregable shuffles of
+    * vocab²-bounded (not corpus-bounded) rows; scoring re-joins the
+    * doc bigrams to the broadcast-or-shuffled count tables. Output
+    * (id, n_bigrams, xent_kn) rounded to 6 dp. */
+  def kneserNeyCrossEntropy(docs: DataFrame,
+      id: String = "doc_id", text: String = "text",
+      discount: Double = 0.75): DataFrame = {
+    val ts = TextAnalysis.tokens(lower(col(text)))
+    val bi = docs.select(col(id).as("_id"), ts.as("_ts"))
+      .filter(size(col("_ts")) >= 2)
+      .select(col("_id"), explode(transform(sequence(lit(0), size(col("_ts")) - 2),
+        i => struct(col("_ts").getItem(i).as("p"), col("_ts").getItem(i + 1).as("c"))))
+        .as("_b"))
+      .select(col("_id"), col("_b.p").as("_p"), col("_b.c").as("_c"))
+    val c2 = bi.groupBy(col("_p"), col("_c")).agg(count(lit(1)).as("_c2"))
+    val byP = c2.groupBy(col("_p"))
+      .agg(sum(col("_c2")).as("_cp"), count(lit(1)).as("_n1p"))
+    val byC = c2.groupBy(col("_c")).agg(count(lit(1)).as("_n1c"))
+    val bTot = c2.agg(count(lit(1)).as("_bt"))
+    // spelled in the exact operand order the oracle uses so the two
+    // engines compute bit-identical doubles before the 6 dp grid
+    val p = (greatest(col("_c2") - lit(discount), lit(0.0)) +
+      lit(discount) * col("_n1p") * col("_n1c") / col("_bt")) / col("_cp")
+    bi.join(c2, Seq("_p", "_c"))
+      .join(byP, "_p")
+      .join(byC, "_c")
+      .crossJoin(broadcast(bTot))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-sum(log(p)) / count(lit(1)), 6).as("xent_kn"))
+      .select(col("_id").as(id), col("n_bigrams"), col("xent_kn"))
+  }
+
   def bigramCrossEntropy(docs: DataFrame,
       id: String = "doc_id", text: String = "text"): DataFrame = {
     val ts = TextAnalysis.tokens(lower(col(text)))

@@ -2,7 +2,7 @@ package graft.queries
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.dml.{IncrementalRollup, VersionedTable}
+import graft.dml.{IncrementalJoinRollup, IncrementalRollup, VersionedTable}
 
 /** DML + incremental-maintenance as ORACLE-CHECKED queries: each entry
   * builds a scratch VersionedTable from the immutable testdata, drives
@@ -43,6 +43,48 @@ object DmlQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Incremental JOIN-view maintenance (the delta-join identity
+    // ΔJ = ΔA⋈B_new ∪ A_old⋈ΔB): a DML mix hits BOTH sides of an
+    // orders⋈lineitem rollup with a refresh after every transaction;
+    // the oracle recomputes the final join rollup from first
+    // principles — a hash match proves the signed deltas composed
+    // through the join exactly (inserts, deletes, updates, and
+    // multiset duplicate rows included).
+    "q_mv_join_delta" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft_mvjoin_q").toString
+      val orders = t(s, dir, "orders")
+      val items = t(s, dir, "lineitem")
+      val a = VersionedTable.create(s, s"$root/a",
+        orders.where(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+      val b = VersionedTable.create(s, s"$root/b",
+        items.where(col("l_orderkey") % 7 =!= 0)
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity")))
+      val view = IncrementalJoinRollup.create(a, b, s"$root/view",
+        leftKey = "o_orderkey", rightKey = "l_orderkey",
+        groupCols = Seq("o_orderstatus", "l_returnflag"),
+        sumCols = Seq("l_quantity", "o_totalprice"))
+      a.insert(orders.where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") + 1).as("o_totalprice")))
+      view.refresh()
+      b.delete(col("l_orderkey") % 5 === 0)
+      view.refresh()
+      a.update(col("o_orderkey") % 3 === 1,
+        Map("o_totalprice" -> (col("o_totalprice") * 2)))
+      view.refresh()
+      b.insert(items.where(col("l_orderkey") % 7 === 0 && col("l_orderkey") % 2 === 1)
+        .select(col("l_orderkey"), col("l_returnflag"),
+          (col("l_quantity") + 5).as("l_quantity")))
+      view.refresh()
+      view.read()
+        .select(col("o_orderstatus"), col("l_returnflag"),
+          col("_cnt").as("n"),
+          col("_sum_l_quantity").cast("double").as("sum_qty"),
+          col("_sum_o_totalprice").cast("double").as("sum_price"))
+        .orderBy(col("o_orderstatus"), col("l_returnflag"))
+    }),
+
     // Key-upsert MERGE: overlap takes source values, new keys insert.
     "q_dml_merge" -> ((s, dir) => {
       val root = Files.createTempDirectory("graft_merge_q").toString
@@ -80,6 +122,25 @@ object DmlQueries {
         |  CAST(SUM(CAST(q AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  ROUND(CAST(SUM(CAST(q AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty
         |FROM after_upd GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_mv_join_delta" ->
+      """WITH a_final AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 1 THEN o_totalprice * 2
+        |         WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders),
+        |b_final AS (
+        |  SELECT l_orderkey, l_returnflag, l_quantity FROM lineitem
+        |  WHERE l_orderkey % 7 <> 0 AND l_orderkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_returnflag, l_quantity + 5 FROM lineitem
+        |  WHERE l_orderkey % 7 = 0 AND l_orderkey % 2 = 1)
+        |SELECT o_orderstatus, l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM a_final JOIN b_final ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus, l_returnflag
+        |ORDER BY o_orderstatus, l_returnflag""".stripMargin,
     "q_dml_merge" ->
       """WITH merged AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice + 1 AS price

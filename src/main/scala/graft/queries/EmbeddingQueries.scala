@@ -111,10 +111,64 @@ object EmbeddingQueries {
           (min(col("qm")) / lit(1e6)).as("min_margin"),
           (max(col("qm")) / lit(1e6)).as("max_margin"))
         .orderBy(col("label"))
+    }),
+
+    "q_emb_jl" -> ((s, dir) => {
+      // Johnson-Lindenstrauss distance-preservation audit: project
+      // 64-dim embeddings to 16 dims through the seeded ±1 sign
+      // matrix (Projection.jlProject — k native vec_dot kernels per
+      // row, zero shuffles) and report, for a deterministic pair
+      // sample, the original vs projected squared distance and their
+      // ratio. Distances use the dot-identity d² = aa − 2ab + bb so
+      // both engines fold the SAME three sequential dot products —
+      // bit-identical doubles before the 1e-6 grid.
+      val m = graft.llm.Projection.seededSignMatrix(dOut = 16, dIn = 64)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("pv", graft.llm.Projection.jlColumn(col("v"), m))
+      val a = e.where(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("id_a"), col("v").as("va"), col("pv").as("pa"))
+      val b = e.select((col("vec_id") - 1).as("id_a"), col("vec_id").as("id_b"),
+        col("v").as("vb"), col("pv").as("pb"))
+      def d2(x: Column, y: Column): Column =
+        AnnSearch.dot(x, x) - lit(2.0) * AnnSearch.dot(x, y) + AnnSearch.dot(y, y)
+      a.join(b, "id_a")
+        .withColumn("d2o", d2(col("va"), col("vb")))
+        .withColumn("d2p", d2(col("pa"), col("pb")))
+        .select(col("id_a"), col("id_b"),
+          round(col("d2o"), 6).as("d2_orig"),
+          round(col("d2p"), 6).as("d2_proj"),
+          round(col("d2p") / col("d2o"), 6).as("ratio"))
+        .orderBy(col("id_a"))
     })
   )
 
+  /** The 16×64 seeded JL sign matrix as DuckDB VALUES rows. */
+  private def jlMatrixRows: String =
+    graft.llm.Projection.seededSignMatrix(dOut = 16, dIn = 64).zipWithIndex
+      .map { case (r0, j) => s"($j, [${r0.mkString(", ")}]::DOUBLE[])" }
+      .mkString(",\n")
+
   val oracle: Map[String, String] = Map(
+    "q_emb_jl" ->
+      s"""WITH r(j, rw) AS (VALUES
+        |$jlMatrixRows),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT e.vec_id, e.v,
+        |  (SELECT list(list_dot_product(e.v, r.rw) / sqrt(16.0) ORDER BY r.j)
+        |   FROM r) AS pv
+        |  FROM e),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(a.v, a.v) - 2.0 * list_dot_product(a.v, b.v)
+        |      + list_dot_product(b.v, b.v) AS d2o,
+        |    list_dot_product(a.pv, a.pv) - 2.0 * list_dot_product(a.pv, b.pv)
+        |      + list_dot_product(b.pv, b.pv) AS d2p
+        |  FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
+        |  WHERE a.vec_id % 10 = 0)
+        |SELECT id_a, id_b, round(d2o, 6) AS d2_orig, round(d2p, 6) AS d2_proj,
+        |  round(d2p / d2o, 6) AS ratio
+        |FROM pairs ORDER BY id_a""".stripMargin,
     "q_emb_norm_audit" ->
       """WITH e AS (SELECT label,
         |  sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm

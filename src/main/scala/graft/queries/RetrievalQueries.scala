@@ -148,6 +148,10 @@ object RetrievalQueries {
       LanguageModel.trigramCrossEntropy(t(s, dir, "documents"))
         .orderBy(col("doc_id"))
     }),
+    "q_lm_kneser_ney" -> ((s, dir) => {
+      LanguageModel.kneserNeyCrossEntropy(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
     "q_dedup_lines" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), lined.as("text"))
       Dedup.dedupLines(docs)
@@ -357,6 +361,25 @@ object RetrievalQueries {
         |LEFT JOIN toks ON d.doc_id = toks.doc_id
         |LEFT JOIN voc ON toks.t = voc.t
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    "q_lm_kneser_ney" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, $toksSql AS ts FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |    i -> {'p': ts[i], 'c': ts[i+1]})) AS b
+        |  FROM base WHERE len(ts) >= 2),
+        |bf AS (SELECT doc_id, b.p AS p, b.c AS c FROM bi),
+        |c2 AS (SELECT p, c, count(*) AS cb FROM bf GROUP BY p, c),
+        |byp AS (SELECT p, sum(cb) AS cp, count(*) AS n1p FROM c2 GROUP BY p),
+        |byc AS (SELECT c, count(*) AS n1c FROM c2 GROUP BY c),
+        |bt AS (SELECT count(*) AS bt FROM c2)
+        |SELECT bf.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(-sum(ln((greatest(c2.cb - 0.75, 0.0)
+        |    + 0.75 * byp.n1p * byc.n1c / bt.bt) / byp.cp)) / count(*), 6)
+        |    AS xent_kn
+        |FROM bf JOIN c2 USING (p, c) JOIN byp USING (p) JOIN byc USING (c)
+        |CROSS JOIN bt
+        |GROUP BY bf.doc_id ORDER BY bf.doc_id""".stripMargin,
     "q_lm_bigram" ->
       s"""WITH base AS (
         |  SELECT doc_id, $toksSql AS ts FROM documents),

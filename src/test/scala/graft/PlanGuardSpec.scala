@@ -20,7 +20,9 @@ class PlanGuardSpec extends SparkSpec {
   // same bounded shape as q_sketch_approx. q_curriculum crossJoins a
   // 1-row broadcast percentile-thresholds frame (same class).
   // q_topk_ties joins the 1-row broadcast k-th-value threshold (the
-  // WITH TIES rewrite) — same bounded class. q_emb_label_margin
+  // WITH TIES rewrite) — same bounded class. q_hybrid_rrf joins the
+  // 1-ROW broadcast query-vector frame (query-by-example semantic
+  // side of the fusion) — the q_ann_brute class with |queries| = 1. q_emb_label_margin
   // crossJoins the broadcast label-centroid frame (#labels rows —
   // bounded by the label alphabet, the q_ann_brute class). The
   // q*_true_* partsupp derivations cross join a 4-ROW VALUES supplier
@@ -33,8 +35,9 @@ class PlanGuardSpec extends SparkSpec {
       "q20_true_potential",
       "q_decontam_semantic", "q_bm25_topk", "q_lm_entropy", "q_ccnet_buckets", "q_benford", "q_walkforward", "q_basket_lift", "q_stickiness", "q_ab_test", "q_anomaly_days", "q_term_dispersion", "q_collocations",
       "q_importance_weights",
-      "q_source_kl", "q_lm_bigram", "q_lm_trigram", "q_sample_temperature",
-      "q_curriculum", "q_mix_epochs")
+      "q_source_kl", "q_lm_bigram", "q_lm_trigram", "q_lm_kneser_ney",
+      "q_sample_temperature",
+      "q_curriculum", "q_mix_epochs", "q_hybrid_rrf")
 
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin in any query") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

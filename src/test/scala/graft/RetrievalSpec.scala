@@ -115,6 +115,38 @@ class RetrievalSpec extends SparkSpec {
     assert(r(3L)._2 > r(1L)._2, "the rarer continuation scores higher (worse)")
   }
 
+  test("kneserNeyCrossEntropy: hand-computed; discounted mass backs off to continuations") {
+    // bigrams: (a,b)x2, (a,c)x1 -> c(a)=3, N1+(a,·)=2,
+    // N1+(·,b)=N1+(·,c)=1, |distinct bigrams|=2, D=0.75
+    // p(b|a) = (max(2-D,0) + D·2·(1/2)) / 3 = (1.25+0.75)/3 = 2/3
+    // p(c|a) = (max(1-D,0) + D·2·(1/2)) / 3 = (0.25+0.75)/3 = 1/3
+    // (they sum to 1 over the seen continuations — KN conserves mass)
+    val d = docs(1L -> "a b", 2L -> "a b", 3L -> "a c")
+    val r = LanguageModel.kneserNeyCrossEntropy(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(1L)._1 === 1L && math.abs(r(1L)._2 - -math.log(2.0 / 3)) < 1e-6)
+    assert(math.abs(r(3L)._2 - -math.log(1.0 / 3)) < 1e-6)
+    assert(r(3L)._2 > r(1L)._2, "the rarer continuation scores higher (worse)")
+  }
+
+  test("kneserNey demotes frequent single-context continuations (the Francisco property)") {
+    // x and y both occur twice as continuations; x follows 2 DISTINCT
+    // contexts, y follows 1. Under add-one-style frequency smoothing
+    // they'd tie; under KN, p_cont(x) > p_cont(y), so the unseen-ish
+    // (low c(p,c)) bigram ending in x scores BETTER (lower xent).
+    // "d z" pads the distinct-bigram count to 4 so the two p_cont
+    // values (2/4 vs 1/4) are the only difference between the docs
+    val d = docs(1L -> "a x", 2L -> "b x", 3L -> "c y", 4L -> "c y", 5L -> "d z")
+    val r = LanguageModel.kneserNeyCrossEntropy(d).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    // doc1 (a,x): c=1, backoff via p_cont(x)=2/4; doc3 (c,y): c=2 but
+    // p_cont(y)=1/4 — hand values:
+    // p(x|a) = (0.25 + 0.75·1·(2/4)) / 1 = 0.625
+    // p(y|c) = (max(2-0.75,0) + 0.75·1·(1/4)) / 2 = (1.25+0.1875)/2 = 0.71875
+    assert(math.abs(r(1L) - -math.log(0.625)) < 1e-6)
+    assert(math.abs(r(3L) - -math.log(0.71875)) < 1e-6)
+  }
+
   test("sourceDivergence: zero for an identically-distributed source, positive else") {
     val d = Seq(
       (1L, "a b", "s0"), (2L, "a b", "s1"),       // s0 and s1 match the blend

@@ -32,7 +32,8 @@ object SparkEntry {
     TypeMatrixQueries.queries, GraphQueries.queries, FuzzyQueries.queries,
     CatalogQueries.queries, ExtractionQueries.queries, DmlQueries.queries,
     SsbQueries.queries, JsonEdgeQueries.queries, EmbeddingQueries.queries,
-    MmPhashQueries.queries, PartsuppQueries.queries)
+    MmPhashQueries.queries, PartsuppQueries.queries,
+    StreamParityQueries.queries)
 
   private def oracleModules: Seq[Map[String, String]] = Seq(
     CoreQueries.oracle, WindowQueries.oracle, Dbt3Queries.oracle,
@@ -45,7 +46,8 @@ object SparkEntry {
     TypeMatrixQueries.oracle, GraphQueries.oracle, FuzzyQueries.oracle,
     CatalogQueries.oracle, ExtractionQueries.oracle, DmlQueries.oracle,
     SsbQueries.oracle, JsonEdgeQueries.oracle, EmbeddingQueries.oracle,
-    MmPhashQueries.oracle, PartsuppQueries.oracle)
+    MmPhashQueries.oracle, PartsuppQueries.oracle,
+    StreamParityQueries.oracle)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     queryModules.iterator.flatten.toMap

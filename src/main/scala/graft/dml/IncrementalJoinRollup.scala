@@ -51,12 +51,26 @@ final class IncrementalJoinRollup private (
   private val fs: FileSystem =
     new HPath(location).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def metaPath = new HPath(location, "_meta")
-
   private case class Meta(stateDir: String, baseLeft: Int, baseRight: Int, gen: Int)
 
+  // Generation-suffixed meta files, latest-wins by listing: every
+  // publish renames a tmp file to a NEW name (_meta.gN), which is
+  // atomic on HDFS/local without ever deleting the previous pointer —
+  // a crash at any step leaves the prior generation readable. (The
+  // earlier single-_meta delete+rename fallback had a window with NO
+  // pointer on filesystems without rename-overwrite.)
+  private val metaGenRe = """_meta\.g(\d+)""".r
+
+  private def latestMetaPath(): HPath =
+    fs.listStatus(new HPath(location)).flatMap { st =>
+      st.getPath.getName match {
+        case metaGenRe(g) => Some((g.toInt, st.getPath))
+        case _ => None
+      }
+    }.maxBy(_._1)._2
+
   private def readMeta(): Meta = {
-    val in = fs.open(metaPath)
+    val in = fs.open(latestMetaPath())
     val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     val p = s.trim.split("\n")
@@ -69,9 +83,14 @@ final class IncrementalJoinRollup private (
     try out.write(s"${m.stateDir}\n${m.baseLeft}\n${m.baseRight}\n${m.gen}\n"
       .getBytes("UTF-8"))
     finally out.close()
-    if (!fs.rename(tmp, metaPath)) {
-      fs.delete(metaPath, false)
-      require(fs.rename(tmp, metaPath), s"meta flip failed at $metaPath")
+    val dst = new HPath(location, s"_meta.g${m.gen}")
+    require(fs.rename(tmp, dst), s"meta publish failed at $dst")
+    // keep the previous generation for crash-safety; drop older ones
+    fs.listStatus(new HPath(location)).foreach { st =>
+      st.getPath.getName match {
+        case metaGenRe(g) if g.toInt < m.gen - 1 => fs.delete(st.getPath, false)
+        case _ => ()
+      }
     }
   }
 
@@ -80,8 +99,11 @@ final class IncrementalJoinRollup private (
   private def signedJoin(l: DataFrame, r: DataFrame): DataFrame = {
     val ll = l.withColumnRenamed("_sign", "_sl")
     val rr = r.withColumnRenamed("_sign", "_sr")
-    ll.join(rr, ll(leftKey) === rr(rightKey))
-      .withColumn("_sign", col("_sl") * col("_sr"))
+    val joined = ll.join(rr, ll(leftKey) === rr(rightKey))
+    // same-named keys would otherwise emit duplicate columns and blow
+    // up the downstream groupBy/unionByName — keep the left side's
+    val dedup = if (leftKey == rightKey) joined.drop(rr(rightKey)) else joined
+    dedup.withColumn("_sign", col("_sl") * col("_sr"))
       .drop("_sl", "_sr")
   }
 
@@ -139,8 +161,8 @@ final class IncrementalJoinRollup private (
     val term1 = signedJoin(dL, s1(right.read(rv)))
     val term2 = signedJoin(s1(left.read(m.baseLeft)), dR)
     val delta = partial(term1.unionByName(term2))
+    // state parquet holds only _cnt/_sum_* — avg is derived in read()
     val merged = spark.read.parquet(m.stateDir)
-      .drop(sumCols.map(c => s"_avg_$c"): _*)
       .unionByName(delta)
       .groupBy(groupCols.map(col): _*)
       .agg(
@@ -162,7 +184,9 @@ object IncrementalJoinRollup {
   /** Initialize (or re-initialize) a join view at `location` from both
     * tables' current versions. Group/sum columns are columns of the
     * JOINED frame; key columns may differ in name between the sides
-    * (`leftKey`/`rightKey`). Non-key column names must not collide. */
+    * (`leftKey`/`rightKey`) — when they share a name, the joined frame
+    * keeps one copy of the key. Non-key column names must not
+    * collide. */
   def create(left: VersionedTable, right: VersionedTable, location: String,
       leftKey: String, rightKey: String,
       groupCols: Seq[String], sumCols: Seq[String]): IncrementalJoinRollup = {

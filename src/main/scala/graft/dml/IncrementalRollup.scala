@@ -42,12 +42,23 @@ final class IncrementalRollup private (
   private val fs: FileSystem =
     new HPath(location).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def metaPath = new HPath(location, "_meta")
-
   private case class Meta(stateDir: String, baseVersion: Int, gen: Int)
 
+  // Generation-suffixed meta files, latest-wins by listing (see
+  // IncrementalJoinRollup): each publish renames to a NEW name, atomic
+  // without deleting the previous pointer — no window with no _meta.
+  private val metaGenRe = """_meta\.g(\d+)""".r
+
+  private def latestMetaPath(): HPath =
+    fs.listStatus(new HPath(location)).flatMap { st =>
+      st.getPath.getName match {
+        case metaGenRe(g) => Some((g.toInt, st.getPath))
+        case _ => None
+      }
+    }.maxBy(_._1)._2
+
   private def readMeta(): Meta = {
-    val in = fs.open(metaPath)
+    val in = fs.open(latestMetaPath())
     val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     val parts = s.trim.split("\n")
@@ -59,11 +70,13 @@ final class IncrementalRollup private (
     val out = fs.create(tmp, true)
     try out.write(s"${m.stateDir}\n${m.baseVersion}\n${m.gen}\n".getBytes("UTF-8"))
     finally out.close()
-    // rename is the atomic pointer flip (same contract VersionedTable
-    // relies on for manifests)
-    if (!fs.rename(tmp, metaPath)) {
-      fs.delete(metaPath, false)
-      require(fs.rename(tmp, metaPath), s"meta flip failed at $metaPath")
+    val dst = new HPath(location, s"_meta.g${m.gen}")
+    require(fs.rename(tmp, dst), s"meta publish failed at $dst")
+    fs.listStatus(new HPath(location)).foreach { st =>
+      st.getPath.getName match {
+        case metaGenRe(g) if g.toInt < m.gen - 1 => fs.delete(st.getPath, false)
+        case _ => ()
+      }
     }
   }
 

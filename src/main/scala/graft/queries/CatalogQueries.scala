@@ -36,13 +36,15 @@ object CatalogQueries {
           col("column_name"), col("physical_type"),
           col("num_values"), col("null_count"),
           col("min_value"), col("max_value"),
-          col("compressed_bytes"), col("uncompressed_bytes"))),
+          col("compressed_bytes"), col("uncompressed_bytes"))
+        .orderBy(col("file_name"), col("row_group"), col("column_name"))),
 
     // Tables rollup: file/row-group/row counts across the whole dir.
     "q_catalog_tables" -> ((s, dir) =>
       InfoSchema.tables(s, dir, graft.Tables.all)
         .select(col("table_name"), col("file_count").cast("long").as("file_count"),
-          col("rows").as("n_rows"), col("row_groups").cast("long").as("row_groups"))),
+          col("rows").as("n_rows"), col("row_groups").cast("long").as("row_groups"))
+        .orderBy(col("table_name"))),
 
     // Column catalog: footer schema (physical + converted type).
     "q_catalog_columns" -> ((s, dir) =>
@@ -50,14 +52,16 @@ object CatalogQueries {
         .select(col("table_name"), col("column_name"),
           col("physical_type"),
           coalesce(col("converted_type"), lit("NONE")).as("converted_type"),
-          col("repetition"))),
+          col("repetition"))
+        .orderBy(col("table_name"), col("column_name"))),
 
     // File inventory: footer-derived per-file shape (row count from
     // summed block row counts — the reference's SEGMENT file listing).
     "q_catalog_files" -> ((s, dir) =>
       InfoSchema.files(s, dir, Seq("lineitem", "orders", "events"))
         .select(col("table_name"), col("file_name"),
-          col("row_groups").cast("long").as("row_groups"), col("rows").as("n_rows"))))
+          col("row_groups").cast("long").as("row_groups"), col("rows").as("n_rows"))
+        .orderBy(col("table_name"), col("file_name"))))
 
   def oracle: Map[String, String] = Map(
     "q_catalog_extents" ->
@@ -78,7 +82,8 @@ object CatalogQueries {
          |    SELECT name FROM parquet_schema('$oracleSfDir/orders.parquet')
          |    WHERE num_children IS NULL
          |      AND (converted_type IS NULL
-         |           OR CAST(converted_type AS VARCHAR) = 'UTF8'))""".stripMargin,
+         |           OR CAST(converted_type AS VARCHAR) = 'UTF8'))
+         |ORDER BY file_name, row_group, column_name""".stripMargin,
 
     "q_catalog_tables" ->
       s"""SELECT regexp_extract(file_name, '([^/]+)[.]parquet$$', 1) AS table_name,
@@ -86,7 +91,7 @@ object CatalogQueries {
          |  CAST(SUM(num_rows) AS BIGINT) AS n_rows,
          |  CAST(SUM(num_row_groups) AS BIGINT) AS row_groups
          |FROM parquet_file_metadata('$oracleSfDir/*.parquet')
-         |GROUP BY 1""".stripMargin,
+         |GROUP BY 1 ORDER BY table_name""".stripMargin,
 
     "q_catalog_columns" ->
       s"""SELECT regexp_extract(file_name, '([^/]+)[.]parquet$$', 1) AS table_name,
@@ -97,7 +102,8 @@ object CatalogQueries {
          |FROM parquet_schema('$oracleSfDir/*.parquet')
          |WHERE regexp_extract(file_name, '([^/]+)[.]parquet$$', 1)
          |        IN ('orders','events','documents')
-         |  AND num_children IS NULL""".stripMargin,
+         |  AND num_children IS NULL
+         |ORDER BY table_name, column_name""".stripMargin,
 
     "q_catalog_files" ->
       s"""SELECT regexp_extract(file_name, '([^/]+)[.]parquet$$', 1) AS table_name,
@@ -106,5 +112,6 @@ object CatalogQueries {
          |  num_rows AS n_rows
          |FROM parquet_file_metadata('$oracleSfDir/*.parquet')
          |WHERE regexp_extract(file_name, '([^/]+)[.]parquet$$', 1)
-         |        IN ('lineitem','orders','events')""".stripMargin)
+         |        IN ('lineitem','orders','events')
+         |ORDER BY table_name, file_name""".stripMargin)
 }

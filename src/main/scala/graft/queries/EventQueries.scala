@@ -530,10 +530,17 @@ object EventQueries {
       val lat = ev.filter(col("event_type") === "purchase")
         .join(v, "user_id").filter(col("t") >= col("vt"))
         .groupBy(col("user_id")).agg(min(col("t") - col("vt")).as("lat"))
+      // percentile_disc returns DOUBLE in Spark even over BIGINT input;
+      // the latencies are exact integer micros by construction, so the
+      // cast back to LONG is lossless — and the oracle emits BIGINT
+      // (r08 red row: values equal, types differed).
       lat.agg(count(lit(1)).as("n_converts"),
-        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY lat)").as("p25_us"),
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lat)").as("p50_us"),
-        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lat)").as("p90_us"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY lat)")
+          .cast("long").as("p25_us"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lat)")
+          .cast("long").as("p50_us"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lat)")
+          .cast("long").as("p90_us"),
         min(col("lat")).as("min_us"), max(col("lat")).as("max_us"))
     }),
     "q_ref_integrity" -> ((s, dir) => {

@@ -43,10 +43,11 @@ object GraphQueries {
       // k-core decomposition of the co-purchase graph (same >=2
       // support sparsifier as q_graph_triangles): coreness histogram
       // — the density profile that locates spam/bot cores and picks
-      // robust hub sets. Iterative peel, not SQL-expressible (needs
-      // aggregation under recursion) → rows-only at the driver gate;
-      // GraphRankSpec pins the decomposition against hand-peeled
-      // ground truth.
+      // robust hub sets. Oracle: DuckDB CAN express the h-index
+      // coreness fixpoint (DuckDB recursive CTEs permit joins +
+      // windows over the working table), so the histogram is fully
+      // hash-checked; GraphRankSpec additionally pins the peel
+      // against hand-peeled ground truth.
       val op = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
       val e = op.as("a").join(op.as("b"),
@@ -71,6 +72,32 @@ object GraphQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // h-index coreness fixpoint (Lü/Zhou et al. 2016 — the same
+    // recurrence operators/KCore.coreness runs): c₀ = degree,
+    // c ← min(c, H(neighbor cs)); the fixpoint is the exact coreness.
+    // 20 bounded rounds — the fixpoint is idempotent, extra rounds are
+    // no-ops (validated vs an independent heap-based peel at sf0.01).
+    "q_graph_kcore" ->
+      """WITH RECURSIVE
+        |op AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+        |supp AS (SELECT a.p pa, b.p pb FROM op a JOIN op b ON a.o=b.o AND a.p<b.p
+        |         GROUP BY pa, pb HAVING count(*)>=2),
+        |e0 AS (SELECT pa u, pb v FROM supp UNION SELECT pb, pa FROM supp),
+        |est(iter, node, c) AS (
+        |  SELECT 0, u, CAST(count(*) AS BIGINT) FROM e0 GROUP BY u
+        |  UNION ALL
+        |  SELECT cur.iter + 1, cur.node, LEAST(cur.c, COALESCE(nh.h, 0))
+        |  FROM est cur LEFT JOIN (
+        |    SELECT u AS node,
+        |      CAST(sum(CASE WHEN cv >= i THEN 1 ELSE 0 END) AS BIGINT) AS h
+        |    FROM (SELECT e0.u, p.c AS cv,
+        |            row_number() OVER (PARTITION BY e0.u ORDER BY p.c DESC) AS i
+        |          FROM e0 JOIN est p ON e0.v = p.node)
+        |    GROUP BY u) nh ON nh.node = cur.node
+        |  WHERE cur.iter < 20
+        |)
+        |SELECT c AS coreness, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM est WHERE iter = 20 GROUP BY c ORDER BY coreness""".stripMargin,
     "q_graph_rank" ->
       """WITH p AS (SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
         |           FROM lineitem),

@@ -136,6 +136,8 @@ object JsonQueries {
           "id BIGINT, name STRING, tags ARRAY<BIGINT>", "tags",
           ordCol = "ord", valueCol = "tag")
         .select(col("id"), col("name"), col("ord"), col("tag"))
+        // (id, ord) is unique — total order for the driver hash
+        .orderBy(col("id"), col("ord"))
     })
   )
 
@@ -214,6 +216,7 @@ object JsonQueries {
         |SELECT id, name, CAST(u.ord AS INT) AS ord,
         |  tags[CAST(u.ord AS INT)] AS tag
         |FROM src JOIN (SELECT unnest([1,2,3]) AS ord) u
-        |  ON u.ord <= len(tags)""".stripMargin
+        |  ON u.ord <= len(tags)
+        |ORDER BY id, ord""".stripMargin
   )
 }

@@ -45,7 +45,13 @@ object MiscQueries {
       val b = SkewJoin.keySkewAudit(t(s, dir, "events"), "user_id")
         .withColumn("keyname", lit("user_id"))
       a.unionByName(b)
-        .withColumn("max_mean_ratio", round(col("max_mean_ratio"), 6))
+        // oracle parity (r08 red row): keyname leads, percentile keys
+        // are exact BIGINTs — per-key counts are integers, so the
+        // percentile_disc DOUBLE→LONG cast is lossless.
+        .select(col("keyname"), col("ndv"), col("total"), col("max_key"),
+          round(col("max_mean_ratio"), 6).as("max_mean_ratio"),
+          col("p99_key").cast("long").as("p99_key"),
+          col("p50_key").cast("long").as("p50_key"), col("gini"))
         .orderBy(col("keyname"))
     }),
     "q_pseudocols" -> ((s, dir) => {

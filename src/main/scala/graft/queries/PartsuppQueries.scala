@@ -52,7 +52,8 @@ object PartsuppQueries {
          |      WHERE p_partkey = ps2.ps_partkey AND s2.s_suppkey = ps2.ps_suppkey
          |        AND s2.s_nationkey = n2.n_nationkey
          |        AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'ASIA')
-         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey,
+         |  ps_supplycost
          |LIMIT 100""".stripMargin,
 
     // Q11 true shape: important stock = per-part partsupp value vs a

@@ -520,8 +520,11 @@ object PipelineQueries {
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin
     },
+    // ORDER BY the key: the engine side EMITS rows in shuffle-key
+    // order (that permutation is the operator's output), so the oracle
+    // must too — unordered, the driver's row-order hash is luck
     "q_shuffle_det" ->
       """SELECT doc_id, md5(doc_id::VARCHAR || 'epoch1') AS _shuffle_key
-        |FROM documents""".stripMargin
+        |FROM documents ORDER BY _shuffle_key, doc_id""".stripMargin
   )
 }

@@ -42,4 +42,20 @@ object Q {
   def oDec(c: String): String = s"CAST($c AS DECIMAL(18,2))"
   def oSumDec(c: String): String = s"CAST(SUM(${oDec(c)}) AS DOUBLE)"
   def oAvgDec(c: String): String = s"CAST(SUM(${oDec(c)}) AS DOUBLE)/COUNT(*)"
+
+  /** Total output order over EVERY projected column, nulls first —
+    * the driver-contract determinism discipline (its row hash is
+    * order-sensitive and this testdata has no unique natural key on
+    * lineitem: only 45,832 distinct (l_orderkey, l_linenumber) pairs
+    * in 60,000 rows). Rows still tied after sorting on all columns
+    * are bit-identical, so any residual order is hash-neutral. This
+    * is a HARNESS requirement, not a library recommendation — the
+    * library never forces a global sort; see docs/COMPAT.md. The
+    * oracle twin is [[oSortAll]]. */
+  def sortAll(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.map(c => col(c).asc_nulls_first).toIndexedSeq: _*)
+
+  /** DuckDB twin of [[sortAll]]: DuckDB's ASC default is NULLS LAST
+    * (Spark's is NULLS FIRST) — must be pinned explicitly. */
+  val oSortAll: String = "ORDER BY ALL NULLS FIRST"
 }

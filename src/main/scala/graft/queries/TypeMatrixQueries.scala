@@ -86,7 +86,7 @@ object TypeMatrixQueries {
       val bi = col("l_orderkey")                       // BIGINT
       val de = col("l_extendedprice").cast(DecimalType(38, 10))
       val db = col("l_discount")                       // DOUBLE
-      li.select(
+      sortAll(li.select(
         col("l_orderkey").as("k1"), col("l_linenumber").cast("int").as("k2"),
         // width promotion: every operand explicitly widened to BIGINT
         (ti.cast(LongType) * 2 + si.cast(LongType)).as("ti_arith"),
@@ -113,11 +113,11 @@ object TypeMatrixQueries {
           .cast(IntegerType).as("sat_small"),
         // lenient string→number over a numeric-prefix string
         MySqlFunctions.castSigned(concat(i, lit("x"), col("l_returnflag"))).as("str2num"),
-        MySqlFunctions.castSigned(col("l_returnflag")).as("str2num_none"))
-      // no ORDER BY: (k1,k2) identifies rows and the driver compare is
-      // order-insensitive — a global range-sort of the full wide
-      // projection would be the single most expensive (and least
-      // meaningful) operator in the query at corpus scale
+        MySqlFunctions.castSigned(col("l_returnflag")).as("str2num_none")))
+      // sortAll: total output order — (k1,k2) is NOT unique in this
+      // testdata and the driver hash is row-order-sensitive (r08
+      // proved it: 6 of these matrices flaked red on tie order with
+      // zero cell diffs). See Q.sortAll.
     }),
 
     // date/timestamp + char/varchar battery over the same rows
@@ -126,7 +126,7 @@ object TypeMatrixQueries {
       val dt = col("l_shipdate").cast(DateType)
       val ch = col("l_returnflag")                     // CHAR(1) analog
       val vc = concat(col("l_returnflag"), lit("/"), col("l_linestatus"))
-      li.select(
+      sortAll(li.select(
         col("l_orderkey").as("k1"), col("l_linenumber").cast("int").as("k2"),
         year(dt).as("d_year"), quarter(dt).as("d_quarter"),
         month(dt).as("d_month"), dayofmonth(dt).as("d_day"),
@@ -148,8 +148,8 @@ object TypeMatrixQueries {
         repeat(ch, 3).as("s_rep"),
         ascii(ch).as("s_ascii"),
         hex(col("l_orderkey")).as("s_hex"),
-        concat(vc, lit(":"), (col("l_partkey") % 100000).cast(IntegerType)).as("s_mixnum"))
-      // no ORDER BY — see q_type_matrix_num
+        concat(vc, lit(":"), (col("l_partkey") % 100000).cast(IntegerType)).as("s_mixnum")))
+      // sortAll — see q_type_matrix_num
     }),
 
     // aggregate × datatype: every aggregate family over every width,
@@ -218,7 +218,7 @@ object TypeMatrixQueries {
         col("l_extendedprice").cast(DecimalType(38, 10)))
       val ndt = when(col("l_linenumber") =!= 1, col("l_shipdate").cast(DateType))
       val nvc = when(col("l_linenumber") =!= 1, col("l_returnflag"))
-      li.select(
+      sortAll(li.select(
         col("l_orderkey").as("k1"), col("l_linenumber").cast("int").as("k2"),
         coalesce(nti.cast(LongType), lit(-1L)).as("co_ti"),
         coalesce(nbi, lit(-1L)).as("co_bi"),
@@ -233,8 +233,8 @@ object TypeMatrixQueries {
         concat(nvc, lit("!")).as("null_concat"),
         // null-safe equality vs plain equality under NULL
         (nbi <=> lit(null).cast(LongType)).cast(IntegerType).as("nseq"),
-        nullif(col("l_returnflag"), lit("N")).as("nullif_vc"))
-      // no ORDER BY — see q_type_matrix_num
+        nullif(col("l_returnflag"), lit("N")).as("nullif_vc")))
+      // sortAll — see q_type_matrix_num
     }),
 
     // string EDGE battery: empty string, unicode, repeated separators,
@@ -253,7 +253,7 @@ object TypeMatrixQueries {
       // overlay runs on a length-pinned pad so the cell tests OVERLAY
       // splicing, not each engine's divergent short-input clamping
       val padded = rpad(base, 8, ".")
-      d.select(
+      sortAll(d.select(
         col("doc_id").as("k"),
         base.as("base"),
         length(base).cast(IntegerType).as("s_len"),
@@ -272,8 +272,8 @@ object TypeMatrixQueries {
         ascii(base).cast(IntegerType).as("s_ascii"),
         concat(expr("chr(233)"), lit("A")).as("s_chr"),
         initcap(base).as("s_initcap"),
-        reverse(base).as("s_revuni"))
-      // no ORDER BY — see q_type_matrix_num
+        reverse(base).as("s_revuni")))
+      // sortAll — see q_type_matrix_num
     }),
 
     // date/time EDGE battery: leap days (century + ordinary), year
@@ -309,7 +309,7 @@ object TypeMatrixQueries {
         .when(m2 === 2, lit("07/13/2001"))
         .otherwise(lit("15/06/1995"))
       val isodow = weekday(base) + 1
-      li.select(
+      sortAll(li.select(
         col("l_orderkey").as("k1"), col("l_linenumber").cast("int").as("k2"),
         base.as("base"),
         // month-end clamping: Jan 31 + 1 month → Feb 28/29
@@ -336,8 +336,8 @@ object TypeMatrixQueries {
         last_day(base).as("d_lastday"),
         // 25h1m1s across the day/year boundary (9999-12-31 → 10000)
         (base.cast(TimestampType) + expr("INTERVAL '90061' SECOND"))
-          .cast(TimestampNTZType).as("d_tadd"))
-      // no ORDER BY — see q_type_matrix_num
+          .cast(TimestampNTZType).as("d_tadd")))
+      // sortAll — see q_type_matrix_num
     }),
 
     // decimal EDGE battery: signed values through every rounding mode
@@ -351,7 +351,7 @@ object TypeMatrixQueries {
       val price = dec(col("l_extendedprice"))
       val de0 = when(col("l_orderkey") % 2 === 0, price * lit(-1))
         .otherwise(price).cast(DecimalType(19, 2))
-      li.select(
+      sortAll(li.select(
           col("l_orderkey").as("k1"), col("l_linenumber").cast("int").as("k2"),
           de0.as("de"), col("l_quantity").cast(LongType).as("qty"),
           (de0 * 100).cast(LongType).as("scents"))
@@ -378,8 +378,8 @@ object TypeMatrixQueries {
           col("de").cast(StringType).as("d_str"),
           (col("de") * col("de")).cast(DecimalType(38, 4)).as("d_mul"),
           col("de").cast(DecimalType(38, 10)).as("d_wide"),
-          abs(col("de")).cast(DecimalType(19, 2)).as("d_abs"))
-      // no ORDER BY — see q_type_matrix_num
+          abs(col("de")).cast(DecimalType(19, 2)).as("d_abs")))
+      // sortAll — see q_type_matrix_num
     }),
 
     // window × datatype EDGE battery: rank under order-by ties,
@@ -415,7 +415,7 @@ object TypeMatrixQueries {
           de.desc)
       val ties = Window.partitionBy(pk).orderBy(sdate)
       val ranged = Window.partitionBy(pk).orderBy(days).rangeBetween(-30, 0)
-      li.select(
+      sortAll(li.select(
         col("l_orderkey").as("k1"), col("l_linenumber").cast("int").as("k2"),
         row_number().over(uniq).cast(LongType).as("w_rn"),
         rank().over(ties).cast(LongType).as("w_rk"),
@@ -439,8 +439,9 @@ object TypeMatrixQueries {
         sum(de).over(uniq.rowsBetween(-3, -1))
           .cast(DecimalType(38, 2)).as("w_sum_prev3"),
         min(col("l_shipdate").cast(DateType)).over(ranged).as("w_min_dt30"),
-        count(lit(1)).over(ranged).as("w_cnt30"))
-      // no output ORDER BY — (k1,k2) identifies rows
+        count(lit(1)).over(ranged).as("w_cnt30")))
+      // sortAll — (k1,k2) does NOT identify rows in this testdata;
+      // see q_type_matrix_num
     })
   )
 
@@ -495,7 +496,7 @@ object TypeMatrixQueries {
         |    '^\s*[+-]?[0-9]+', 0), '')::BIGINT, 0) AS str2num,
         |  COALESCE(NULLIF(regexp_extract(l_returnflag, '^\s*[+-]?[0-9]+', 0), '')::BIGINT, 0)
         |    AS str2num_none
-        |FROM lineitem""".stripMargin,
+        |FROM lineitem ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_type_matrix_datestr" ->
       """SELECT l_orderkey AS k1, CAST(l_linenumber AS INT) AS k2,
         |  CAST(year(l_shipdate) AS INT) AS d_year,
@@ -522,7 +523,7 @@ object TypeMatrixQueries {
         |  upper(to_hex(l_orderkey)) AS s_hex,
         |  l_returnflag || '/' || l_linestatus || ':' ||
         |    CAST(l_partkey % 100000 AS INT) AS s_mixnum
-        |FROM lineitem""".stripMargin,
+        |FROM lineitem ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_type_matrix_agg" ->
       s"""SELECT l_returnflag AS flag,
         |  COUNT(*) AS n,
@@ -566,7 +567,7 @@ object TypeMatrixQueries {
         |  CAST(CASE WHEN l_linenumber <> 1 THEN l_orderkey END IS NOT DISTINCT FROM
         |    CAST(NULL AS BIGINT) AS INT) AS nseq,
         |  NULLIF(l_returnflag, 'N') AS nullif_vc
-        |FROM lineitem""".stripMargin,
+        |FROM lineitem ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Engine-semantics notes per cell (MySQL/Spark rule spelled in
     // DuckDB):
@@ -615,7 +616,7 @@ object TypeMatrixQueries {
         |    w -> CASE WHEN length(w) = 0 THEN ''
         |      ELSE upper(w[1]) || lower(w[2:]) END), ' ') AS s_initcap,
         |  reverse(base) AS s_revuni
-        |FROM b""".stripMargin,
+        |FROM b ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Engine-semantics notes:
     //  - next_day: DuckDB has none — spelled as base + (8 - isodow)
@@ -660,7 +661,7 @@ object TypeMatrixQueries {
         |  CAST(date_trunc('week', base) AS DATE) AS d_truncweek,
         |  last_day(base) AS d_lastday,
         |  CAST(base AS TIMESTAMP) + INTERVAL 90061 SECOND AS d_tadd
-        |FROM b""".stripMargin,
+        |FROM b ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Engine-semantics notes:
     //  - round(): both engines round decimal halves away from zero.
@@ -700,7 +701,7 @@ object TypeMatrixQueries {
         |  CAST(de * de AS DECIMAL(38,4)) AS d_mul,
         |  CAST(de AS DECIMAL(38,10)) AS d_wide,
         |  CAST(abs(de) AS DECIMAL(19,2)) AS d_abs
-        |FROM c""".stripMargin,
+        |FROM c ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_type_matrix_winedge" ->
       """WITH b AS (SELECT l_orderkey AS k1, CAST(l_linenumber AS INT) AS k2,
@@ -738,6 +739,7 @@ object TypeMatrixQueries {
         |WINDOW uniq AS (PARTITION BY pk ORDER BY sd, k1, k2, de),
         |  ties AS (PARTITION BY pk ORDER BY sd),
         |  rangedw AS (PARTITION BY pk ORDER BY days
-        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""".stripMargin
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY ALL NULLS FIRST""".stripMargin
   )
 }

@@ -184,7 +184,9 @@ object WindowQueries {
         .join(broadcast(perFlag), Seq("l_returnflag"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           col("n_supp"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // l_returnflag tie-break: (orderkey, linenumber) is NOT unique
+        // in this testdata and duplicate pairs carry different flags
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
     }),
     "q_window_distinct_rule" -> ((s, dir) => {
       // The same semantics through the ENGINE's Catalyst rewrite
@@ -203,7 +205,8 @@ object WindowQueries {
           |    ORDER BY l_orderkey, l_linenumber, l_suppkey, l_partkey
           |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS run_supp
           |FROM lineitem WHERE l_orderkey < 200
-          |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+          |ORDER BY l_orderkey, l_linenumber, l_returnflag, n_supp, sum_qty,
+          |  run_supp""".stripMargin)
     }),
     "q_window_running_rev" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
@@ -244,20 +247,29 @@ object WindowQueries {
       // regardless of set size) merged across the 7-day frame with
       // hll_union_agg. No set materialization anywhere; this is also
       // the streaming-compatible formulation (sketches are mergeable
-      // monoids). Rows-only at the driver gate (sketch internals are
-      // engine-specific); WindowDistinctSpec asserts the estimate
-      // lands within HLL error of q_window_sliding_distinct's exact
-      // counts.
+      // monoids). Driver gate (r9, was rows-only): sketch estimates
+      // are engine-specific, so the gated output carries the exact
+      // sibling's count plus `hll_ok` — estimate within 5% relative
+      // error of exact (HLL lgK=12 standard error is ~0.8%, so 5% is
+      // a hard property, not slack); the oracle computes the exact
+      // count and asserts TRUE. WindowDistinctSpec still checks the
+      // raw estimates.
       val daily = t(s, dir, "orders")
         .select(to_date(col("o_orderdate")).as("day"), col("o_custkey"))
         .groupBy(col("day"))
         .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+          collect_set(col("o_custkey")).as("cs"),
           count(lit(1)).as("n_orders"))
       val w = Window.orderBy(unix_date(col("day"))).rangeBetween(-6, 0)
       daily.select(col("day"),
           sum(col("n_orders")).over(w).as("n_orders_7d"),
+          size(array_distinct(flatten(collect_list(col("cs")).over(w))))
+            .cast("long").as("exact_cust_7d"),
           hll_sketch_estimate(hll_union_agg(col("sk")).over(w))
             .as("approx_cust_7d"))
+        .select(col("day"), col("n_orders_7d"), col("exact_cust_7d"),
+          (abs(col("approx_cust_7d") - col("exact_cust_7d"))
+            <= col("exact_cust_7d") * 0.05).as("hll_ok"))
         .orderBy(col("day"))
     })
   )
@@ -270,6 +282,18 @@ object WindowQueries {
         |SELECT t.day,
         |  COUNT(*) AS n_orders_7d,
         |  COUNT(DISTINCT x.o_custkey) AS distinct_cust_7d
+        |FROM days t JOIN daily x ON x.day BETWEEN t.day - 6 AND t.day
+        |GROUP BY t.day ORDER BY t.day""".stripMargin,
+    // exact counts from the same 7-day self-join; hll_ok asserts the
+    // engine's sketch estimate landed within the 5% bound (see query)
+    "q_window_sliding_hll" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, o_custkey FROM orders),
+        |days AS (SELECT DISTINCT day FROM daily)
+        |SELECT t.day,
+        |  COUNT(*) AS n_orders_7d,
+        |  COUNT(DISTINCT x.o_custkey) AS exact_cust_7d,
+        |  TRUE AS hll_ok
         |FROM days t JOIN daily x ON x.day BETWEEN t.day - 6 AND t.day
         |GROUP BY t.day ORDER BY t.day""".stripMargin,
     "q_window_groups" ->
@@ -388,7 +412,7 @@ object WindowQueries {
       """SELECT l_orderkey, l_linenumber, l_returnflag,
         |  COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_returnflag) AS n_supp
         |FROM lineitem WHERE l_orderkey < 200
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag""".stripMargin,
     "q_window_distinct_rule" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,
         |  COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_returnflag) AS n_supp,
@@ -398,7 +422,8 @@ object WindowQueries {
         |    ORDER BY l_orderkey, l_linenumber, l_suppkey, l_partkey
         |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS run_supp
         |FROM lineitem WHERE l_orderkey < 200
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, n_supp, sum_qty,
+        |  run_supp""".stripMargin,
     "q_window_running_rev" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -61,13 +61,27 @@ final class IncrementalJoinRollup private (
   // pointer on filesystems without rename-overwrite.)
   private val metaGenRe = """_meta\.g(\d+)""".r
 
-  private def latestMetaPath(): HPath =
-    fs.listStatus(new HPath(location)).flatMap { st =>
+  private def latestMetaPath(): HPath = {
+    val gens = fs.listStatus(new HPath(location)).flatMap { st =>
       st.getPath.getName match {
         case metaGenRe(g) => Some((g.toInt, st.getPath))
         case _ => None
       }
-    }.maxBy(_._1)._2
+    }
+    if (gens.nonEmpty) gens.maxBy(_._1)._2
+    else {
+      // Legacy layout: the pre-generation format published a single
+      // un-suffixed `_meta` — states persisted by an older build must
+      // stay readable. An empty listing is a caller error (not an
+      // initialized state), reported as such rather than as a bare
+      // `empty.maxBy` from the collections library.
+      val legacy = new HPath(location, "_meta")
+      require(fs.exists(legacy),
+        s"$location has no _meta.gN (or legacy _meta) pointer — " +
+          "not an initialized rollup state")
+      legacy
+    }
+  }
 
   private def readMeta(): Meta = {
     val in = fs.open(latestMetaPath())
@@ -85,6 +99,15 @@ final class IncrementalJoinRollup private (
     finally out.close()
     val dst = new HPath(location, s"_meta.g${m.gen}")
     require(fs.rename(tmp, dst), s"meta publish failed at $dst")
+    // sweep stale tmp files from crashed publishes (this gen's tmp was
+    // just renamed away; anything older is an orphan no pointer names)
+    val tmpRe = """_meta\.tmp(\d+)""".r
+    fs.listStatus(new HPath(location)).foreach { st =>
+      st.getPath.getName match {
+        case tmpRe(g) if g.toInt <= m.gen => fs.delete(st.getPath, false)
+        case _ => ()
+      }
+    }
     // keep the previous generation for crash-safety; drop older ones
     fs.listStatus(new HPath(location)).foreach { st =>
       st.getPath.getName match {

@@ -449,12 +449,18 @@ object EventQueries {
       val p1 = col("k1").cast("double") / col("n1").cast("double")
       val pp = (col("k0") + col("k1")).cast("double") /
         (col("n0") + col("n1")).cast("double")
+      // z is undefined when the pooled rate is degenerate (pp ∈ {0,1}
+      // — all or none converted, the variance term is 0) or an arm is
+      // empty: any filtered corpus slice can hit either, and ANSI
+      // division would throw instead of yielding the statistician's
+      // NULL. Guarded identically in the oracle.
       a.crossJoin(b).select(
         col("n0"), col("k0"), col("n1"), col("k1"),
         round(p0, 6).as("cr0"), round(p1, 6).as("cr1"),
-        round((p1 - p0) / sqrt(pp * (lit(1) - pp) *
-          (lit(1.0) / col("n0").cast("double")
-            + lit(1.0) / col("n1").cast("double"))), 6).as("z"))
+        when(col("n0") > 0 && col("n1") > 0 && pp > 0 && pp < 1,
+          round((p1 - p0) / sqrt(pp * (lit(1) - pp) *
+            (lit(1.0) / col("n0").cast("double")
+              + lit(1.0) / col("n1").cast("double"))), 6)).as("z"))
     }),
     "q_seq_triples" -> ((s, dir) => {
       // 3-step sequential patterns (a then b then c): supported iff
@@ -705,9 +711,11 @@ object EventQueries {
         |SELECT CAST(n0 AS BIGINT) AS n0, CAST(k0 AS BIGINT) AS k0,
         |  CAST(n1 AS BIGINT) AS n1, CAST(k1 AS BIGINT) AS k1,
         |  round(k0 / n0, 6) AS cr0, round(k1 / n1, 6) AS cr1,
-        |  round((k1 / n1 - k0 / n0)
-        |    / sqrt(((k0 + k1) / (n0 + n1)) * (1 - (k0 + k1) / (n0 + n1))
-        |      * (1.0 / n0 + 1.0 / n1)), 6) AS z
+        |  CASE WHEN n0 > 0 AND n1 > 0
+        |      AND (k0 + k1) / (n0 + n1) > 0 AND (k0 + k1) / (n0 + n1) < 1
+        |    THEN round((k1 / n1 - k0 / n0)
+        |      / sqrt(((k0 + k1) / (n0 + n1)) * (1 - (k0 + k1) / (n0 + n1))
+        |        * (1.0 / n0 + 1.0 / n1)), 6) END AS z
         |FROM a CROSS JOIN b""".stripMargin,
     "q_seq_triples" ->
       """WITH e AS (

@@ -75,8 +75,11 @@ object GraphQueries {
     // h-index coreness fixpoint (Lü/Zhou et al. 2016 — the same
     // recurrence operators/KCore.coreness runs): c₀ = degree,
     // c ← min(c, H(neighbor cs)); the fixpoint is the exact coreness.
-    // 20 bounded rounds — the fixpoint is idempotent, extra rounds are
-    // no-ops (validated vs an independent heap-based peel at sf0.01).
+    // 50 bounded rounds — the ENGINE's own iteration cap
+    // (KCore.coreness), so even an unconverged graph yields the same
+    // deterministic iterate on both sides; the fixpoint is idempotent,
+    // so extra rounds past convergence are no-ops (validated vs an
+    // independent heap-based peel at sf0.01).
     "q_graph_kcore" ->
       """WITH RECURSIVE
         |op AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
@@ -94,10 +97,10 @@ object GraphQueries {
         |            row_number() OVER (PARTITION BY e0.u ORDER BY p.c DESC) AS i
         |          FROM e0 JOIN est p ON e0.v = p.node)
         |    GROUP BY u) nh ON nh.node = cur.node
-        |  WHERE cur.iter < 20
+        |  WHERE cur.iter < 50
         |)
         |SELECT c AS coreness, CAST(count(*) AS BIGINT) AS n_nodes
-        |FROM est WHERE iter = 20 GROUP BY c ORDER BY coreness""".stripMargin,
+        |FROM est WHERE iter = 50 GROUP BY c ORDER BY coreness""".stripMargin,
     "q_graph_rank" ->
       """WITH p AS (SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
         |           FROM lineitem),

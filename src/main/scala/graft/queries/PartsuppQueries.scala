@@ -39,7 +39,7 @@ object PartsuppQueries {
   private val sameSql: Map[String, String] = Map(
     // Q2 true shape: min-cost supplier in a region, correlated MIN
     // over partsupp (ref dbt3 2.sql).
-    "q2_true_mincost" ->
+    "q2_true_mincost_v2" ->
       s"""WITH $psCte
          |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
          |FROM part, supplier, partsupp, nation, region

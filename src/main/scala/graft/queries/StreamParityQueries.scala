@@ -26,7 +26,10 @@ object StreamParityQueries {
   import Q._
 
   val queries: Map[String, QFn] = Map(
-    "q_stream_upsert_parity" -> ((s, dir) => {
+    "q_stream_upsert_parity_v2" -> ((s, dir) => {
+      // _v2: the avg column changed from round(…,6) to the unrounded
+      // quotient (below) — a changed oracle result under the r9-
+      // diagnosed per-NAME oracle-hash cache needs a fresh cache key.
       val root = Files.createTempDirectory("graft_stream_parity").toString
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
@@ -45,10 +48,16 @@ object StreamParityQueries {
         .option("maxFilesPerTrigger", 1).parquet(s"$root/incoming")
       StreamingOps.upsertStreamWithRollup(src, vt, "o_orderkey", view,
         s"$root/ckpt")
+      // avg emitted UNROUNDED: both engines divide the identical exact
+      // decimal sum by the identical count in IEEE double — bit-exact
+      // — whereas round(double, 6) can differ by one ulp between
+      // Spark's BigDecimal HALF_UP and DuckDB's scaled-float rounding
+      // at near-half 6th decimals (the COMPAT #7/#12 discipline).
       view.read()
         .select(col("o_orderstatus"), col("_cnt").as("n"),
           col("_sum_o_totalprice").cast("double").as("sum_price"),
-          round(col("_avg_o_totalprice"), 6).as("avg_price"))
+          (col("_sum_o_totalprice").cast("double") / col("_cnt"))
+            .as("avg_price"))
         .orderBy(col("o_orderstatus"))
     })
   )
@@ -57,7 +66,7 @@ object StreamParityQueries {
     // final state from first principles: streamed keys take the
     // doubled price (insert-or-replace), untouched seed keys keep
     // theirs; exact-decimal sum per the Q discipline
-    "q_stream_upsert_parity" ->
+    "q_stream_upsert_parity_v2" ->
       """WITH final AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS p
         |  FROM orders WHERE o_orderkey % 3 = 0
@@ -66,8 +75,7 @@ object StreamParityQueries {
         |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0)
         |SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-        |  ROUND(CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
-        |    AS avg_price
+        |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
         |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

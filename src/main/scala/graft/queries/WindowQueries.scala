@@ -188,7 +188,7 @@ object WindowQueries {
         // in this testdata and duplicate pairs carry different flags
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
     }),
-    "q_window_distinct_rule" -> ((s, dir) => {
+    "q_window_distinct_rule_v2" -> ((s, dir) => {
       // The same semantics through the ENGINE's Catalyst rewrite
       // (plans/WindowDistinct.scala): the SQL surface accepts
       // COUNT/SUM(DISTINCT) OVER directly — whole-partition distincts
@@ -413,7 +413,7 @@ object WindowQueries {
         |  COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_returnflag) AS n_supp
         |FROM lineitem WHERE l_orderkey < 200
         |ORDER BY l_orderkey, l_linenumber, l_returnflag""".stripMargin,
-    "q_window_distinct_rule" ->
+    "q_window_distinct_rule_v2" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,
         |  COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_returnflag) AS n_supp,
         |  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,2)))

@@ -99,6 +99,14 @@ object Bench {
     val restartEvery =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RESTART_EVERY", "60").toInt
     var sinceRestart = 0
+    // r9 residual: queries landing just after a session restart timed
+    // 2-4× their standalone cost — not a plan problem, the fresh JVM's
+    // C2 queue is still chewing the regenerated wide methods while the
+    // timed window runs (one untimed run doesn't absorb compiler-thread
+    // contention, only first-call JIT). For the first few queries after
+    // each restart, repeat the untimed run until its wall time stops
+    // improving, so the timed window below measures steady state.
+    var stabilizeNext = 3 // the first session is the coldest of all
     val heapMb = scala.collection.mutable.LinkedHashMap[String, Long]()
     def usedHeapMb(): Long = {
       val rt = Runtime.getRuntime
@@ -121,6 +129,7 @@ object Bench {
         spark = GraftSession.get(cpus)
         Tables.registerAll(spark, sfDir)
         try calibRun() catch { case _: Throwable => } // re-JIT the new session
+        stabilizeNext = 3
       }
       sinceRestart += 1
       def run(): Unit = guarded(name) {
@@ -129,7 +138,23 @@ object Bench {
       // one untimed run per query: wide generated code (e.g. the 64
       // bit-sum simhash aggregate) costs ~10 s of JIT on first
       // execution; steady-state is the throughput that matters
-      try run() catch { case _: Throwable => }
+      def untimed(): Double = {
+        val t0 = System.nanoTime()
+        try run() catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
+      }
+      var warm = untimed()
+      if (stabilizeNext > 0) {
+        stabilizeNext -= 1
+        var it = 0
+        var improving = true
+        while (improving && it < 3) {
+          val nxt = untimed()
+          improving = nxt < warm * 0.8
+          warm = nxt
+          it += 1
+        }
+      }
       // median of 3 timed runs for fast queries: single-shot timings
       // at small absolutes carry GC/run-order noise that
       // round-over-round comparisons then misread as regressions (r6

@@ -108,10 +108,17 @@ object QueryStats {
 
   def clear(): Unit = ring.clear()
 
+  /** Driver-side snapshot (newest first) — poll-friendly: reading it
+    * runs NO query, so waiting on the async listener bus doesn't feed
+    * the ring it is waiting on. */
+  def snapshot(): Seq[StatRow] = {
+    import scala.jdk.CollectionConverters._
+    ring.iterator().asScala.toSeq
+  }
+
   /** The queryStats table (newest first). Snapshot — safe to join. */
   def stats(spark: SparkSession): DataFrame = {
-    import scala.jdk.CollectionConverters._
     import spark.implicits._
-    ring.iterator().asScala.toSeq.toDF()
+    snapshot().toDF()
   }
 }

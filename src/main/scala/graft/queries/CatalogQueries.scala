@@ -61,7 +61,52 @@ object CatalogQueries {
       InfoSchema.files(s, dir, Seq("lineitem", "orders", "events"))
         .select(col("table_name"), col("file_name"),
           col("row_groups").cast("long").as("row_groups"), col("rows").as("n_rows"))
-        .orderBy(col("table_name"), col("file_name"))))
+        .orderBy(col("table_name"), col("file_name"))),
+
+    // queryStats analog (`plans/QueryStats.scala`; reference
+    // `utils/querystats/querystats.h`, surfaced via calGetStats()):
+    // run a FIXED query mix through the listener, then read the stats
+    // ring back as a table. Deterministic slice only: the mix scans
+    // the constant-size region (5 rows) / nation (25 rows) tables —
+    // the same row counts at EVERY scale factor — and the volatile
+    // telemetry (durations, byte sizes) is collapsed to pinned-TRUE
+    // booleans. Ring rows are classified by telemetry shape, not by
+    // name: the listener runs on the async bus thread where the
+    // submitting thread's job-description local property is not
+    // visible.
+    "q_catalog_querystats" -> ((s, dir) => {
+      import graft.plans.QueryStats
+      QueryStats.install(s)
+      QueryStats.clear()
+      // plain scans (no exchange — count() would add a single-partition
+      // shuffle) + one genuine shuffle aggregate
+      Q.t(s, dir, "nation").select(col("n_nationkey")).collect()
+      Q.t(s, dir, "region").select(col("r_regionkey")).collect()
+      Q.t(s, dir, "nation").groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n")).collect()
+      // the listener bus is async — poll until all three mix shapes
+      // have landed in the ring (QueryStatsSpec's await discipline)
+      def classify(): Map[String, QueryStats.StatRow] = {
+        val rows = QueryStats.snapshot()
+        def pick(p: QueryStats.StatRow => Boolean) = rows.find(p)
+        Seq(
+          "qs_nation_count" -> pick(r => r.scan_rows == 25 && r.shuffle_bytes == 0),
+          "qs_region_count" -> pick(r => r.scan_rows == 5 && r.shuffle_bytes == 0),
+          "qs_nation_group" -> pick(r => r.scan_rows == 25 && r.shuffle_bytes > 0))
+          .collect { case (n, Some(r)) => n -> r }.toMap
+      }
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var found = classify()
+      while (found.size < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(50); found = classify()
+      }
+      import s.implicits._
+      found.toSeq.sortBy(_._1).map { case (n, r) =>
+        (n, r.scan_rows, r.files_read >= 1, r.bytes_read > 0,
+          r.shuffle_bytes > 0, r.duration_ms >= 0 && r.error.isEmpty)
+      }.toDF("name", "scan_rows", "files_ok", "bytes_ok", "shuffled", "ok")
+        .orderBy(col("name"))
+    }))
 
   def oracle: Map[String, String] = Map(
     "q_catalog_extents" ->
@@ -104,6 +149,16 @@ object CatalogQueries {
          |        IN ('orders','events','documents')
          |  AND num_children IS NULL
          |ORDER BY table_name, column_name""".stripMargin,
+
+    // fixed-size tables → fixed scan_rows at every scale factor; the
+    // volatile telemetry faces the gate as pinned booleans
+    "q_catalog_querystats" ->
+      """SELECT * FROM (VALUES
+        |  ('qs_nation_count', CAST(25 AS BIGINT), TRUE, TRUE, FALSE, TRUE),
+        |  ('qs_nation_group', CAST(25 AS BIGINT), TRUE, TRUE, TRUE, TRUE),
+        |  ('qs_region_count', CAST(5 AS BIGINT), TRUE, TRUE, FALSE, TRUE))
+        |  t(name, scan_rows, files_ok, bytes_ok, shuffled, ok)
+        |ORDER BY name""".stripMargin,
 
     "q_catalog_files" ->
       s"""SELECT regexp_extract(file_name, '([^/]+)[.]parquet$$', 1) AS table_name,

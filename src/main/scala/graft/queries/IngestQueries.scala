@@ -30,6 +30,33 @@ object IngestQueries {
           d(sum(col("n_nationkey").cast("decimal(18,2)"))).as("key_sum"))
         .orderBy(col("r_name"))
     }),
+    "q_crossengine_join" -> ((s, dir) => {
+      // CrossEngineStep analog, driver-gated (ref
+      // `dbcon/joblist/crossenginestep.cpp:822`): a FOREIGN table —
+      // an embedded Derby instance standing in for the reference's
+      // MySQL-protocol side — joins a columnar parquet table through
+      // the JDBC source. The foreign rows are a fixed literal set, so
+      // the oracle spells the same rows inline; the foreign side is
+      // broadcast (5 rows — the dimension side of a cross-engine join
+      // should never shuffle the columnar fact side).
+      import graft.sources.CrossEngine
+      val url = "jdbc:derby:memory:graftq;create=true"
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        try st.execute("CREATE TABLE region_votes (r_regionkey INT, votes INT)")
+        catch { case _: java.sql.SQLException => st.execute("DELETE FROM region_votes") }
+        (0 until 5).foreach(k =>
+          st.execute(s"INSERT INTO region_votes VALUES ($k, ${k * 10 + 1})"))
+        st.close()
+      } finally c.close()
+      val foreign = CrossEngine.table(s, url, "region_votes", user = "", password = "")
+        .toDF("f_regionkey", "votes")
+      t(s, dir, "region")
+        .join(broadcast(foreign), col("r_regionkey") === col("f_regionkey"))
+        .select(col("r_name"), col("votes").cast("int").as("votes"))
+        .orderBy(col("r_name"))
+    }),
     "q_ingest_jsonl" -> ((s, dir) => {
       // JSONL roundtrip — the training-data interchange format,
       // first-class next to the CSV bulk loader (the reference's
@@ -57,6 +84,13 @@ object IngestQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the foreign Derby rows are a fixed literal set → spelled inline
+    "q_crossengine_join" ->
+      """SELECT r.r_name, v.votes
+        |FROM region r
+        |JOIN (VALUES (0, 1), (1, 11), (2, 21), (3, 31), (4, 41)) v(k, votes)
+        |  ON r.r_regionkey = v.k
+        |ORDER BY r.r_name""".stripMargin,
     "q_ingest_roundtrip" ->
       """SELECT r_name, COUNT(*) AS n_nations,
         |  CAST(SUM(CAST(n_nationkey AS DECIMAL(18,2))) AS DOUBLE) AS key_sum

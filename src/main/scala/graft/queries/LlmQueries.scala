@@ -59,13 +59,32 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
     "q_text_fingerprint" -> ((s, dir) => {
-      // rows-only: xxhash64 rolling fingerprint + BPE-ish token count
-      // (xxhash and lookaround regex splits aren't DuckDB-expressible);
-      // stability/order-sensitivity asserted in LlmSpec.
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          TextAnalysis.fingerprint(col("text")).as("fingerprint"),
-          TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+      // Property-oracled (was rows-only): the xxhash64 rolling
+      // fingerprint and the lookaround-regex BPE token count aren't
+      // DuckDB-expressible, but their invariants are —
+      //  - classes_agree: the xx fingerprint's equality classes must
+      //    coincide with the md5 twin's (both are injective-in-
+      //    practice digests of the same token stream, so a doc's
+      //    duplicate-group size under each must match; the md5 side
+      //    IS replayed exactly by DuckDB via q_text_fingerprint_md5)
+      //  - bpe_bounds_ok: the boundary-split token count is bracketed
+      //    by the whitespace token count (every ws token yields ≥ 1
+      //    piece) and the char count (pieces are disjoint, ≥ 1 char)
+      // plus the md5 fingerprint itself, value-checked by the oracle.
+      // Exactness of the xx kernel stays pinned in LlmSpec.
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp_xx"),
+        TextAnalysis.fingerprintMd5(col("text")).as("fingerprint_md5"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_ws"),
+        length(col("text")).cast("long").as("n_chars"))
+      val xxCls = d.groupBy(col("fp_xx")).agg(count(lit(1)).as("xx_cls_n"))
+      val md5Cls = d.groupBy(col("fingerprint_md5")).agg(count(lit(1)).as("md5_cls_n"))
+      d.join(xxCls, Seq("fp_xx")).join(md5Cls, Seq("fingerprint_md5"))
+        .select(col("doc_id"), col("fingerprint_md5"),
+          (col("xx_cls_n") === col("md5_cls_n")).as("classes_agree"),
+          (col("n_bpe") >= col("n_ws") && col("n_bpe") <= col("n_chars"))
+            .as("bpe_bounds_ok"))
         .orderBy(col("doc_id"))
     }),
 
@@ -270,9 +289,21 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
     "q_dedup_simhash" -> ((s, dir) => {
-      // rows-only: xxhash64-based simhash isn't DuckDB-expressible;
-      // LlmSpec asserts output == brute-force hamming≤maxDist pairs
-      Dedup.simhashDupPairs(t(s, dir, "documents"), maxDist = 8)
+      // Oracle-checked end to end (was rows-only): the driver-gated
+      // pair pipeline runs on the md5 simhash kernel — DuckDB replays
+      // every sign-of-bit-sum lane (as in q_simhash_md5) AND the
+      // all-pairs hamming ≤ 8 ground truth, so banding + bucket join
+      // + distance filter are certified with recall 1.0 (pigeonhole:
+      // 9 disjoint bands for maxDist 8 lose no qualifying pair). The
+      // xxhash production kernel keeps its brute-force-equality
+      // theorem in LlmSpec.
+      val docs = t(s, dir, "documents")
+      val sh = docs
+        .filter(size(TextAnalysis.tokens(col("text"))) > 0)
+        .select(col("doc_id"),
+          call_function("simhash64_md5", col("text")).as("simhash"))
+      Dedup.bandedHashPairs(sh, "doc_id", "simhash", maxDist = 8)
+        .withColumn("hamming", col("hamming").cast("int"))
         .orderBy(col("id_a"), col("id_b"))
     }),
     "q_dedup_cosine" -> ((s, dir) => {
@@ -1022,6 +1053,38 @@ object LlmQueries {
         |      ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, c.vec_id) AS rnk
         |  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q) t
         |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+    // end-to-end simhash pair ground truth: recompute every md5-lane
+    // simhash, then ALL-PAIRS hamming ≤ 8 (the engine's banded join
+    // must equal this exactly — pigeonhole recall is 1.0)
+    "q_dedup_simhash" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0)) AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks),
+        |s AS (SELECT doc_id, $simhashMd5Bits AS sh FROM h GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
+    // property oracle: the md5 fingerprint is value-checked (same
+    // fold as q_text_fingerprint_md5); the xx-kernel class-agreement
+    // and BPE-count bracketing booleans are pinned TRUE
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(toks) = 0 THEN 0
+        |    ELSE list_reduce(
+        |      list_prepend(0::BIGINT,
+        |        list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)),
+        |      (a, b) -> (a * 1000003 + b) % 2147483647)
+        |  END AS fingerprint_md5,
+        |  TRUE AS classes_agree,
+        |  TRUE AS bpe_bounds_ok
+        |FROM (SELECT doc_id,
+        |        list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> length(x) > 0) AS toks
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "q_text_fingerprint_md5" ->
       """SELECT doc_id,
         |  CASE WHEN len(toks) = 0 THEN 0

@@ -149,6 +149,39 @@ object MiscQueries2 {
           "left(repeat(concat(o_orderstatus, '-'), 5), 7) AS y_cycle")
         .orderBy(col("o_orderkey"))
     }),
+    // Last zero-coverage §2.8 representatives: CRC32 (func_crc32.cpp),
+    // FORMAT (func_format.cpp), FIELD/MAKE_SET (func_elt.cpp family),
+    // SOUNDEX. The base is nation ⋈ region — 25/5 rows FIXED at every
+    // TPC-H scale factor — so the two kernels DuckDB cannot recompute
+    // (crc32, soundex) face the gate as literal-pinned oracle columns
+    // (the q_catalog_querystats fixed-table discipline), while FIELD /
+    // MAKE_SET / FORMAT are recomputed genuinely on the oracle side.
+    "q_fn_misc3" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").cast("int").as("k"),
+          col("r_name"),
+          crc32(col("n_name")).as("f_crc32"),
+          soundex(col("r_name")).as("f_soundex"),
+          // FORMAT(n, 0): thousands grouping of an exact integer (the
+          // d>0 path is engine-divergent in rounding mode, not tested)
+          format_number(col("n_nationkey") * 1234567L + 890123L, 0)
+            .as("f_format"),
+          // MySQL FIELD(): 1-based index of the value, 0 when absent
+          coalesce(array_position(
+            array(lit("ASIA"), lit("EUROPE"), lit("MIDDLE EAST")),
+            col("r_name")), lit(0L)).cast("int").as("f_field"),
+          // MAKE_SET(bits, ...): the names whose bit is set, joined
+          concat_ws(",",
+            when(col("n_nationkey").bitwiseAND(lit(1)) =!= 0, lit("a")),
+            when(col("n_nationkey").bitwiseAND(lit(2)) =!= 0, lit("b")),
+            when(col("n_nationkey").bitwiseAND(lit(4)) =!= 0, lit("c")),
+            when(col("n_nationkey").bitwiseAND(lit(8)) =!= 0, lit("d")),
+            when(col("n_nationkey").bitwiseAND(lit(16)) =!= 0, lit("e")))
+            .as("f_makeset"))
+        .orderBy(col("k"))
+    }),
     "q_fn_extract" -> ((s, dir) => {
       // EXTRACT(unit FROM ts) (func_extract.cpp), MICROSECOND
       // (func_microsecond.cpp; fraction-of-second 0..999999 — DuckDB's
@@ -253,6 +286,39 @@ object MiscQueries2 {
         |        FROM customer WHERE c_custkey < 500)
         |  GROUP BY 1)
         |ORDER BY ci_rank""".stripMargin,
+    // crc32 over the 25 fixed nation names and soundex over the 5
+    // fixed region names are literal-pinned (zlib CRC-32 / US-census
+    // soundex recomputed offline; the tables are scale-invariant);
+    // FIELD, MAKE_SET and the grouping FORMAT are recomputed by DuckDB
+    "q_fn_misc3" ->
+      """WITH crc(k, f_crc32) AS (VALUES
+        |  (0, 3678181428), (1, 2889590946), (2, 892533016), (3, 1110821262),
+        |  (4, 3696319533), (5, 2874567867), (6, 845102337), (7, 1163398551),
+        |  (8, 3588689926), (9, 2732597392), (10, 3434030669), (11, 3148355291),
+        |  (12, 580994913), (13, 1436973047), (14, 3418546772), (15, 3167081154),
+        |  (16, 634159992), (17, 1389081582), (18, 3262426751), (19, 3044253417),
+        |  (20, 3884086670), (21, 2424653080), (22, 160175266), (23, 2123047988),
+        |  (24, 3773804951)),
+        |sdx(r_name, f_soundex) AS (VALUES
+        |  ('AFRICA', 'A162'), ('AMERICA', 'A562'), ('ASIA', 'A200'),
+        |  ('EUROPE', 'E610'), ('MIDDLE EAST', 'M342'))
+        |SELECT CAST(n.n_nationkey AS INT) AS k, r.r_name,
+        |  CAST(crc.f_crc32 AS BIGINT) AS f_crc32,
+        |  sdx.f_soundex,
+        |  format('{:,}', n.n_nationkey * 1234567 + 890123) AS f_format,
+        |  CAST(coalesce(list_position(['ASIA', 'EUROPE', 'MIDDLE EAST'],
+        |    r.r_name), 0) AS INT) AS f_field,
+        |  concat_ws(',',
+        |    CASE WHEN (n.n_nationkey & 1) <> 0 THEN 'a' END,
+        |    CASE WHEN (n.n_nationkey & 2) <> 0 THEN 'b' END,
+        |    CASE WHEN (n.n_nationkey & 4) <> 0 THEN 'c' END,
+        |    CASE WHEN (n.n_nationkey & 8) <> 0 THEN 'd' END,
+        |    CASE WHEN (n.n_nationkey & 16) <> 0 THEN 'e' END) AS f_makeset
+        |FROM nation n
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |JOIN crc ON crc.k = n.n_nationkey
+        |JOIN sdx ON sdx.r_name = r.r_name
+        |ORDER BY k""".stripMargin,
     "q_fn_misc2" ->
       """SELECT o_orderkey,
         |  bin(o_orderkey) AS y_bin,

@@ -51,9 +51,21 @@ object Q {
     * are bit-identical, so any residual order is hash-neutral. This
     * is a HARNESS requirement, not a library recommendation — the
     * library never forces a global sort; see docs/COMPAT.md. The
-    * oracle twin is [[oSortAll]]. */
+    * oracle twin is [[oSortAll]].
+    *
+    * Shape: `repartition(1)` + partition-local sort, NOT `orderBy`.
+    * A global orderBy plans a RangeExchange whose partitioner SAMPLES
+    * the child — the expensive battery projection executes twice (r9
+    * measured the tax: q_type_matrix_decedge 0.83 s → 5.80 s). One
+    * round-robin exchange into a single partition runs the projection
+    * once and sorts 60k–600k gate rows in one task; the result is the
+    * identical total order (equal-key rows are bit-identical full
+    * rows, so residual order is hash-neutral). Single-partition is
+    * fine precisely BECAUSE this is the gate wrapper — production
+    * queries never pass through sortAll. */
   def sortAll(df: DataFrame): DataFrame =
-    df.orderBy(df.columns.map(c => col(c).asc_nulls_first).toIndexedSeq: _*)
+    df.repartition(1)
+      .sortWithinPartitions(df.columns.map(c => col(c).asc_nulls_first).toIndexedSeq: _*)
 
   /** DuckDB twin of [[sortAll]]: DuckDB's ASC default is NULLS LAST
     * (Spark's is NULLS FIRST) — must be pinned explicitly. */

@@ -200,10 +200,28 @@ object RetrievalQueries {
         .orderBy(col("freq").desc, col("left"), col("right")).limit(30)
     }),
     "q_bpe_merges" -> ((s, dir) => {
-      // full merge-table induction; deterministic tie-breaks — spec
-      // evidence (RetrievalSpec: Sennrich example, overlap greed,
-      // exhaustion), rows-only at the driver
-      LanguageModel.bpeMerges(t(s, dir, "documents"), numMerges = 10)
+      // Property-oracled (was rows-only) full merge-table induction.
+      // The loop is iterative-greedy, but two exact invariants are
+      // SQL-checkable: (a) the rank-1 merge IS the global argmax of
+      // the round-1 pair statistics (DuckDB recomputes those — the
+      // q_bpe_pairs logic — and its (freq DESC, l, r) head must equal
+      // the engine's first merge, emitted as value columns); (b) the
+      // chosen frequency is non-increasing in rank — any pair a merge
+      // CREATES involves the new symbol and occurs at most freq(max)
+      // times, and no existing pair ever gains occurrences, so the
+      // greedy max can only fall. Deterministic tie-breaks; the full
+      // merge table stays pinned in RetrievalSpec (Sennrich example,
+      // overlap greed, exhaustion).
+      import org.apache.spark.sql.expressions.Window
+      val m = LanguageModel.bpeMerges(t(s, dir, "documents"), numMerges = 10)
+      val w = Window.orderBy(col("rank"))
+      m.select(col("rank"),
+          when(col("rank") === 1, col("left")).as("left1"),
+          when(col("rank") === 1, col("right")).as("right1"),
+          when(col("rank") === 1, col("freq")).as("freq1"),
+          (col("freq") <= coalesce(lag(col("freq"), 1).over(w), col("freq")))
+            .as("monotone_ok"),
+          (col("freq") > 0).as("freq_pos"))
         .orderBy(col("rank"))
     })
   )
@@ -544,6 +562,25 @@ object RetrievalQueries {
         |  substr(w, CAST(i AS INTEGER) + 1, 1) AS r, f FROM st)
         |SELECT l AS "left", r AS "right", CAST(sum(f) AS BIGINT) AS freq
         |FROM pr GROUP BY l, r
-        |ORDER BY freq DESC, l, r LIMIT 30""".stripMargin
+        |ORDER BY freq DESC, l, r LIMIT 30""".stripMargin,
+    // rank-1 argmax recomputed from the round-1 pair statistics (the
+    // q_bpe_pairs logic, head of (freq DESC, l, r)); the monotone /
+    // positivity invariants of the greedy loop are pinned TRUE
+    "q_bpe_merges" ->
+      s"""WITH toks AS (SELECT unnest($toksSql) AS w FROM documents),
+        |wf AS (SELECT w, count(*) AS f FROM toks GROUP BY w),
+        |st AS (SELECT w, f, unnest(range(1, CAST(len(w) AS BIGINT))) AS i
+        |  FROM wf WHERE len(w) >= 2),
+        |pr AS (SELECT substr(w, CAST(i AS INTEGER), 1) AS l,
+        |  substr(w, CAST(i AS INTEGER) + 1, 1) AS r, f FROM st),
+        |best AS (SELECT l, r, CAST(sum(f) AS BIGINT) AS freq
+        |  FROM pr GROUP BY l, r ORDER BY freq DESC, l, r LIMIT 1)
+        |SELECT CAST(t.x AS INT) AS rank,
+        |  CASE WHEN t.x = 1 THEN b.l END AS left1,
+        |  CASE WHEN t.x = 1 THEN b.r END AS right1,
+        |  CAST(CASE WHEN t.x = 1 THEN b.freq END AS BIGINT) AS freq1,
+        |  TRUE AS monotone_ok, TRUE AS freq_pos
+        |FROM range(1, 11) t(x) CROSS JOIN best b
+        |ORDER BY rank""".stripMargin
   )
 }

@@ -14,21 +14,49 @@ object SketchQueries {
 
   val queries: Map[String, QFn] = Map(
     "q_sketch_approx" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
       // per-group HLL sketches, then a union across groups — the
-      // reaggregation pattern (daily sketch -> monthly rollup)
+      // reaggregation pattern (daily sketch -> monthly rollup).
+      // Property-oracled (the r9 HLL-window template): sketch
+      // estimates are engine-specific, but their ERROR BOUNDS are
+      // not — the query emits the exact per-group counts (DuckDB
+      // recomputes those) plus booleans asserting each approximate
+      // answer sits inside its published bound, all computed from
+      // exact values derived IN the same query. Every boolean is
+      // deterministic (fixed input → fixed sketch → fixed estimate),
+      // and the oracle pins them TRUE:
+      //  - HLL lgConfigK=12 → rsd ≈ 1.04/√4096 ≈ 1.6%; 5% is > 3σ
+      //  - approx_count_distinct default rsd 5%; gate at 15% (3σ)
+      //  - GK accuracy 1000 → rank error ≤ n/1000; p50_approx must
+      //    land between the exact 0.47 and 0.53 discrete quantiles
+      val li = t(s, dir, "lineitem")
       val perFlag = li.groupBy(col("l_returnflag"))
         .agg(hll_sketch_agg(col("l_partkey")).as("sk"),
           approx_count_distinct(col("l_suppkey")).as("approx_supp"),
           percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("p50_approx"),
+          count_distinct(col("l_partkey")).as("exact_parts"),
+          count_distinct(col("l_suppkey")).as("exact_supp"),
+          percentile_approx(col("l_quantity"),
+            array(lit(0.47), lit(0.53)), lit(10000000)).as("qex"),
           count(lit(1)).as("n"))
       val overall = perFlag.agg(
-        hll_sketch_estimate(hll_union_agg(col("sk"))).as("distinct_parts_total"))
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_total"))
+      val exactTotal = li.agg(count_distinct(col("l_partkey")).as("exact_total"))
       perFlag
-        .select(col("l_returnflag"),
-          hll_sketch_estimate(col("sk")).as("distinct_parts"),
-          col("approx_supp"), col("p50_approx"), col("n"))
+        .select(col("l_returnflag"), col("n"),
+          col("exact_parts"), col("exact_supp"),
+          (abs(hll_sketch_estimate(col("sk")) - col("exact_parts"))
+            <= col("exact_parts") * 0.05).as("parts_ok"),
+          (abs(col("approx_supp") - col("exact_supp"))
+            <= col("exact_supp") * 0.15).as("supp_ok"),
+          (col("p50_approx") >= col("qex")(0) &&
+            col("p50_approx") <= col("qex")(1)).as("p50_ok"))
         .crossJoin(overall)
+        .crossJoin(exactTotal)
+        .select(col("l_returnflag"), col("n"), col("exact_parts"),
+          col("exact_supp"), col("parts_ok"), col("supp_ok"), col("p50_ok"),
+          col("exact_total"),
+          (abs(col("est_total") - col("exact_total"))
+            <= col("exact_total") * 0.05).as("total_ok"))
         .orderBy(col("l_returnflag"))
     }),
     "q_heavy_hitters" -> ((s, dir) => {
@@ -81,10 +109,21 @@ object SketchQueries {
     })
   )
 
-  // HLL/percentile sketches approximate by design → no SQL oracle
-  // (bounds asserted in SketchSpec); heavy_hitters runs in its exact
-  // regime and IS oracle-checked.
+  // q_sketch_approx is property-oracled: DuckDB recomputes the exact
+  // distinct counts/group sizes and pins every error-bound boolean
+  // TRUE; heavy_hitters runs in its exact regime and is value-checked.
   val oracle: Map[String, String] = Map(
+    "q_sketch_approx" ->
+      """WITH tot AS (SELECT count(DISTINCT l_partkey) AS exact_total FROM lineitem)
+        |SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supp,
+        |  TRUE AS parts_ok, TRUE AS supp_ok, TRUE AS p50_ok,
+        |  CAST(tot.exact_total AS BIGINT) AS exact_total, TRUE AS total_ok
+        |FROM lineitem CROSS JOIN tot
+        |GROUP BY l_returnflag, tot.exact_total
+        |ORDER BY l_returnflag""".stripMargin,
     "q_sketch_quantiles" ->
       """SELECT event_type,
         |  quantile_disc(value, 0.5) AS p50,

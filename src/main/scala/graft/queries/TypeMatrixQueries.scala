@@ -450,6 +450,60 @@ object TypeMatrixQueries {
         count(lit(1)).over(ranged).as("w_cnt30")))
       // sortAll — (k1,k2) does NOT identify rows in this testdata;
       // see q_type_matrix_num
+    }),
+
+    // CAST matrix battery: source type → target type over every
+    // lineitem row, completing the autopilot cast grid the width
+    // ladder only sampled (reference `func_cast.cpp` +
+    // `dataconvert.cpp`). Cells are restricted to conversions whose
+    // textual/numeric result is cross-engine DEFINED:
+    //  - DOUBLE→string is excluded by design (Java shortest-repr vs
+    //    DuckDB formatting differ); decimal/integer/date renderings
+    //    are identical on both engines
+    //  - MySQL DOUBLE→SIGNED rounds half-away-from-zero where Spark
+    //    CAST truncates — the MySQL rule is spelled explicitly
+    //    (sign-split floor(x+0.5)) on both sides
+    //  - narrow-decimal saturation spelled as clamps (same discipline
+    //    as sat_tiny/sat_small in the num battery)
+    "q_type_matrix_castmx" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val bi = col("l_orderkey")
+      val i = (col("l_partkey") % 100000).cast(IntegerType)
+      val de = dec(col("l_extendedprice"))
+      val db = col("l_discount")
+      val dt = col("l_shipdate").cast(DateType)
+      val ts = date_trunc("second", col("l_shipdate")).cast(TimestampType)
+      val st = bi.cast(StringType)
+      sortAll(li.select(
+        col("l_orderkey").as("k1"), col("l_linenumber").cast("int").as("k2"),
+        // numeric → string (integer and full-scale decimal renderings)
+        st.as("c_bi_str"),
+        de.cast(StringType).as("c_de_str"),
+        // string → numeric (both engines trim surrounding whitespace)
+        st.cast(LongType).as("c_str_bi"),
+        concat(lit("  "), st, lit(" ")).cast(DoubleType).as("c_strsp_db"),
+        MySqlFunctions.castSigned(concat(st, lit("kg"))).as("c_lenient"),
+        // MySQL DOUBLE→SIGNED: round half away from zero
+        when(db >= 0, floor(db * 100 + lit(0.5)))
+          .otherwise(-floor(-db * 100 + lit(0.5))).cast(LongType)
+          .as("c_db_round_bi"),
+        // temporal ladder
+        dt.cast(StringType).as("c_dt_str"),
+        dt.cast(TimestampNTZType).as("c_dt_ts"),
+        ts.cast(DateType).as("c_ts_dt"),
+        date_format(ts, "yyyy-MM-dd HH:mm:ss").as("c_ts_str"),
+        dt.cast(StringType).cast(DateType).as("c_str_dt"),
+        unix_timestamp(ts).as("c_ts_epoch"),
+        datediff(dt, lit("1970-01-01").cast(DateType))
+          .cast(IntegerType).as("c_dt_days"),
+        // numeric cross-casts
+        least(greatest(i.cast(LongType), lit(-99999L)), lit(99999L))
+          .cast(DecimalType(7, 2)).as("c_i_dec72"),
+        de.cast(DoubleType).as("c_de_db"),
+        db.cast(DecimalType(18, 4)).as("c_db_dec4"),
+        (bi % 2 === 1).as("c_bool"),
+        (bi % 2 === 1).cast(IntegerType).as("c_bool_i")))
+      // sortAll — see q_type_matrix_num
     })
   )
 
@@ -748,6 +802,39 @@ object TypeMatrixQueries {
         |  ties AS (PARTITION BY pk ORDER BY sd),
         |  rangedw AS (PARTITION BY pk ORDER BY days
         |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
-        |ORDER BY ALL NULLS FIRST""".stripMargin
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_type_matrix_castmx" ->
+      """WITH b AS (SELECT l_orderkey AS k1, CAST(l_linenumber AS INT) AS k2,
+        |  l_orderkey AS bi,
+        |  CAST(l_partkey % 100000 AS BIGINT) AS i,
+        |  CAST(l_extendedprice AS DECIMAL(18,2)) AS de,
+        |  l_discount AS db,
+        |  CAST(l_shipdate AS DATE) AS dt,
+        |  date_trunc('second', l_shipdate) AS ts,
+        |  CAST(l_orderkey AS VARCHAR) AS st
+        |  FROM lineitem)
+        |SELECT k1, k2,
+        |  st AS c_bi_str,
+        |  CAST(de AS VARCHAR) AS c_de_str,
+        |  CAST(st AS BIGINT) AS c_str_bi,
+        |  CAST('  ' || st || ' ' AS DOUBLE) AS c_strsp_db,
+        |  COALESCE(NULLIF(regexp_extract(st || 'kg', '^\s*[+-]?[0-9]+', 0), '')::BIGINT, 0)
+        |    AS c_lenient,
+        |  CAST(CASE WHEN db >= 0 THEN floor(db * 100 + 0.5)
+        |       ELSE -floor(-db * 100 + 0.5) END AS BIGINT) AS c_db_round_bi,
+        |  CAST(dt AS VARCHAR) AS c_dt_str,
+        |  CAST(dt AS TIMESTAMP) AS c_dt_ts,
+        |  CAST(ts AS DATE) AS c_ts_dt,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS c_ts_str,
+        |  CAST(CAST(dt AS VARCHAR) AS DATE) AS c_str_dt,
+        |  CAST(epoch(ts) AS BIGINT) AS c_ts_epoch,
+        |  CAST(dt - DATE '1970-01-01' AS INT) AS c_dt_days,
+        |  CAST(least(greatest(i, -99999), 99999) AS DECIMAL(7,2)) AS c_i_dec72,
+        |  CAST(de AS DOUBLE) AS c_de_db,
+        |  CAST(db AS DECIMAL(18,4)) AS c_db_dec4,
+        |  (bi % 2 = 1) AS c_bool,
+        |  CAST(bi % 2 = 1 AS INT) AS c_bool_i
+        |FROM b ORDER BY ALL NULLS FIRST""".stripMargin
   )
 }

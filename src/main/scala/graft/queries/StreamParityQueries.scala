@@ -1,7 +1,10 @@
 package graft.queries
 
-import java.nio.file.Files
+import java.nio.file.{Files, Path}
+import java.nio.file.attribute.FileTime
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import graft.dml.{IncrementalRollup, VersionedTable}
 import graft.streaming.StreamingOps
 
@@ -24,6 +27,43 @@ import graft.streaming.StreamingOps
   */
 object StreamParityQueries {
   import Q._
+
+  /** Stage `df` as numbered single-file parquet slices in `watch`,
+    * with strictly increasing (pinned-literal) modification times so
+    * the file stream source's (mtime, path) ordering consumes them in
+    * exactly this sequence — the determinism the event-time rows need:
+    * slices are ts-ordered, so the watermark (computed from batch
+    * N−1's max) never passes an unprocessed event and nothing is
+    * dropped as late. */
+  private def stageSlices(root: Path, watch: Path, slices: Seq[DataFrame]): Unit = {
+    import scala.jdk.CollectionConverters._
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val stage = root.resolve(s"stage$i")
+      df.coalesce(1).write.parquet(stage.toString)
+      val part = Files.list(stage).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq.head
+      val dst = watch.resolve(f"slice_$i%02d.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1704067200000L + i * 60000L))
+    }
+  }
+
+  /** Four contiguous, ts-ordered slices of `ev` (epoch-second split of
+    * [min, max] into equal quarters — disjoint and complete), so each
+    * micro-batch is strictly later than the previous one. */
+  private def tsSlices(ev: DataFrame, minE: Long, maxE: Long): Seq[DataFrame] = {
+    val q = (maxE - minE) / 4 + 1
+    (0 until 4).map { i =>
+      ev.filter(unix_timestamp(col("ts"))
+        .between(minE + i * q, minE + (i + 1) * q - 1))
+    }
+  }
+
+  private def minMaxEpoch(ev: DataFrame): (Long, Long) = {
+    val r = ev.agg(min(unix_timestamp(col("ts"))),
+      max(unix_timestamp(col("ts")))).head
+    (r.getLong(0), r.getLong(1))
+  }
 
   val queries: Map[String, QFn] = Map(
     "q_stream_upsert_parity_v2" -> ((s, dir) => {
@@ -59,6 +99,84 @@ object StreamParityQueries {
           (col("_sum_o_totalprice").cast("double") / col("_cnt"))
             .as("avg_price"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    "q_stream_window_parity" -> ((s, dir) => {
+      // Watermarked event-time tumbling windows (§2.10's canonical
+      // aggregate) through a REAL multi-batch run, hash-compared
+      // against the batch answer: four ts-ordered slices arrive one
+      // file per trigger, the 1-hour watermark advances monotonically
+      // behind them (nothing is ever late), and a sentinel event 3 h
+      // past the corpus pushes the final watermark beyond every real
+      // window end so append mode flushes ALL windows (AvailableNow's
+      // closing no-data batch performs the eviction). The sentinel's
+      // own window stays unflushed by construction — the output filter
+      // is belt-and-braces. Exact totals via the DECIMAL(18,2) sum.
+      val root = Files.createTempDirectory("graft_stream_winpar")
+      val watch = root.resolve("incoming"); Files.createDirectories(watch)
+      val ev = t(s, dir, "events").select(col("ts"), col("event_type"), col("value"))
+      val (minE, maxE) = minMaxEpoch(ev)
+      val sentinel = s.sql(
+        s"SELECT timestamp_seconds(${maxE + 10800}) AS ts, " +
+          "'__hwm__' AS event_type, CAST(0 AS DOUBLE) AS value")
+      stageSlices(root, watch, tsSlices(ev, minE, maxE) :+ sentinel)
+      val src = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch.toString)
+      src.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sv"))
+        .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+          col("event_type"), col("n"), d(col("sv")).as("total"))
+        .writeStream.format("parquet")
+        .option("path", root.resolve("out").toString)
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(root.resolve("out").toString)
+        .filter(col("event_type") =!= "__hwm__")
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
+    "q_stream_join_parity" -> ((s, dir) => {
+      // STREAM-STREAM interval join parity: view→purchase attribution
+      // within 30 minutes (`StreamingOps.attributionJoin`) over two
+      // file streams batched in ts-aligned slices, against DuckDB's
+      // batch interval join. Inner pairs emit eagerly in the batch
+      // where the later side arrives, so no sentinel is needed; the
+      // 1-hour watermark exceeds the 30-minute horizon, so a view's
+      // state provably outlives every conversion that can still match
+      // it (eviction bound view_ts + 30 min < watermark), making the
+      // emitted SET independent of the batching. This certifies both
+      // sides' state retention + the derived eviction horizon — the
+      // unbounded-join guard a 100 TB stream relies on.
+      val root = Files.createTempDirectory("graft_stream_joinpar")
+      val watchV = root.resolve("views"); val watchC = root.resolve("convs")
+      Files.createDirectories(watchV); Files.createDirectories(watchC)
+      val ev = t(s, dir, "events").select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      val (minE, maxE) = minMaxEpoch(ev)
+      val views = ev.filter(col("event_type") === "view")
+      val convs = ev.filter(col("event_type") === "purchase")
+      stageSlices(root.resolve("stv"), watchV, tsSlices(views, minE, maxE))
+      stageSlices(root.resolve("stc"), watchC, tsSlices(convs, minE, maxE))
+      val srcV = s.readStream.schema(views.schema)
+        .option("maxFilesPerTrigger", 1).parquet(watchV.toString)
+      val srcC = s.readStream.schema(convs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(watchC.toString)
+      StreamingOps.attributionJoin(srcV, srcC, watermark = "1 hour",
+          horizonMinutes = 30)
+        .writeStream.format("parquet")
+        .option("path", root.resolve("out").toString)
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(root.resolve("out").toString)
+        .select(col("user_id"), col("view_id"), col("conv_id"),
+          col("view_ts").cast("timestamp_ntz").as("view_ts"),
+          col("conv_ts").cast("timestamp_ntz").as("conv_ts"), col("value"))
+        .orderBy(col("user_id"), col("view_id"), col("conv_id"))
     })
   )
 
@@ -76,6 +194,30 @@ object StreamParityQueries {
         |SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
-        |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the batch answer from first principles: every event keyed to its
+    // 15-minute bucket (hour trunc + quarter offset — identical to
+    // Spark's epoch-aligned window()), exact DECIMAL totals
+    "q_stream_window_parity" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |b AS (SELECT event_type, value,
+        |    date_trunc('hour', ts) + INTERVAL 15 MINUTE * CAST(floor(minute(ts)/15) AS INT) AS w_start
+        |  FROM e)
+        |SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM b GROUP BY w_start, event_type
+        |ORDER BY w_start, event_type""".stripMargin,
+
+    // the batch interval join the streaming pipeline must reproduce
+    "q_stream_join_parity" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
+        |v AS (SELECT user_id, ts AS view_ts, event_id AS view_id FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id AS c_user, ts AS conv_ts, event_id AS conv_id, value FROM e
+        |      WHERE event_type = 'purchase')
+        |SELECT v.user_id, v.view_id, c.conv_id, v.view_ts, c.conv_ts, c.value
+        |FROM v JOIN c ON c.c_user = v.user_id AND c.conv_ts >= v.view_ts
+        |  AND c.conv_ts <= v.view_ts + INTERVAL 30 MINUTE
+        |ORDER BY user_id, view_id, conv_id""".stripMargin
   )
 }

@@ -106,6 +106,30 @@ object CatalogQueries {
           r.shuffle_bytes > 0, r.duration_ms >= 0 && r.error.isEmpty)
       }.toDF("name", "scan_rows", "files_ok", "bytes_ok", "shuffled", "ok")
         .orderBy(col("name"))
+    }),
+
+    // ANALYZE statistics surface (`plans/Analyze.scala`; reference
+    // `utils/common/statistics.h` StatisticsManager → rowestimator):
+    // compute catalog column statistics on the scale-invariant nation
+    // table and read back what the CBO will see. NDV comes from
+    // Spark's HLL++ — exact at 25/5 distinct values — and the oracle
+    // RECOMPUTES ndv/min/max/nulls from the data (string min/max is
+    // not collected by Spark → pinned 'NULL', matching DESCRIBE's
+    // rendering). Certifies the whole loop: saveAsTable → ANALYZE →
+    // catalog stats readback.
+    "q_catalog_analyze" -> ((s, dir) => {
+      import graft.plans.Analyze
+      val cols = Seq("n_nationkey", "n_regionkey", "n_name")
+      val tbl = Analyze.analyzed(s, Q.t(s, dir, "nation"),
+        "graft_analyze_nation", cols)
+      import s.implicits._
+      cols.sorted.map { c =>
+        val m = Analyze.columnStats(s, tbl, c)
+        def k(key: String) = m.getOrElse(key, "NULL")
+        (c, k("distinct_count").trim.toLong, k("min"), k("max"),
+          k("num_nulls").trim.toLong)
+      }.toDF("column", "ndv", "min_v", "max_v", "nulls")
+        .orderBy(col("column"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -159,6 +183,22 @@ object CatalogQueries {
         |  ('qs_region_count', CAST(5 AS BIGINT), TRUE, TRUE, FALSE, TRUE))
         |  t(name, scan_rows, files_ok, bytes_ok, shuffled, ok)
         |ORDER BY name""".stripMargin,
+
+    // ndv/min/max/nulls recomputed from the data; Spark collects no
+    // min/max for strings → DESCRIBE renders 'NULL' (pinned)
+    "q_catalog_analyze" ->
+      """SELECT 'n_name' AS "column", CAST(count(DISTINCT n_name) AS BIGINT) AS ndv,
+        |  'NULL' AS min_v, 'NULL' AS max_v,
+        |  CAST(count(*) - count(n_name) AS BIGINT) AS nulls FROM nation
+        |UNION ALL
+        |SELECT 'n_nationkey', CAST(count(DISTINCT n_nationkey) AS BIGINT),
+        |  CAST(min(n_nationkey) AS VARCHAR), CAST(max(n_nationkey) AS VARCHAR),
+        |  CAST(count(*) - count(n_nationkey) AS BIGINT) FROM nation
+        |UNION ALL
+        |SELECT 'n_regionkey', CAST(count(DISTINCT n_regionkey) AS BIGINT),
+        |  CAST(min(n_regionkey) AS VARCHAR), CAST(max(n_regionkey) AS VARCHAR),
+        |  CAST(count(*) - count(n_regionkey) AS BIGINT) FROM nation
+        |ORDER BY "column"""".stripMargin,
 
     "q_catalog_files" ->
       s"""SELECT regexp_extract(file_name, '([^/]+)[.]parquet$$', 1) AS table_name,

@@ -27,7 +27,10 @@ object SketchQueries {
       //  - HLL lgConfigK=12 → rsd ≈ 1.04/√4096 ≈ 1.6%; 5% is > 3σ
       //  - approx_count_distinct default rsd 5%; gate at 15% (3σ)
       //  - GK accuracy 1000 → rank error ≤ n/1000; p50_approx must
-      //    land between the exact 0.47 and 0.53 discrete quantiles
+      //    land between the EXACT 0.47 and 0.53 quantiles (Spark's
+      //    exact `percentile`, interpolation shift ≪ the 3% rank
+      //    slack — NOT a high-accuracy approx sketch, whose buffer is
+      //    O(accuracy) memory and dominated this query's runtime)
       val li = t(s, dir, "lineitem")
       val perFlag = li.groupBy(col("l_returnflag"))
         .agg(hll_sketch_agg(col("l_partkey")).as("sk"),
@@ -35,8 +38,7 @@ object SketchQueries {
           percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("p50_approx"),
           count_distinct(col("l_partkey")).as("exact_parts"),
           count_distinct(col("l_suppkey")).as("exact_supp"),
-          percentile_approx(col("l_quantity"),
-            array(lit(0.47), lit(0.53)), lit(10000000)).as("qex"),
+          percentile(col("l_quantity"), array(lit(0.47), lit(0.53))).as("qex"),
           count(lit(1)).as("n"))
       val overall = perFlag.agg(
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_total"))

@@ -65,6 +65,20 @@ object StreamParityQueries {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** Run `body` with a small shuffle-partition count. Streaming state
+    * stores are created one per shuffle partition and each commits a
+    * delta file EVERY micro-batch — at gate scale, 32 partitions × a
+    * handful of batches × both join sides is pure checkpoint-IO
+    * overhead for kilobytes of state (the stream-stream join ran 3×
+    * slower under 32). On a real cluster the inverse applies: size
+    * shuffle partitions to the stream's state, not to this harness. */
+  private def withFewPartitions[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try body finally s.conf.set(key, prev)
+  }
+
   val queries: Map[String, QFn] = Map(
     "q_stream_upsert_parity_v2" -> ((s, dir) => {
       // _v2: the avg column changed from round(…,6) to the unrounded
@@ -120,19 +134,21 @@ object StreamParityQueries {
         s"SELECT timestamp_seconds(${maxE + 10800}) AS ts, " +
           "'__hwm__' AS event_type, CAST(0 AS DOUBLE) AS value")
       stageSlices(root, watch, tsSlices(ev, minE, maxE) :+ sentinel)
-      val src = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1).parquet(watch.toString)
-      src.withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sv"))
-        .select(col("window.start").cast("timestamp_ntz").as("w_start"),
-          col("event_type"), col("n"), d(col("sv")).as("total"))
-        .writeStream.format("parquet")
-        .option("path", root.resolve("out").toString)
-        .option("checkpointLocation", root.resolve("ckpt").toString)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start().awaitTermination()
+      withFewPartitions(s) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(watch.toString)
+        src.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sv"))
+          .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+            col("event_type"), col("n"), d(col("sv")).as("total"))
+          .writeStream.format("parquet")
+          .option("path", root.resolve("out").toString)
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
       s.read.parquet(root.resolve("out").toString)
         .filter(col("event_type") =!= "__hwm__")
         .orderBy(col("w_start"), col("event_type"))
@@ -160,18 +176,20 @@ object StreamParityQueries {
       val convs = ev.filter(col("event_type") === "purchase")
       stageSlices(root.resolve("stv"), watchV, tsSlices(views, minE, maxE))
       stageSlices(root.resolve("stc"), watchC, tsSlices(convs, minE, maxE))
-      val srcV = s.readStream.schema(views.schema)
-        .option("maxFilesPerTrigger", 1).parquet(watchV.toString)
-      val srcC = s.readStream.schema(convs.schema)
-        .option("maxFilesPerTrigger", 1).parquet(watchC.toString)
-      StreamingOps.attributionJoin(srcV, srcC, watermark = "1 hour",
-          horizonMinutes = 30)
-        .writeStream.format("parquet")
-        .option("path", root.resolve("out").toString)
-        .option("checkpointLocation", root.resolve("ckpt").toString)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start().awaitTermination()
+      withFewPartitions(s) {
+        val srcV = s.readStream.schema(views.schema)
+          .option("maxFilesPerTrigger", 1).parquet(watchV.toString)
+        val srcC = s.readStream.schema(convs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(watchC.toString)
+        StreamingOps.attributionJoin(srcV, srcC, watermark = "1 hour",
+            horizonMinutes = 30)
+          .writeStream.format("parquet")
+          .option("path", root.resolve("out").toString)
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
       s.read.parquet(root.resolve("out").toString)
         .select(col("user_id"), col("view_id"), col("conv_id"),
           col("view_ts").cast("timestamp_ntz").as("view_ts"),

@@ -504,6 +504,46 @@ object TypeMatrixQueries {
         (bi % 2 === 1).as("c_bool"),
         (bi % 2 === 1).cast(IntegerType).as("c_bool_i")))
       // sortAll — see q_type_matrix_num
+    }),
+
+    // Polymorphic conditional/comparison battery: GREATEST / LEAST /
+    // COALESCE / NULLIF / IF / CASE applied per TYPE over every
+    // lineitem row (reference `func_greatest.cpp`, `func_if.cpp`,
+    // `func_ifnull.cpp`, `func_case.cpp` — the autopilot crosses each
+    // with every column type; here each type family gets a cell).
+    // Engine-divergence guard: Spark's GREATEST/LEAST skip NULLs while
+    // MySQL returns NULL — all GREATEST/LEAST args here are non-null
+    // columns (NULL routing is tested via NULLIF/COALESCE, whose
+    // semantics the engines share), and cross-type coercion is spelled
+    // as explicit casts so no implicit promotion rule is trusted.
+    "q_type_matrix_poly" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ln = col("l_linenumber").cast(LongType)
+      val dt = col("l_shipdate").cast(DateType)
+      val de = dec(col("l_extendedprice"))
+      sortAll(li.select(
+        col("l_orderkey").as("k1"), col("l_linenumber").cast("int").as("k2"),
+        greatest(col("l_partkey") % 97, col("l_suppkey") % 97, ln).as("p_great_i"),
+        least(col("l_partkey") % 97, col("l_suppkey") % 97, ln).as("p_least_i"),
+        greatest(de, dec(col("l_quantity") * 100), dec(col("l_discount") * 10000))
+          .as("p_great_de"),
+        least(d(de), col("l_quantity") * 100, col("l_tax") * 10000).as("p_least_db"),
+        greatest(col("l_returnflag"), col("l_linestatus")).as("p_great_str"),
+        greatest(dt, date_add(dt, col("l_linenumber")), add_months(dt, -1))
+          .as("p_great_dt"),
+        least(dt, date_add(dt, col("l_linenumber")), add_months(dt, -1))
+          .as("p_least_dt"),
+        coalesce(nullif(col("l_returnflag"), lit("N")),
+          nullif(col("l_linestatus"), lit("O")), lit("Z")).as("p_coalesce"),
+        nullif(col("l_linenumber").cast(IntegerType), lit(3)).as("p_nullif"),
+        when(col("l_quantity") > 25, lit("H")).otherwise(lit("L")).as("p_if"),
+        when(col("l_linenumber") % 3 === 0, lit("a"))
+          .when(col("l_linenumber") % 3 === 1, lit("b"))
+          .otherwise(lit("c")).as("p_case"),
+        coalesce(nullif(col("l_partkey") % 5, lit(0L)), lit(-1L)).as("p_ifnull"),
+        when(col("l_discount") > 0.05, de).otherwise(dec(lit(0))).as("p_if_de"),
+        when(month(dt) <= 6, dt).otherwise(add_months(dt, -6)).as("p_case_dt")))
+      // sortAll — see q_type_matrix_num
     })
   )
 
@@ -835,6 +875,40 @@ object TypeMatrixQueries {
         |  CAST(db AS DECIMAL(18,4)) AS c_db_dec4,
         |  (bi % 2 = 1) AS c_bool,
         |  CAST(bi % 2 = 1 AS INT) AS c_bool_i
+        |FROM b ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // month arithmetic: Spark add_months and DuckDB date ± INTERVAL n
+    // MONTH both clamp to month end — equivalent by construction; the
+    // DuckDB result is CAST back to DATE (its interval math widens to
+    // TIMESTAMP)
+    "q_type_matrix_poly" ->
+      """WITH b AS (SELECT l_orderkey AS k1, CAST(l_linenumber AS INT) AS k2,
+        |  l_partkey % 97 AS pm, l_suppkey % 97 AS sm,
+        |  CAST(l_linenumber AS BIGINT) AS ln,
+        |  CAST(l_extendedprice AS DECIMAL(18,2)) AS de,
+        |  CAST(l_quantity * 100 AS DECIMAL(18,2)) AS q100,
+        |  CAST(l_discount * 10000 AS DECIMAL(18,2)) AS d10k,
+        |  l_quantity, l_discount, l_tax, l_returnflag, l_linestatus,
+        |  l_linenumber, l_partkey,
+        |  CAST(l_shipdate AS DATE) AS dt
+        |  FROM lineitem)
+        |SELECT k1, k2,
+        |  greatest(pm, sm, ln) AS p_great_i,
+        |  least(pm, sm, ln) AS p_least_i,
+        |  CAST(greatest(de, q100, d10k) AS DECIMAL(18,2)) AS p_great_de,
+        |  least(CAST(de AS DOUBLE), l_quantity * 100, l_tax * 10000) AS p_least_db,
+        |  greatest(l_returnflag, l_linestatus) AS p_great_str,
+        |  greatest(dt, dt + l_linenumber, CAST(dt - INTERVAL 1 MONTH AS DATE)) AS p_great_dt,
+        |  least(dt, dt + l_linenumber, CAST(dt - INTERVAL 1 MONTH AS DATE)) AS p_least_dt,
+        |  coalesce(nullif(l_returnflag, 'N'), nullif(l_linestatus, 'O'), 'Z') AS p_coalesce,
+        |  nullif(CAST(l_linenumber AS INT), 3) AS p_nullif,
+        |  CASE WHEN l_quantity > 25 THEN 'H' ELSE 'L' END AS p_if,
+        |  CASE WHEN l_linenumber % 3 = 0 THEN 'a'
+        |       WHEN l_linenumber % 3 = 1 THEN 'b' ELSE 'c' END AS p_case,
+        |  coalesce(nullif(l_partkey % 5, 0), -1) AS p_ifnull,
+        |  CASE WHEN l_discount > 0.05 THEN de ELSE CAST(0 AS DECIMAL(18,2)) END AS p_if_de,
+        |  CASE WHEN month(dt) <= 6 THEN dt
+        |       ELSE CAST(dt - INTERVAL 6 MONTH AS DATE) END AS p_case_dt
         |FROM b ORDER BY ALL NULLS FIRST""".stripMargin
   )
 }

@@ -64,7 +64,8 @@ class PlanGuardSpec extends SparkSpec {
   test("row-level matrix/json_table queries shuffle only for the gate sort") {
     val rowLevel = Seq("q_type_matrix_num_v2", "q_type_matrix_datestr",
       "q_type_matrix_null_v2", "q_type_matrix_stredge", "q_type_matrix_dtedge_v2",
-      "q_type_matrix_decedge_v2", "q_type_matrix_castmx", "q_json_table")
+      "q_type_matrix_decedge_v2", "q_type_matrix_castmx", "q_type_matrix_poly",
+      "q_json_table")
     val offenders = rowLevel.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString

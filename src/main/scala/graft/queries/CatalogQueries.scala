@@ -130,6 +130,38 @@ object CatalogQueries {
           k("num_nulls").trim.toLong)
       }.toDF("column", "ndv", "min_v", "max_v", "nulls")
         .orderBy(col("column"))
+    }),
+
+    // Bucketed co-located join (`plans/Bucketing.scala`; the analog of
+    // the reference routing rows to PMs by key so PM-side joins probe
+    // locally): both sides bucketed on the join key, broadcast
+    // disabled so nothing can hide a shuffle, and the plan-level
+    // guarantee — the join ran WITHOUT any hash exchange — faces the
+    // gate as a pinned-TRUE column next to the value-checked join
+    // result. At 100 TB this is the difference between a full network
+    // shuffle of the fact table and purely local hash work.
+    "q_layout_bucketjoin" -> ((s, dir) => {
+      import graft.plans.Bucketing
+      val key = "spark.sql.autoBroadcastJoinThreshold"
+      val prev = s.conf.get(key)
+      s.conf.set(key, "-1")
+      try {
+        Bucketing.writeBucketed(
+          Q.t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")),
+          "graft_bkt_orders", "o_orderkey", 8)
+        Bucketing.writeBucketed(
+          Q.t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice")),
+          "graft_bkt_lineitem", "l_orderkey", 8)
+        val j = Bucketing.table(s, "graft_bkt_lineitem")
+          .join(Bucketing.table(s, "graft_bkt_orders"),
+            col("l_orderkey") === col("o_orderkey"))
+        val free = Bucketing.isShuffleFree(j)
+        j.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            Q.sumDec(col("l_extendedprice")).as("rev"))
+          .withColumn("join_shuffle_free", lit(free))
+          .orderBy(col("o_orderstatus"))
+      } finally s.conf.set(key, prev)
     }))
 
   def oracle: Map[String, String] = Map(
@@ -199,6 +231,16 @@ object CatalogQueries {
         |  CAST(min(n_regionkey) AS VARCHAR), CAST(max(n_regionkey) AS VARCHAR),
         |  CAST(count(*) - count(n_regionkey) AS BIGINT) FROM nation
         |ORDER BY "column"""".stripMargin,
+
+    // the join values recomputed from the raw tables; the plan-shape
+    // guarantee (no exchange under bucketing) is pinned TRUE
+    "q_layout_bucketjoin" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+        |  TRUE AS join_shuffle_free
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "q_catalog_files" ->
       s"""SELECT regexp_extract(file_name, '([^/]+)[.]parquet$$', 1) AS table_name,

@@ -156,6 +156,41 @@ object MiscQueries2 {
     // (crc32, soundex) face the gate as literal-pinned oracle columns
     // (the q_catalog_querystats fixed-table discipline), while FIELD /
     // MAKE_SET / FORMAT are recomputed genuinely on the oracle side.
+    // WITH RECURSIVE — the MariaDB front end the reference runs under
+    // supports recursive CTEs (server-side feature the engine must
+    // execute); Spark 4 plans them natively (UnionLoop). The canonical
+    // time-series use: generate the calendar spine, LEFT JOIN the
+    // daily rollup, gap-fill with zeros — the resample-regularize
+    // pattern expressed in pure SQL. The events corpus spans the
+    // fixed Jan 2024 calendar at every scale factor.
+    "q_cte_recursive" -> ((s, dir) => {
+      Q.sql(s, dir,
+        """WITH RECURSIVE days(day) AS (
+          |  SELECT DATE '2024-01-01'
+          |  UNION ALL SELECT date_add(day, 1) FROM days WHERE day < DATE '2024-01-30'
+          |),
+          |d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+          |        SUM(CAST(value AS DECIMAL(18,2))) AS x
+          |      FROM events GROUP BY 1)
+          |SELECT days.day, coalesce(d.n, 0) AS n,
+          |  CAST(coalesce(d.x, 0) AS DOUBLE) AS total
+          |FROM days LEFT JOIN d ON days.day = d.day
+          |ORDER BY days.day""".stripMargin)
+    }),
+    // Parameterized SQL — the prepared-statement surface (the
+    // reference serves binary-protocol PREPARE/EXECUTE through the
+    // MariaDB front end): named parameters bound server-side, never
+    // string-spliced. Same plan cache + injection safety story at any
+    // scale.
+    "q_param_query" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders WHERE o_orderkey % :m = 0 AND o_orderstatus <> :excl
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+        Map("m" -> 3, "excl" -> "X"))
+    }),
     "q_fn_misc3" -> ((s, dir) => {
       val n = t(s, dir, "nation")
       val r = t(s, dir, "region")
@@ -286,6 +321,26 @@ object MiscQueries2 {
         |        FROM customer WHERE c_custkey < 500)
         |  GROUP BY 1)
         |ORDER BY ci_rank""".stripMargin,
+    "q_cte_recursive" ->
+      """WITH RECURSIVE days(day) AS (
+        |  SELECT DATE '2024-01-01'
+        |  UNION ALL SELECT day + 1 FROM days WHERE day < DATE '2024-01-30'
+        |),
+        |d AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |        CAST(count(*) AS BIGINT) AS n,
+        |        SUM(CAST(value AS DECIMAL(18,2))) AS x
+        |      FROM events GROUP BY 1)
+        |SELECT days.day, coalesce(d.n, 0) AS n,
+        |  CAST(coalesce(d.x, 0) AS DOUBLE) AS total
+        |FROM days LEFT JOIN d ON days.day = d.day
+        |ORDER BY days.day""".stripMargin,
+    // the oracle binds the same parameter VALUES inline — what a
+    // server-side EXECUTE resolves to
+    "q_param_query" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderstatus <> 'X'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // crc32 over the 25 fixed nation names and soundex over the 5
     // fixed region names are literal-pinned (zlib CRC-32 / US-census
     // soundex recomputed offline; the tables are scale-invariant);

@@ -18,7 +18,9 @@ object DmlQueries {
     // CoW DML mix + incremental rollup maintenance. The view refreshes
     // from version deltas after EVERY transaction; the oracle computes
     // the final rollup directly — equality proves the deltas composed.
-    "q_rollup_incremental" -> ((s, dir) => {
+    "q_rollup_incremental" -> ((s, dir) => Q.withShufflePartitions(s, 8) {
+      // scoped 8 shuffle partitions: 7 small Spark jobs over kilobyte
+      // CDC deltas — see Q.withShufflePartitions
       val root = Files.createTempDirectory("graft_rollup_q").toString
       val base = t(s, dir, "lineitem")
         .where(col("l_orderkey") % 4 === 1) // deterministic quarter —
@@ -50,7 +52,9 @@ object DmlQueries {
     // principles — a hash match proves the signed deltas composed
     // through the join exactly (inserts, deletes, updates, and
     // multiset duplicate rows included).
-    "q_mv_join_delta" -> ((s, dir) => {
+    "q_mv_join_delta" -> ((s, dir) => Q.withShufflePartitions(s, 8) {
+      // scoped 8 shuffle partitions: 9 small Spark jobs over the
+      // delta-join legs — see Q.withShufflePartitions
       val root = Files.createTempDirectory("graft_mvjoin_q").toString
       val orders = t(s, dir, "orders")
       val items = t(s, dir, "lineitem")

@@ -32,6 +32,21 @@ object Q {
   /** Exact average (decimal sum / count) as double. */
   def avgDec(c: Column): Column = d(sum(dec(c))) / count(lit(1))
 
+  /** Run `body` under a scoped shuffle-partition count (restored
+    * after). For gate queries that execute MANY small Spark jobs —
+    * DML transactions over kilobyte deltas, micro-batched streams,
+    * incremental-view refreshes — 32 partitions of near-empty
+    * shuffles is pure task/commit overhead; 8 cuts it ~3× with
+    * identical results (every gated output carries a total order).
+    * Production sizing is the inverse concern: partitions ∝ data,
+    * see docs/MEMORY.md. */
+  def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Run SQL with all the tables of `dir` registered as views. */
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
     graft.Tables.registerAll(spark, dir)

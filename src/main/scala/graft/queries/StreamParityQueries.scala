@@ -65,22 +65,20 @@ object StreamParityQueries {
     (r.getLong(0), r.getLong(1))
   }
 
-  /** Run `body` with a small shuffle-partition count. Streaming state
-    * stores are created one per shuffle partition and each commits a
-    * delta file EVERY micro-batch — at gate scale, 32 partitions × a
-    * handful of batches × both join sides is pure checkpoint-IO
-    * overhead for kilobytes of state (the stream-stream join ran 3×
-    * slower under 32). On a real cluster the inverse applies: size
-    * shuffle partitions to the stream's state, not to this harness. */
-  private def withFewPartitions[A](s: SparkSession)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, "8")
-    try body finally s.conf.set(key, prev)
-  }
+  /** Streaming state stores are created one per shuffle partition and
+    * each commits a delta file EVERY micro-batch — at gate scale, 32
+    * partitions × a handful of batches × both join sides is pure
+    * checkpoint-IO overhead for kilobytes of state (the stream-stream
+    * join ran 3× slower under 32). On a real cluster the inverse
+    * applies: size shuffle partitions to the stream's state, not to
+    * this harness. */
+  private def withFewPartitions[A](s: SparkSession)(body: => A): A =
+    Q.withShufflePartitions(s, 8)(body)
 
   val queries: Map[String, QFn] = Map(
-    "q_stream_upsert_parity_v2" -> ((s, dir) => {
+    "q_stream_upsert_parity_v2" -> ((s, dir) => withFewPartitions(s) {
+      // scoped 8 shuffle partitions: 4 micro-batch merges + rollup
+      // refreshes over kilobyte deltas — see Q.withShufflePartitions
       // _v2: the avg column changed from round(…,6) to the unrounded
       // quotient (below) — a changed oracle result under the r9-
       // diagnosed per-NAME oracle-hash cache needs a fresh cache key.

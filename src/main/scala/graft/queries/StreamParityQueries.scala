@@ -40,8 +40,11 @@ object StreamParityQueries {
     slices.zipWithIndex.foreach { case (df, i) =>
       val stage = root.resolve(s"stage$i")
       df.coalesce(1).write.parquet(stage.toString)
-      val part = Files.list(stage).iterator().asScala
-        .filter(_.toString.endsWith(".parquet")).toSeq.head
+      val listing = Files.list(stage)
+      val part =
+        try listing.iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq.head
+        finally listing.close()
       val dst = watch.resolve(f"slice_$i%02d.parquet")
       Files.move(part, dst)
       Files.setLastModifiedTime(dst, FileTime.fromMillis(1704067200000L + i * 60000L))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.sources.InfoSchema
 
@@ -162,6 +163,80 @@ object CatalogQueries {
           .withColumn("join_shuffle_free", lit(free))
           .orderBy(col("o_orderstatus"))
       } finally s.conf.set(key, prev)
+    }),
+
+    // ALTER TABLE schema evolution (`sources/Catalog.scala`; reference
+    // `dbcon/ddlpackage/ddl.y` ALTER grammar executed by ddlproc):
+    // ADD COLUMN then DROP COLUMN as pure metadata over two file
+    // generations — gen-1 files lack the added column (read as NULL),
+    // gen-2 files carry it; after the DROP, BOTH generations project
+    // the dropped column away at scan time. O(metadata) at any table
+    // size; the oracle rebuilds both phases from the raw tables.
+    "q_catalog_evolution" -> ((s, dir) => {
+      import graft.sources.Catalog
+      val wh = Files.createTempDirectory("graft_evo_q").toString
+      val cat = new Catalog(wh, s)
+      cat.createTable("evo", "n_nationkey BIGINT, n_name VARCHAR(30)")
+      Q.t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        .write.mode("append").parquet(cat.tableLocation("evo"))
+      cat.addColumn("evo", "score DOUBLE")
+      Q.t(s, dir, "region")
+        .select((col("r_regionkey") + 100).as("n_nationkey"),
+          col("r_name").as("n_name"),
+          (col("r_regionkey") * 1.5).as("score"))
+        .write.mode("append").parquet(cat.tableLocation("evo"))
+      val merged = cat.load("evo") // schema captured BEFORE the drop
+      cat.dropColumn("evo", "n_name")
+      val dropped = cat.load("evo")
+      merged.select(lit("with_name").as("phase"), col("n_nationkey"),
+          col("n_name"), col("score"))
+        .unionByName(dropped.select(lit("dropped").as("phase"),
+          col("n_nationkey"), lit(null).cast("string").as("n_name"),
+          col("score")))
+        .orderBy(col("phase"), col("n_nationkey"))
+    }),
+
+    // Admission control (`plans/ResourceGovernor.scala`; the
+    // ResourceManager REFUSAL the reference can issue up front —
+    // docs/MEMORY.md "the one real divergence", closed with code):
+    // price a partition-pruned query vs the full scan from PLANNING
+    // metadata only, set the budget between the two, and certify at
+    // the gate that the pruned query ADMITS while the full scan is
+    // REFUSED before execution. Byte prices vary with scale factor,
+    // so the gate sees the decisions, not the prices.
+    "q_catalog_governor" -> ((s, dir) => {
+      import graft.plans.ResourceGovernor
+      val root = Files.createTempDirectory("graft_gov_q").toString
+      Q.t(s, dir, "events").withColumn("part", col("user_id") % 8)
+        .write.partitionBy("part").parquet(root.toString + "/evp")
+      val all = s.read.parquet(root.toString + "/evp")
+      def rollup(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val priceAll = ResourceGovernor.price(rollup(all))
+      val prunedDf = rollup(all.where(col("part") === 3))
+      val pricePruned = ResourceGovernor.price(prunedDf)
+      def refused(t: Throwable): Boolean = {
+        var c = t
+        while (c != null) {
+          if (c.isInstanceOf[ResourceGovernor.QueryRejectedException]) return true
+          c = c.getCause
+        }
+        false
+      }
+      val key = "spark.graft.admission.maxScanBytes"
+      s.conf.set(key, ((pricePruned + priceAll) / 2).toString)
+      val (prunedRows, fullRefused) =
+        try {
+          val n = prunedDf.collect().length
+          val r = try { rollup(all).collect(); false }
+            catch { case t: Throwable => refused(t) }
+          (n, r)
+        } finally s.conf.unset(key)
+      import s.implicits._
+      Seq(("admission", pricePruned > 0L, pricePruned < priceAll,
+        prunedRows > 0, fullRefused))
+        .toDF("check", "pruned_priced", "pruning_lowers_price",
+          "pruned_admits", "full_refused")
     }))
 
   def oracle: Map[String, String] = Map(
@@ -241,6 +316,23 @@ object CatalogQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    // both evolution phases rebuilt from the raw tables
+    "q_catalog_evolution" ->
+      """WITH g1 AS (SELECT n_nationkey, n_name, CAST(NULL AS DOUBLE) AS score FROM nation),
+        |g2 AS (SELECT r_regionkey + 100 AS n_nationkey, r_name AS n_name,
+        |         r_regionkey * 1.5 AS score FROM region),
+        |m AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+        |SELECT 'with_name' AS phase, n_nationkey, n_name, score FROM m
+        |UNION ALL
+        |SELECT 'dropped' AS phase, n_nationkey, CAST(NULL AS VARCHAR) AS n_name, score FROM m
+        |ORDER BY phase, n_nationkey""".stripMargin,
+
+    // the gate sees the admission DECISIONS (prices vary with sf)
+    "q_catalog_governor" ->
+      """SELECT 'admission' AS check, TRUE AS pruned_priced,
+        |  TRUE AS pruning_lowers_price, TRUE AS pruned_admits,
+        |  TRUE AS full_refused""".stripMargin,
 
     "q_catalog_files" ->
       s"""SELECT regexp_extract(file_name, '([^/]+)[.]parquet$$', 1) AS table_name,

@@ -156,31 +156,17 @@ object MiscQueries2 {
     // (crc32, soundex) face the gate as literal-pinned oracle columns
     // (the q_catalog_querystats fixed-table discipline), while FIELD /
     // MAKE_SET / FORMAT are recomputed genuinely on the oracle side.
-    // Table-generating functions (§2.11: the reference has NO UDTF —
-    // Spark's Generator surface is the declared superset): sequence()
-    // materializes a per-row array, posexplode lateral-views it into
-    // (pos, val) rows. DuckDB replays via range unnest with the
-    // position derived from the sequence's arithmetic.
-    "q_fn_generator" -> ((s, dir) => {
+    // POSITIONAL table-generating function (§2.11 — complements the
+    // value-only generator battery `q_fn_generator` in
+    // RelExtraQueries): posexplode LATERAL VIEW emits (pos, val)
+    // pairs. DuckDB replays via range unnest with the position
+    // derived from the sequence's arithmetic.
+    "q_fn_posexplode" -> ((s, dir) => {
       Q.sql(s, dir,
         """SELECT o_orderkey AS k, t.pos, t.val
           |FROM (SELECT o_orderkey FROM orders WHERE o_orderkey < 500) o
           |LATERAL VIEW posexplode(sequence(1, CAST(o_orderkey % 4 AS INT) + 1)) t AS pos, val
           |ORDER BY k, pos""".stripMargin)
-    }),
-    // Correlated LATERAL join (MariaDB 10.3+ LATERAL derived tables;
-    // decorrelated by Catalyst into a ranked join): top-2 lineitems
-    // per order by quantity — the canonical per-group-top-k spelled
-    // relationally instead of via a window.
-    "q_join_lateral" -> ((s, dir) => {
-      Q.sql(s, dir,
-        """SELECT o.o_orderkey, l.l_linenumber, l.l_quantity
-          |FROM (SELECT o_orderkey FROM orders WHERE o_orderkey < 2000) o
-          |JOIN LATERAL (
-          |  SELECT l_linenumber, l_quantity FROM lineitem
-          |  WHERE l_orderkey = o.o_orderkey
-          |  ORDER BY l_quantity DESC, l_linenumber LIMIT 2) l
-          |ORDER BY o_orderkey, l_linenumber""".stripMargin)
     }),
     // WITH RECURSIVE — the MariaDB front end the reference runs under
     // supports recursive CTEs (server-side feature the engine must
@@ -348,19 +334,11 @@ object MiscQueries2 {
         |  GROUP BY 1)
         |ORDER BY ci_rank""".stripMargin,
     // position derived from the sequence arithmetic (val = pos + 1)
-    "q_fn_generator" ->
+    "q_fn_posexplode" ->
       """SELECT o_orderkey AS k, CAST(u.val - 1 AS INT) AS pos, CAST(u.val AS INT) AS val
         |FROM (SELECT o_orderkey FROM orders WHERE o_orderkey < 500) o,
         |  unnest(range(1, o_orderkey % 4 + 2)) u(val)
         |ORDER BY k, pos""".stripMargin,
-    "q_join_lateral" ->
-      """SELECT o.o_orderkey, l.l_linenumber, l.l_quantity
-        |FROM (SELECT o_orderkey FROM orders WHERE o_orderkey < 2000) o
-        |JOIN LATERAL (
-        |  SELECT l_linenumber, l_quantity FROM lineitem
-        |  WHERE l_orderkey = o.o_orderkey
-        |  ORDER BY l_quantity DESC, l_linenumber LIMIT 2) l ON true
-        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
     "q_cte_recursive" ->
       """WITH RECURSIVE days(day) AS (
         |  SELECT DATE '2024-01-01'

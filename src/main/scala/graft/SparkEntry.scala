@@ -33,7 +33,7 @@ object SparkEntry {
     CatalogQueries.queries, ExtractionQueries.queries, DmlQueries.queries,
     SsbQueries.queries, JsonEdgeQueries.queries, EmbeddingQueries.queries,
     MmPhashQueries.queries, PartsuppQueries.queries,
-    StreamParityQueries.queries)
+    StreamParityQueries.queries, TypeMatrixGen.queries)
 
   private def oracleModules: Seq[Map[String, String]] = Seq(
     CoreQueries.oracle, WindowQueries.oracle, Dbt3Queries.oracle,
@@ -47,7 +47,7 @@ object SparkEntry {
     CatalogQueries.oracle, ExtractionQueries.oracle, DmlQueries.oracle,
     SsbQueries.oracle, JsonEdgeQueries.oracle, EmbeddingQueries.oracle,
     MmPhashQueries.oracle, PartsuppQueries.oracle,
-    StreamParityQueries.oracle)
+    StreamParityQueries.oracle, TypeMatrixGen.oracle)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     queryModules.iterator.flatten.toMap

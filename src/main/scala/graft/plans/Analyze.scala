@@ -28,14 +28,7 @@ object Analyze {
   def analyzed(spark: SparkSession, df: DataFrame, table: String,
       columns: Seq[String] = Seq.empty): String = {
     spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
-    // A managed-table LOCATION can outlive its catalog entry (the
-    // in-memory catalog dies with the session, the warehouse dir does
-    // not) — CREATE then refuses the orphaned path. Drop both.
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    Warehouse.dropWithLocation(spark, table) // catalog + orphaned location
     df.write.mode("overwrite").saveAsTable(table)
     spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
     val cols = if (columns.nonEmpty) columns else df.columns.toSeq

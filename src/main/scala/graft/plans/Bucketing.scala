@@ -18,20 +18,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write a DataFrame as a bucketed, bucket-sorted catalog table. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
-      mode: String = "overwrite"): Unit = {
-    // a managed-table LOCATION can outlive its catalog entry (the
-    // in-memory catalog dies with the session, the warehouse dir does
-    // not) — CREATE then refuses the orphaned path (same hazard as
-    // Analyze.analyzed)
-    val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-    df.write.mode(mode)
+  /** Write a DataFrame as a bucketed, bucket-sorted catalog table.
+    * Overwrite-only by design: the table and any orphaned location
+    * are dropped first (r10 ADVICE removed the `mode` parameter — an
+    * append mode after the unconditional drop would silently lose the
+    * existing data, and no caller ever appended). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit = {
+    Warehouse.dropWithLocation(df.sparkSession, table)
+    df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table) // managed: lives in spark.sql.warehouse.dir

@@ -38,10 +38,14 @@ object PartsuppQueries {
 
   private val sameSql: Map[String, String] = Map(
     // Q2 true shape: min-cost supplier in a region, correlated MIN
-    // over partsupp (ref dbt3 2.sql).
+    // over partsupp (ref dbt3 2.sql). ps_supplycost is string-rendered
+    // at the output boundary (identical full-scale form on both
+    // engines) per the gate's decimal discipline, COMPAT.md #34; the
+    // correlated-MIN comparison itself stays exact decimal.
     "q2_true_mincost_v2" ->
       s"""WITH $psCte
-         |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+         |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+         |  CAST(ps_supplycost AS STRING) AS ps_supplycost_str
          |FROM part, supplier, partsupp, nation, region
          |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
          |  AND p_size <= 8 AND p_type = 'LARGE'

@@ -47,6 +47,54 @@ object Q {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Recursively delete a scratch tree (children before parents). */
+  def deleteTree(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+
+  /** Materialize a gate-sized result into a driver-local relation.
+    * Gate outputs are bounded by contract (the driver hash-compares
+    * every row against DuckDB), so collecting them is cheap — and it
+    * severs the plan's dependency on scratch files so staging can be
+    * deleted before the DataFrame is returned. Row order (the gate's
+    * determinism sort) is preserved by collect(). */
+  def localize(s: SparkSession, df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(df.collect().toSeq.asJava, df.schema)
+  }
+
+  /** Per-invocation scratch staging: create a temp dir, run `body`,
+    * localize its result, delete the tree — temp staging must not
+    * accumulate across multi-run benches (r10 ADVICE: the former
+    * pattern leaked a full dataset copy per invocation). */
+  def withScratch(s: SparkSession, prefix: String)
+      (body: java.nio.file.Path => DataFrame): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(prefix)
+    try localize(s, body(root))
+    finally deleteTree(root)
+  }
+
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped staged dataset: built once per `key`, reused by
+    * every later invocation (bench repeats each query many times —
+    * re-writing a partitioned dataset copy per run scaled with the
+    * scale factor), deleted at JVM exit. Only for staging whose
+    * CONTENT is invocation-independent; anything stateful (stream
+    * checkpoints, DML tables) needs fresh-per-run [[withScratch]]. */
+  def stagedOnce(key: String)(build: java.nio.file.Path => Unit): String =
+    stagedDirs.computeIfAbsent(key, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_stage")
+      build(root)
+      sys.addShutdownHook(deleteTree(root))
+      root.toString
+    })
+
   /** Run SQL with all the tables of `dir` registered as views. */
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
     graft.Tables.registerAll(spark, dir)

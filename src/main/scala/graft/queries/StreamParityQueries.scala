@@ -81,11 +81,12 @@ object StreamParityQueries {
   val queries: Map[String, QFn] = Map(
     "q_stream_upsert_parity_v2" -> ((s, dir) => withFewPartitions(s) {
       // scoped 8 shuffle partitions: 4 micro-batch merges + rollup
-      // refreshes over kilobyte deltas — see Q.withShufflePartitions
-      // _v2: the avg column changed from round(…,6) to the unrounded
-      // quotient (below) — a changed oracle result under the r9-
-      // diagnosed per-NAME oracle-hash cache needs a fresh cache key.
-      val root = Files.createTempDirectory("graft_stream_parity").toString
+      // refreshes over kilobyte deltas — see Q.withShufflePartitions.
+      // withScratch: table/ckpt state must be fresh per run; the
+      // localized result lets the whole tree be deleted on return
+      // (r10 ADVICE: no temp-dir accumulation across bench runs).
+      Q.withScratch(s, "graft_stream_parity") { rootP =>
+      val root = rootP.toString
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       // seed table: even keys
@@ -114,6 +115,7 @@ object StreamParityQueries {
           (col("_sum_o_totalprice").cast("double") / col("_cnt"))
             .as("avg_price"))
         .orderBy(col("o_orderstatus"))
+      }
     }),
 
     "q_stream_window_parity" -> ((s, dir) => {
@@ -127,7 +129,7 @@ object StreamParityQueries {
       // closing no-data batch performs the eviction). The sentinel's
       // own window stays unflushed by construction — the output filter
       // is belt-and-braces. Exact totals via the DECIMAL(18,2) sum.
-      val root = Files.createTempDirectory("graft_stream_winpar")
+      Q.withScratch(s, "graft_stream_winpar") { root =>
       val watch = root.resolve("incoming"); Files.createDirectories(watch)
       val ev = t(s, dir, "events").select(col("ts"), col("event_type"), col("value"))
       val (minE, maxE) = minMaxEpoch(ev)
@@ -153,6 +155,7 @@ object StreamParityQueries {
       s.read.parquet(root.resolve("out").toString)
         .filter(col("event_type") =!= "__hwm__")
         .orderBy(col("w_start"), col("event_type"))
+      }
     }),
 
     "q_stream_join_parity" -> ((s, dir) => {
@@ -167,7 +170,7 @@ object StreamParityQueries {
       // emitted SET independent of the batching. This certifies both
       // sides' state retention + the derived eviction horizon — the
       // unbounded-join guard a 100 TB stream relies on.
-      val root = Files.createTempDirectory("graft_stream_joinpar")
+      Q.withScratch(s, "graft_stream_joinpar") { root =>
       val watchV = root.resolve("views"); val watchC = root.resolve("convs")
       Files.createDirectories(watchV); Files.createDirectories(watchC)
       val ev = t(s, dir, "events").select(col("event_id"), col("ts"),
@@ -196,6 +199,7 @@ object StreamParityQueries {
           col("view_ts").cast("timestamp_ntz").as("view_ts"),
           col("conv_ts").cast("timestamp_ntz").as("conv_ts"), col("value"))
         .orderBy(col("user_id"), col("view_id"), col("conv_id"))
+      }
     })
   )
 

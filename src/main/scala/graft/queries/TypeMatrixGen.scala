@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** GENERATED function × datatype crossings — the autopilot principle
+  * of the reference's per-function/datatype suites
+  * (`mysql-test/columnstore/autopilot/t/mcs4012_function_*`, which
+  * cross every funcexp entry with every column type of
+  * `regression_create_datatypetestm.inc`) applied mechanically: each
+  * battery below is built from ONE cell table holding, per cell, the
+  * Spark expression and its DuckDB twin, and a Scala loop emits both
+  * the projection and the oracle SQL from that single source of
+  * truth. Cross-engine consistency is therefore by construction —
+  * adding a (function, type) pair is one table row, not two
+  * hand-kept texts.
+  *
+  * Scope discipline (learned over r8–r10, spelled in docs/COMPAT.md):
+  *  - only functions with PROVEN cross-engine parity enter the menu
+  *    (no transcendentals except correctly-rounded sqrt; no
+  *    double→string rendering; no locale-dependent names);
+  *  - gate-boundary types follow divergence #34: integer results
+  *    render BIGINT/INT, decimal results render STRING, temporals
+  *    stay in sane ranges;
+  *  - every battery carries the Q.sortAll total order.
+  */
+object TypeMatrixGen {
+  import Q._
+
+  /** One output cell: column name + Spark expression + DuckDB twin. */
+  final case class Cell(name: String, spark: Column, duck: String)
+
+  private def keys: Seq[Cell] = Seq(
+    Cell("k1", col("l_orderkey"), "l_orderkey"),
+    Cell("k2", col("l_linenumber").cast("int"), "CAST(l_linenumber AS INT)"))
+
+  /** Numeric menu × the signed integer width ladder (TINYINT→BIGINT
+    * value ranges), plus exact-decimal and exact-double families.
+    * Sign is minted from orderkey parity so negative branches of
+    * abs/sign/mod/ceil/floor/bit ops run on half the rows. */
+  private def numCells: Seq[Cell] = {
+    val sgn = when(col("l_orderkey") % 2 === 0, lit(-1L)).otherwise(lit(1L))
+    val oSgn = "(CASE WHEN l_orderkey % 2 = 0 THEN -1 ELSE 1 END)"
+    // integer ladder: every value explicitly BIGINT on both sides
+    val intTys: Seq[(String, Column, String)] = Seq(
+      ("ti", col("l_linenumber").cast("long") * sgn,
+        s"CAST(l_linenumber AS BIGINT) * $oSgn"),
+      ("si", col("l_quantity").cast("long") * sgn,
+        s"CAST(l_quantity AS BIGINT) * $oSgn"),
+      ("i", (col("l_partkey") % 100000 - 50000).cast("long"),
+        "CAST(l_partkey % 100000 - 50000 AS BIGINT)"),
+      ("bi", col("l_orderkey") * sgn,
+        s"l_orderkey * $oSgn"))
+    // menu: (suffix, spark fn, duck template) — parity notes:
+    // mod takes the dividend's sign on both engines (COMPAT #14);
+    // sqrt is IEEE correctly-rounded (bit-exact across libm);
+    // DuckDB ~ / xor() mirror Spark bitwiseNOT / ^ on BIGINT.
+    val intFns: Seq[(String, Column => Column, String => String)] = Seq(
+      ("neg", v => (-v).cast("long"), e => s"CAST(-($e) AS BIGINT)"),
+      ("abs", v => abs(v).cast("long"), e => s"CAST(abs($e) AS BIGINT)"),
+      ("sign", v => signum(v).cast("int"), e => s"CAST(sign($e) AS INT)"),
+      ("mod7", v => (v % 7).cast("long"), e => s"CAST(($e) % 7 AS BIGINT)"),
+      ("p3t2", v => (v * 2 + 3).cast("long"), e => s"CAST(($e) * 2 + 3 AS BIGINT)"),
+      ("gmid", v => greatest(v, lit(5L)).cast("long"),
+        e => s"CAST(greatest($e, 5) AS BIGINT)"),
+      ("lmid", v => least(v, lit(5L)).cast("long"),
+        e => s"CAST(least($e, 5) AS BIGINT)"),
+      ("sqra", v => sqrt(abs(v.cast("double"))),
+        e => s"sqrt(abs(CAST($e AS DOUBLE)))"),
+      ("bnot", v => bitwiseNOT(v.cast("long")).cast("long"),
+        e => s"CAST(~($e) AS BIGINT)"),
+      ("xor5", v => v.cast("long").bitwiseXOR(lit(5L)),
+        e => s"CAST(xor($e, 5) AS BIGINT)"))
+    val intCross = for {
+      (tn, sv, dv) <- intTys
+      (fn, sf, df) <- intFns
+    } yield Cell(s"n_${fn}_$tn", sf(sv), df(dv))
+
+    // exact-decimal family — results rendered STRING (divergence #34)
+    val de = (dec(col("l_extendedprice")) * sgn).cast(DecimalType(19, 2))
+    val oDe = s"CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * $oSgn AS DECIMAL(19,2))"
+    val decCross = Seq(
+      Cell("d_neg_de", (-de).cast(DecimalType(19, 2)).cast(StringType),
+        s"CAST(CAST(-($oDe) AS DECIMAL(19,2)) AS VARCHAR)"),
+      Cell("d_abs_de", abs(de).cast(DecimalType(19, 2)).cast(StringType),
+        s"CAST(CAST(abs($oDe) AS DECIMAL(19,2)) AS VARCHAR)"),
+      Cell("d_madd_de", (de * 2 + 1).cast(DecimalType(24, 2)).cast(StringType),
+        s"CAST(CAST(($oDe) * 2 + 1 AS DECIMAL(24,2)) AS VARCHAR)"),
+      Cell("d_ceil_de", ceil(de).cast("long"), s"CAST(ceil($oDe) AS BIGINT)"),
+      Cell("d_floor_de", floor(de).cast("long"), s"CAST(floor($oDe) AS BIGINT)"),
+      Cell("d_trunc_de", de.cast("long"), s"CAST(trunc($oDe) AS BIGINT)"),
+      Cell("d_gz_de", greatest(de, lit(0).cast(DecimalType(19, 2)))
+          .cast(DecimalType(19, 2)).cast(StringType),
+        s"CAST(CAST(greatest($oDe, CAST(0 AS DECIMAL(19,2))) AS DECIMAL(19,2)) AS VARCHAR)"))
+
+    // exact-double family — only operations whose IEEE result is the
+    // same bit pattern on both engines (negate/abs/compare/scale by
+    // powers of two/exact fmod/correctly-rounded sqrt); no rendering
+    val db = col("l_discount") - lit(0.05)
+    val oDb = "(l_discount - 0.05)"
+    val dblCross = Seq(
+      Cell("f_neg_db", -db, s"-($oDb)"),
+      Cell("f_abs_db", abs(db), s"abs($oDb)"),
+      Cell("f_sign_db", signum(db).cast("int"), s"CAST(sign($oDb) AS INT)"),
+      Cell("f_ceil_db", ceil(db).cast("long"), s"CAST(ceil($oDb) AS BIGINT)"),
+      Cell("f_floor_db", floor(db).cast("long"), s"CAST(floor($oDb) AS BIGINT)"),
+      Cell("f_x4_db", db * 4, s"($oDb) * 4"),
+      // DuckDB's fmod() FLOORS on negative dividends; its `%`/mod()
+      // keep the dividend sign like Spark's `%` (probed live) — the
+      // operator, not fmod, is the parity form
+      Cell("f_fmod_db", db % lit(0.25), s"($oDb) % 0.25"),
+      Cell("f_sqra_db", sqrt(abs(db)), s"sqrt(abs($oDb))"))
+
+    intCross ++ decCross ++ dblCross
+  }
+
+  /** String menu × string renderings of every type family (the
+    * autopilot's implicit-coercion axis: string functions receive
+    * CHAR, VARCHAR, numeric and temporal inputs alike). Each type
+    * first renders through its proven CAST-to-string form, then the
+    * whole menu applies — so the cross checks both the coercion and
+    * the function. Double inputs are excluded by design (shortest-
+    * repr vs DuckDB formatting, COMPAT/castmx note). */
+  private def strCells: Seq[Cell] = {
+    val tys: Seq[(String, Column, String)] = Seq(
+      ("vc", concat(col("l_returnflag"), col("l_linestatus"),
+        col("l_orderkey").cast("string")),
+        "l_returnflag || l_linestatus || CAST(l_orderkey AS VARCHAR)"),
+      ("ch", col("l_returnflag"), "l_returnflag"),
+      ("is", (col("l_partkey") % 100000 - 50000).cast("long").cast("string"),
+        "CAST(CAST(l_partkey % 100000 - 50000 AS BIGINT) AS VARCHAR)"),
+      ("des", dec(col("l_extendedprice")).cast("string"),
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR)"),
+      ("dts", col("l_shipdate").cast(DateType).cast("string"),
+        "CAST(CAST(l_shipdate AS DATE) AS VARCHAR)"))
+    val fns: Seq[(String, Column => Column, String => String)] = Seq(
+      ("len", s => length(s).cast("int"), e => s"CAST(length($e) AS INT)"),
+      ("rev", s => reverse(s), e => s"reverse($e)"),
+      ("up", s => upper(s), e => s"upper($e)"),
+      ("low", s => lower(s), e => s"lower($e)"),
+      ("sub", s => substring(s, 1, 4), e => s"substr($e, 1, 4)"),
+      ("lpad", s => lpad(s, 10, "0"), e => s"lpad($e, 10, '0')"),
+      ("rpad", s => rpad(s, 6, "."), e => s"rpad($e, 6, '.')"),
+      ("pos5", s => instr(s, "5").cast("int"), e => s"CAST(strpos($e, '5') AS INT)"),
+      ("repl", s => regexp_replace(s, "5", "#"), e => s"replace($e, '5', '#')"),
+      ("cws", s => concat_ws("-", s, lit("z")), e => s"concat_ws('-', $e, 'z')"),
+      ("md5", s => md5(s), e => s"md5($e)"),
+      ("asc", s => ascii(s).cast("int"), e => s"CAST(ascii($e) AS INT)"))
+    for {
+      (tn, sv, dv) <- tys
+      (fn, sf, df) <- fns
+    } yield Cell(s"s_${fn}_$tn", sf(sv), df(dv))
+  }
+
+  /** Temporal menu × temporal representations (DATE column, TIMESTAMP
+    * column, ISO-string re-parse, epoch-seconds roundtrip): the
+    * extraction/trunc/arith menu applies to each representation, so a
+    * divergent coercion path cannot hide behind a green sibling.
+    * All values stay in the fixture's sane 1992–1998 range. */
+  private def dtCells: Seq[Cell] = {
+    val tys: Seq[(String, Column, String)] = Seq(
+      ("dt", col("l_shipdate").cast(DateType), "CAST(l_shipdate AS DATE)"),
+      ("str", to_date(col("l_shipdate").cast(DateType).cast("string")),
+        "CAST(CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS DATE)"),
+      ("ep", to_date(timestamp_seconds(
+        unix_timestamp(col("l_shipdate").cast(DateType).cast(TimestampType)))),
+        "CAST(make_timestamp(CAST(epoch(CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP)) AS BIGINT) * 1000000) AS DATE)"))
+    val fns: Seq[(String, Column => Column, String => String)] = Seq(
+      ("yr", d => year(d), e => s"CAST(year($e) AS INT)"),
+      ("qtr", d => quarter(d), e => s"CAST(quarter($e) AS INT)"),
+      ("mon", d => month(d), e => s"CAST(month($e) AS INT)"),
+      ("dom", d => dayofmonth(d), e => s"CAST(day($e) AS INT)"),
+      ("doy", d => dayofyear(d), e => s"CAST(dayofyear($e) AS INT)"),
+      ("idow", d => weekday(d) + 1, e => s"CAST(isodow($e) AS INT)"),
+      ("wk", d => weekofyear(d), e => s"CAST(weekofyear($e) AS INT)"),
+      ("eom", d => last_day(d), e => s"last_day($e)"),
+      ("a45", d => date_add(d, 45), e => s"$e + 45"),
+      ("s45", d => date_sub(d, 45), e => s"$e - 45"),
+      ("tmon", d => trunc(d, "month"), e => s"CAST(date_trunc('month', $e) AS DATE)"),
+      ("tyr", d => trunc(d, "year"), e => s"CAST(date_trunc('year', $e) AS DATE)"),
+      ("dd90", d => datediff(d, lit("1990-01-01").cast(DateType)).cast("int"),
+        e => s"CAST(date_diff('day', DATE '1990-01-01', $e) AS INT)"))
+    val reprCross = for {
+      (tn, sv, dv) <- tys
+      (fn, sf, df) <- fns
+    } yield Cell(s"t_${fn}_$tn", sf(sv), df(dv))
+    // timestamp-only extractions on the truncated-second event time
+    val ts = date_trunc("second", col("l_shipdate")).cast(TimestampType)
+    val oTs = "date_trunc('second', l_shipdate)"
+    val tsOnly = Seq(
+      Cell("t_hr_ts", hour(ts), s"CAST(hour($oTs) AS INT)"),
+      Cell("t_min_ts", minute(ts), s"CAST(minute($oTs) AS INT)"),
+      Cell("t_sec_ts", second(ts), s"CAST(second($oTs) AS INT)"),
+      Cell("t_tday_ts", date_trunc("day", ts).cast(DateType),
+        s"CAST(date_trunc('day', $oTs) AS DATE)"),
+      Cell("t_ep_ts", unix_timestamp(ts), s"CAST(epoch($oTs) AS BIGINT)"))
+    reprCross ++ tsOnly
+  }
+
+  /** Build the (query, oracle) pair for one generated battery. */
+  private def battery(cells: Seq[Cell]): (QFn, String) = {
+    val all = keys ++ cells
+    val q: QFn = (s, dir) =>
+      sortAll(t(s, dir, "lineitem").select(all.map(c => c.spark.as(c.name)): _*))
+    val o = all.map(c => s"  ${c.duck} AS ${c.name}")
+      .mkString("SELECT\n", ",\n", s"\nFROM lineitem ${Q.oSortAll}")
+    (q, o)
+  }
+
+  private lazy val gen: Map[String, (QFn, String)] = Map(
+    "q_type_matrix_fnnum" -> battery(numCells),
+    "q_type_matrix_fnstr" -> battery(strCells),
+    "q_type_matrix_fndt" -> battery(dtCells))
+
+  val queries: Map[String, QFn] = gen.map { case (n, (q, _)) => n -> q }
+  val oracle: Map[String, String] = gen.map { case (n, (_, o)) => n -> o }
+}

@@ -200,7 +200,7 @@ object WindowQueries {
         """SELECT l_orderkey, l_linenumber, l_returnflag,
           |  COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_returnflag) AS n_supp,
           |  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,2)))
-          |    OVER (PARTITION BY l_returnflag) AS DECIMAL(38,2)) AS sum_qty,
+          |    OVER (PARTITION BY l_returnflag) AS DOUBLE) AS sum_qty,
           |  COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_returnflag
           |    ORDER BY l_orderkey, l_linenumber, l_suppkey, l_partkey
           |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS run_supp
@@ -417,7 +417,7 @@ object WindowQueries {
       """SELECT l_orderkey, l_linenumber, l_returnflag,
         |  COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_returnflag) AS n_supp,
         |  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,2)))
-        |    OVER (PARTITION BY l_returnflag) AS DECIMAL(38,2)) AS sum_qty,
+        |    OVER (PARTITION BY l_returnflag) AS DOUBLE) AS sum_qty,
         |  COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_returnflag
         |    ORDER BY l_orderkey, l_linenumber, l_suppkey, l_partkey
         |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS run_supp

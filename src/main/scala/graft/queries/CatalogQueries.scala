@@ -198,6 +198,43 @@ object CatalogQueries {
         .orderBy(col("phase"), col("n_nationkey"))
     }),
 
+    // Partition lifecycle at the gate (`sources/Catalog.scala`
+    // disable/enable/dropPartition; ref `ha_mcs_partition.cpp:484-575`
+    // — a DISABLED partition's data stays on disk but is excluded
+    // from scans, DROP removes it permanently). Scale-free: nation
+    // (25 rows, 5 region partitions) at every sf. Each phase emits
+    // its decision surface — on-disk partition-dir count (disable
+    // keeps the dir, drop deletes it), visible row count, and the
+    // targeted keys' visible rows (0 while excluded) — all recomputed
+    // by the oracle from the raw table. O(metadata) at any scale:
+    // disable writes one marker file, drop unlinks one directory.
+    "q_catalog_partition" -> ((s, dir) => Q.withScratch(s, "graft_part_q") { whp =>
+      import graft.sources.Catalog
+      val cat = new Catalog(whp.toString, s)
+      cat.createTable("pn", "n_nationkey BIGINT, n_name VARCHAR(30), n_regionkey BIGINT")
+      cat.writePartitioned("pn",
+        Q.t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey")),
+        "n_regionkey")
+      def phase(name: String): (String, Long, Long, Long, Long) = {
+        val df = cat.loadPartitioned("pn")
+        (name, cat.partitions("pn").size.toLong, df.count(),
+          df.filter(col("n_regionkey") === 2).count(),
+          df.filter(col("n_regionkey") === 4).count())
+      }
+      val p1 = phase("p1_all")
+      cat.disablePartition("pn", "n_regionkey=2")
+      val p2 = phase("p2_disabled2")
+      cat.enablePartition("pn", "n_regionkey=2")
+      val p3 = phase("p3_reenabled")
+      cat.dropPartition("pn", "n_regionkey=4")
+      val p4 = phase("p4_dropped4")
+      import s.implicits._
+      Seq(p1, p2, p3, p4)
+        .toDF("phase", "part_dirs", "n_rows", "rows_r2", "rows_r4")
+        .orderBy(col("phase"))
+    }),
+
     // Admission control (`plans/ResourceGovernor.scala`; the
     // ResourceManager REFUSAL the reference can issue up front —
     // docs/MEMORY.md "the one real divergence", closed with code):
@@ -334,6 +371,20 @@ object CatalogQueries {
         |UNION ALL
         |SELECT 'dropped' AS phase, n_nationkey, CAST(NULL AS VARCHAR) AS n_name, score FROM m
         |ORDER BY phase, n_nationkey""".stripMargin,
+
+    // phases recomputed from the raw table: disable hides region 2's
+    // rows but keeps its dir; drop removes region 4's dir and rows
+    "q_catalog_partition" ->
+      """WITH r AS (SELECT count(*) AS total,
+        |  count(*) FILTER (WHERE n_regionkey = 2) AS r2,
+        |  count(*) FILTER (WHERE n_regionkey = 4) AS r4 FROM nation)
+        |SELECT * FROM (
+        |  SELECT 'p1_all' AS phase, CAST(5 AS BIGINT) AS part_dirs,
+        |    total AS n_rows, r2 AS rows_r2, r4 AS rows_r4 FROM r
+        |  UNION ALL SELECT 'p2_disabled2', 5, total - r2, 0, r4 FROM r
+        |  UNION ALL SELECT 'p3_reenabled', 5, total, r2, r4 FROM r
+        |  UNION ALL SELECT 'p4_dropped4', 4, total - r4, r2, 0 FROM r)
+        |ORDER BY phase""".stripMargin,
 
     // the gate sees the admission DECISIONS (prices vary with sf)
     "q_catalog_governor" ->

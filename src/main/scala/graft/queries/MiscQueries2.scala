@@ -105,6 +105,38 @@ object MiscQueries2 {
         .orderBy(col("ci_rank"))
     }),
 
+    // Collation wave 2 (ref utils/common/collation.h — the reference
+    // carries the full MariaDB collation library; wave 1 covered
+    // case-insensitive *_ci): ACCENT+case-insensitive grouping
+    // (UNICODE_CI_AI ≡ MySQL *_ai_ci) with binary- and casefold-
+    // collation variant counts INSIDE each group, so one battery pins
+    // three collation strengths against each other. Variants are
+    // minted deterministically (lower / acute-lower / grave-upper by
+    // custkey mod); the oracle replays the ai key as
+    // strip_accents(lower(x)) and the representative as the byte-order
+    // min — probed identical in both engines.
+    "q_collation2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = col("c_custkey") % 4
+      val v = when(m === 1, lower(col("c_mktsegment")))
+        .when(m === 2, translate(lower(col("c_mktsegment")), "aeiou", "áéíóú"))
+        .when(m === 3, translate(col("c_mktsegment"), "AEIOU", "ÀÈÌÒÙ"))
+        .otherwise(col("c_mktsegment"))
+      t(s, dir, "customer").filter(col("c_custkey") < 500)
+        .select(v.as("seg"))
+        .groupBy(collate(col("seg"), "UNICODE_CI_AI").as("k"))
+        .agg(count(lit(1)).as("n"),
+          min(collate(col("seg"), "UTF8_BINARY")).as("rep"),
+          count_distinct(collate(col("seg"), "UTF8_BINARY"))
+            .as("exact_variants"),
+          count_distinct(collate(col("seg"), "UTF8_LCASE"))
+            .as("casefold_variants"))
+        .select(col("rep"), col("n"), col("exact_variants"),
+          col("casefold_variants"),
+          dense_rank().over(Window.orderBy(col("k"))).as("ai_rank"))
+        .orderBy(col("ai_rank"))
+    }),
+
     // ---- TIME-string arithmetic + tz + format-table functions (ref
     // func_add_time.cpp, func_time_format.cpp, func_convert_tz.cpp,
     // func_get_format.cpp) ----
@@ -321,6 +353,20 @@ object MiscQueries2 {
         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
         |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
         |FROM documents""".stripMargin,
+    "q_collation2" ->
+      """WITH v AS (SELECT CASE c_custkey % 4
+        |    WHEN 1 THEN lower(c_mktsegment)
+        |    WHEN 2 THEN translate(lower(c_mktsegment), 'aeiou', 'áéíóú')
+        |    WHEN 3 THEN translate(c_mktsegment, 'AEIOU', 'ÀÈÌÒÙ')
+        |    ELSE c_mktsegment END AS seg
+        |  FROM customer WHERE c_custkey < 500),
+        |g AS (SELECT strip_accents(lower(seg)) AS k, min(seg) AS rep,
+        |    count(*) AS n, count(DISTINCT seg) AS exact_variants,
+        |    count(DISTINCT lower(seg)) AS casefold_variants
+        |  FROM v GROUP BY 1)
+        |SELECT rep, n, exact_variants, casefold_variants,
+        |  CAST(dense_rank() OVER (ORDER BY k) AS INT) AS ai_rank
+        |FROM g ORDER BY ai_rank""".stripMargin,
     "q_collation" ->
       """SELECT rep, n, case_variants,
         |  CAST(dense_rank() OVER (ORDER BY k) AS INT) AS ci_rank,

@@ -65,6 +65,7 @@ class PlanGuardSpec extends SparkSpec {
     val rowLevel = Seq("q_type_matrix_num_v2", "q_type_matrix_datestr",
       "q_type_matrix_null_v2", "q_type_matrix_stredge", "q_type_matrix_dtedge_v2",
       "q_type_matrix_decedge_v2", "q_type_matrix_castmx", "q_type_matrix_poly",
+      "q_type_matrix_fnnum", "q_type_matrix_fnstr", "q_type_matrix_fndt",
       "q_json_table")
     val offenders = rowLevel.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)

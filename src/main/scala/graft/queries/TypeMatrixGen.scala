@@ -31,6 +31,10 @@ object TypeMatrixGen {
   /** One output cell: column name + Spark expression + DuckDB twin. */
   final case class Cell(name: String, spark: Column, duck: String)
 
+  // left/right have no Scala-functions wrapper; resolved by name
+  private def expr_left(s: Column): Column = call_function("left", s, lit(3))
+  private def expr_right(s: Column): Column = call_function("right", s, lit(3))
+
   private def keys: Seq[Cell] = Seq(
     Cell("k1", col("l_orderkey"), "l_orderkey"),
     Cell("k2", col("l_linenumber").cast("int"), "CAST(l_linenumber AS INT)"))
@@ -68,7 +72,7 @@ object TypeMatrixGen {
         e => s"CAST(least($e, 5) AS BIGINT)"),
       ("sqra", v => sqrt(abs(v.cast("double"))),
         e => s"sqrt(abs(CAST($e AS DOUBLE)))"),
-      ("bnot", v => bitwiseNOT(v.cast("long")).cast("long"),
+      ("bnot", v => bitwise_not(v.cast("long")).cast("long"),
         e => s"CAST(~($e) AS BIGINT)"),
       ("xor5", v => v.cast("long").bitwiseXOR(lit(5L)),
         e => s"CAST(xor($e, 5) AS BIGINT)"))
@@ -146,7 +150,21 @@ object TypeMatrixGen {
       ("repl", s => regexp_replace(s, "5", "#"), e => s"replace($e, '5', '#')"),
       ("cws", s => concat_ws("-", s, lit("z")), e => s"concat_ws('-', $e, 'z')"),
       ("md5", s => md5(s), e => s"md5($e)"),
-      ("asc", s => ascii(s).cast("int"), e => s"CAST(ascii($e) AS INT)"))
+      ("asc", s => ascii(s).cast("int"), e => s"CAST(ascii($e) AS INT)"),
+      // trim family runs over a space-padded composition so there is
+      // actually whitespace to strip (raw inputs have none)
+      ("trmw", s => trim(concat(lit("  "), s, lit(" "))),
+        e => s"trim('  ' || $e || ' ')"),
+      ("ltrm", s => ltrim(concat(lit("  "), s, lit(" "))),
+        e => s"ltrim('  ' || $e || ' ')"),
+      ("rtrm", s => rtrim(concat(lit("  "), s, lit(" "))),
+        e => s"rtrim('  ' || $e || ' ')"),
+      ("rep2", s => repeat(s, 2), e => s"repeat($e, 2)"),
+      ("lft3", s => expr_left(s), e => s"left($e, 3)"),
+      ("rgt3", s => expr_right(s), e => s"right($e, 3)"),
+      ("tr5", s => translate(s, "5E", "#x"), e => s"translate($e, '5E', '#x')"),
+      ("spl5", s => split_part(s, lit("5"), lit(1)),
+        e => s"split_part($e, '5', 1)"))
     for {
       (tn, sv, dv) <- tys
       (fn, sf, df) <- fns
@@ -198,20 +216,201 @@ object TypeMatrixGen {
     reprCross ++ tsOnly
   }
 
-  /** Build the (query, oracle) pair for one generated battery. */
+  /** Conditional / control-flow menu × every type family, with
+    * deterministic NULL injection (the autopilot's CNX_if/ifnull/
+    * nullif/coalesce/greatest/least suites crossed with the
+    * datatypetestm column ladder). Each family supplies a pair of
+    * same-typed operands — `v` NULL where l_linenumber=1, `w` NULL
+    * where l_linenumber=2 — plus a constant fallback, so every menu
+    * entry exercises null-hit, null-miss and both-null rows.
+    * GREATEST/LEAST run WITH the NULL-injected operands: Spark and
+    * DuckDB both skip NULLs (COMPAT divergence #30 — it is MySQL that
+    * returns NULL), so the skip semantics themselves are gated here.
+    * DuckDB promotes GREATEST/LEAST over DECIMAL to DOUBLE (#29) —
+    * the oracle casts back to the declared scale before rendering. */
+  private def condCells: Seq[Cell] = {
+    val ln = col("l_linenumber")
+    def inj(n: Int, v: Column): Column = when(ln === n, lit(null)).otherwise(v)
+    def oInj(n: Int, e: String): String =
+      s"(CASE WHEN l_linenumber = $n THEN NULL ELSE $e END)"
+    // (suffix, v, oV, w, oW, fallback, oFallback, renderString)
+    val tys: Seq[(String, Column, String, Column, String, Column, String, Boolean)] = Seq(
+      ("bi",
+        inj(1, col("l_orderkey")), oInj(1, "l_orderkey"),
+        inj(2, (col("l_partkey") % 1000).cast("long")),
+        oInj(2, "CAST(l_partkey % 1000 AS BIGINT)"),
+        lit(-1L), "CAST(-1 AS BIGINT)", false),
+      ("vc",
+        inj(1, concat(col("l_returnflag"), col("l_orderkey").cast("string"))),
+        oInj(1, "l_returnflag || CAST(l_orderkey AS VARCHAR)"),
+        inj(2, col("l_linestatus")), oInj(2, "l_linestatus"),
+        lit("zz"), "'zz'", false),
+      ("dt",
+        inj(1, col("l_shipdate").cast(DateType)),
+        oInj(1, "CAST(l_shipdate AS DATE)"),
+        inj(2, date_add(col("l_shipdate").cast(DateType), 30)),
+        oInj(2, "CAST(l_shipdate AS DATE) + 30"),
+        lit("1995-06-15").cast(DateType), "DATE '1995-06-15'", false),
+      ("des", // exact DECIMAL(18,2) inside; STRING at the boundary (#34)
+        inj(1, dec(col("l_extendedprice"))),
+        oInj(1, "CAST(l_extendedprice AS DECIMAL(18,2))"),
+        inj(2, (dec(col("l_extendedprice")) + 1).cast(DecimalType(18, 2))),
+        oInj(2, "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) + 1 AS DECIMAL(18,2))"),
+        lit("0.00").cast(DecimalType(18, 2)), "CAST('0.00' AS DECIMAL(18,2))", true),
+      ("db", // IEEE ops only — same parquet bits in, same op, same bits out
+        inj(1, col("l_discount") - lit(0.05)), oInj(1, "(l_discount - 0.05)"),
+        inj(2, col("l_discount") * 2), oInj(2, "(l_discount * 2)"),
+        lit(0.5), "0.5", false))
+    val fns: Seq[(String, (Column, Column, Column) => Column,
+        (String, String, String) => String)] = Seq(
+      ("ifgt", (v, w, _) => when(v > w, v).otherwise(w),
+        (v, w, _) => s"CASE WHEN $v > $w THEN $v ELSE $w END"),
+      ("nvl", (v, _, fb) => coalesce(v, fb),
+        (v, _, fb) => s"coalesce($v, $fb)"),
+      ("nvl2", (v, w, fb) => when(v.isNotNull, w).otherwise(fb),
+        (v, w, fb) => s"CASE WHEN $v IS NOT NULL THEN $w ELSE $fb END"),
+      ("nulif", (v, w, _) => nullif(v, w), (v, w, _) => s"nullif($v, $w)"),
+      ("coal3", (v, w, fb) => coalesce(v, w, fb),
+        (v, w, fb) => s"coalesce($v, $w, $fb)"),
+      ("grt", (v, w, _) => greatest(v, w), (v, w, _) => s"greatest($v, $w)"),
+      ("lst", (v, w, _) => least(v, w), (v, w, _) => s"least($v, $w)"),
+      ("case3", (v, w, fb) => when(v.isNull, fb).when(v > w, v).otherwise(w),
+        (v, w, fb) =>
+          s"CASE WHEN $v IS NULL THEN $fb WHEN $v > $w THEN $v ELSE $w END"))
+    val cross = for {
+      (tn, v, oV, w, oW, fb, oFb, asStr) <- tys
+      (fn, sf, df) <- fns
+    } yield {
+      val sCol = sf(v, w, fb)
+      val dSql = df(oV, oW, oFb)
+      if (asStr) Cell(s"c_${fn}_$tn", sCol.cast(DecimalType(18, 2)).cast(StringType),
+        s"CAST(CAST($dSql AS DECIMAL(18,2)) AS VARCHAR)")
+      else Cell(s"c_${fn}_$tn", sCol, dSql)
+    }
+    // IS NULL itself, once per family (result type is INT regardless)
+    val isn = tys.map { case (tn, v, oV, _, _, _, _, _) =>
+      Cell(s"c_isn_$tn", v.isNull.cast("int"), s"CAST(($oV) IS NULL AS INT)")
+    }
+    cross ++ isn
+  }
+
+  /** Function results as GROUP BY keys — the context axis the
+    * projection batteries cannot cover: computed keys flow through
+    * partial/final hash aggregation (hashing + equality on the
+    * function's result type), the path a 100 TB rollup actually
+    * exercises. Key domains are small (≤7×3×7×4×3×4 combinations) so
+    * the output is scale-free; aggregates render BIGINT on both
+    * sides (COMPAT #6: DuckDB SUM(INT) is HUGEINT). */
+  private def grpBattery: (QFn, String) = {
+    val sgn = when(col("l_orderkey") % 2 === 0, lit(-1L)).otherwise(lit(1L))
+    val oSgn = "(CASE WHEN l_orderkey % 2 = 0 THEN -1 ELSE 1 END)"
+    val gks: Seq[(String, Column, String)] = Seq(
+      ("g_mod7", col("l_orderkey") % 7, "l_orderkey % 7"),
+      ("g_sgnq", signum(col("l_quantity").cast("long") * sgn).cast("int"),
+        s"CAST(sign(CAST(l_quantity AS BIGINT) * $oSgn) AS INT)"),
+      ("g_yr", year(col("l_shipdate").cast(DateType)),
+        "CAST(year(CAST(l_shipdate AS DATE)) AS INT)"),
+      ("g_qtr", quarter(col("l_shipdate").cast(DateType)),
+        "CAST(quarter(CAST(l_shipdate AS DATE)) AS INT)"),
+      ("g_flag", upper(col("l_returnflag")), "upper(l_returnflag)"),
+      ("g_dcls", floor(dec(col("l_extendedprice")) / 20000).cast("long"),
+        "CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2)) / 20000) AS BIGINT)"))
+    val q: QFn = (s, dir) =>
+      sortAll(t(s, dir, "lineitem")
+        .groupBy(gks.map { case (n, c, _) => c.as(n) }: _*)
+        .agg(count(lit(1)).as("cnt"),
+          min(col("l_orderkey")).as("min_k"),
+          max(col("l_orderkey")).as("max_k"),
+          sum(col("l_quantity").cast("long")).as("sum_q")))
+    val o = gks.map { case (n, _, d) => s"  $d AS $n" }
+      .mkString("SELECT\n", ",\n", """,
+  CAST(count(*) AS BIGINT) AS cnt,
+  min(l_orderkey) AS min_k,
+  max(l_orderkey) AS max_k,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q
+FROM lineitem
+GROUP BY """ + (1 to gks.size).mkString(", ") + s"\n${Q.oSortAll}")
+    (q, o)
+  }
+
+  /** Function results under WHERE — the predicate-context axis:
+    * every menu entry drives a filter whose population is counted in
+    * ONE single-pass aggregate row (sum-of-CASE, no expand), so the
+    * battery proves predicate-side evaluation (codegen'd filters over
+    * the scan) at a fixed output size. */
+  private def whereBattery: (QFn, String) = {
+    val de = dec(col("l_extendedprice"))
+    val oDe = "CAST(l_extendedprice AS DECIMAL(18,2))"
+    val dt = col("l_shipdate").cast(DateType)
+    val oDt = "CAST(l_shipdate AS DATE)"
+    val vc = concat(col("l_returnflag"), col("l_orderkey").cast("string"))
+    val oVc = "l_returnflag || CAST(l_orderkey AS VARCHAR)"
+    val preds: Seq[(String, Column, String)] = Seq(
+      ("w_mod7", col("l_orderkey") % 7 === 3, "l_orderkey % 7 = 3"),
+      ("w_abs", abs(col("l_partkey") - 50000) < 10000,
+        "abs(l_partkey - 50000) < 10000"),
+      ("w_sqrt", sqrt(col("l_quantity").cast("double")) > 5.0,
+        "sqrt(CAST(l_quantity AS DOUBLE)) > 5.0"),
+      ("w_great", greatest(col("l_quantity").cast("long"), lit(25L)) === 25L,
+        "greatest(CAST(l_quantity AS BIGINT), 25) = 25"),
+      ("w_len", length(vc) >= 7, s"length($oVc) >= 7"),
+      ("w_sub", substring(vc, 2, 1) === lit("1"), s"substr($oVc, 2, 1) = '1'"),
+      ("w_inst", instr(vc, "42") > 0, s"strpos($oVc, '42') > 0"),
+      ("w_upper", upper(col("l_linestatus")) === lit("F"),
+        "upper(l_linestatus) = 'F'"),
+      ("w_rev", reverse(col("l_returnflag")) === col("l_returnflag"),
+        "reverse(l_returnflag) = l_returnflag"),
+      ("w_yr", year(dt) === 1995, s"year($oDt) = 1995"),
+      ("w_mon", month(dt).isin(6, 7, 8), s"month($oDt) IN (6, 7, 8)"),
+      ("w_dow", weekday(dt) + 1 <= 5, s"isodow($oDt) <= 5"),
+      ("w_eom", last_day(dt) === dt, s"last_day($oDt) = $oDt"),
+      ("w_dadd", date_add(dt, 90) > lit("1998-01-01").cast(DateType),
+        s"$oDt + 90 > DATE '1998-01-01'"),
+      ("w_dceil", ceil(de) > lit(30000), s"ceil($oDe) > 30000"),
+      ("w_dmul", (de * 2).cast(DecimalType(24, 2)) > lit(70000),
+        s"CAST($oDe * 2 AS DECIMAL(24,2)) > 70000"),
+      ("w_coal", coalesce(nullif(col("l_linestatus"), lit("O")), lit("x")) === lit("x"),
+        "coalesce(nullif(l_linestatus, 'O'), 'x') = 'x'"),
+      ("w_betw", col("l_quantity").cast("long").between(10L, 20L),
+        "CAST(l_quantity AS BIGINT) BETWEEN 10 AND 20"))
+    val q: QFn = (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_all"),
+        preds.map { case (n, p, _) =>
+          sum(when(p, lit(1L)).otherwise(lit(0L))).as(n) }: _*)
+    val o = preds.map { case (n, _, d) =>
+      s"  CAST(sum(CASE WHEN $d THEN 1 ELSE 0 END) AS BIGINT) AS $n" }
+      .mkString("SELECT\n  CAST(count(*) AS BIGINT) AS n_all,\n", ",\n",
+        "\nFROM lineitem")
+    (q, o)
+  }
+
+  /** Build the (query, oracle) pair for one generated battery.
+    * Rows are scoped by a deterministic 1-in-7 systematic sample on
+    * the order key (same predicate on both engines): the battery
+    * proves per-cell cross-engine parity, so its cost should scale
+    * with the size of the function menu, not the corpus — unsampled,
+    * the 62-wide string battery's single-partition gate sort was the
+    * most expensive query in the whole sf0.1 bench (10 s). */
   private def battery(cells: Seq[Cell]): (QFn, String) = {
     val all = keys ++ cells
     val q: QFn = (s, dir) =>
-      sortAll(t(s, dir, "lineitem").select(all.map(c => c.spark.as(c.name)): _*))
+      sortAll(t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 7 === 0)
+        .select(all.map(c => c.spark.as(c.name)): _*))
     val o = all.map(c => s"  ${c.duck} AS ${c.name}")
-      .mkString("SELECT\n", ",\n", s"\nFROM lineitem ${Q.oSortAll}")
+      .mkString("SELECT\n", ",\n",
+        s"\nFROM lineitem WHERE l_orderkey % 7 = 0 ${Q.oSortAll}")
     (q, o)
   }
 
   private lazy val gen: Map[String, (QFn, String)] = Map(
     "q_type_matrix_fnnum" -> battery(numCells),
     "q_type_matrix_fnstr" -> battery(strCells),
-    "q_type_matrix_fndt" -> battery(dtCells))
+    "q_type_matrix_fndt" -> battery(dtCells),
+    "q_type_matrix_fncond" -> battery(condCells),
+    "q_type_matrix_fngrp" -> grpBattery,
+    "q_type_matrix_fnwhere" -> whereBattery)
 
   val queries: Map[String, QFn] = gen.map { case (n, (q, _)) => n -> q }
   val oracle: Map[String, String] = gen.map { case (n, (_, o)) => n -> o }

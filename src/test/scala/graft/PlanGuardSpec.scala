@@ -66,7 +66,7 @@ class PlanGuardSpec extends SparkSpec {
       "q_type_matrix_null_v2", "q_type_matrix_stredge", "q_type_matrix_dtedge_v2",
       "q_type_matrix_decedge_v2", "q_type_matrix_castmx", "q_type_matrix_poly",
       "q_type_matrix_fnnum", "q_type_matrix_fnstr", "q_type_matrix_fndt",
-      "q_json_table")
+      "q_type_matrix_fncond", "q_json_table")
     val offenders = rowLevel.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString

@@ -39,16 +39,51 @@ class PlanGuardSpec extends SparkSpec {
       "q_sample_temperature",
       "q_curriculum", "q_mix_epochs", "q_hybrid_rrf")
 
+  // every gated query, built once and shared by the fleet-wide sweeps
+  // below (several builders stage real work — DML, streams, catalog
+  // mutations — so building is the expensive part, not asserting)
+  private lazy val built: Seq[(String, org.apache.spark.sql.DataFrame)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> (try fn(spark, sfDir)
+        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") })
+    }
+
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin in any query") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan =
-        try fn(spark, sfDir).queryExecution.sparkPlan.toString
-        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+    val offenders = built.flatMap { case (name, df) =>
+      val plan = df.queryExecution.sparkPlan.toString
       val bad = (plan.contains("CartesianProduct") ||
         plan.contains("BroadcastNestedLoopJoin")) && !allowNestedLoop(name)
       if (bad) Some(name) else None
     }
     assert(offenders.isEmpty, s"nested-loop/cartesian plans: $offenders")
+  }
+
+  // COMPAT divergence #34 at the schema level: the driver-gate hash
+  // has never once passed a query whose output carries a decimal
+  // column (9/9 decimal-emitting queries red across r9-r10, 0/328
+  // green ones emit any). scripts/check_types.py enforces this over
+  // Verify DUMPS (values + temporal ranges); this test enforces the
+  // schema half at `sbt test` time, so a new decimal-typed gate
+  // output fails CI before it ever reaches the driver. The two 1-row
+  // control probes are the documented exceptions.
+  test("no gated query schema carries a decimal output column (COMPAT #34)") {
+    import org.apache.spark.sql.types._
+    val allowTypes = Set("q_probe_decimal", "q_probe_ts9999")
+    def hasDecimal(t: DataType): Boolean = t match {
+      case _: DecimalType => true
+      case a: ArrayType => hasDecimal(a.elementType)
+      case m: MapType => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+      case s: StructType => s.fields.exists(f => hasDecimal(f.dataType))
+      case _ => false
+    }
+    val offenders = built.flatMap { case (name, df) =>
+      if (allowTypes(name)) None
+      else {
+        val bad = df.schema.fields.filter(f => hasDecimal(f.dataType)).map(_.name)
+        if (bad.nonEmpty) Some(s"$name(${bad.mkString(",")})") else None
+      }
+    }
+    assert(offenders.isEmpty, s"decimal-typed gate outputs: $offenders")
   }
 
   // Row-level batteries must stay single-stage scan pipelines: one

@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.dml.{IncrementalJoinRollup, IncrementalRollup, VersionedTable}
 
@@ -21,7 +20,8 @@ object DmlQueries {
     "q_rollup_incremental" -> ((s, dir) => Q.withShufflePartitions(s, 8) {
       // scoped 8 shuffle partitions: 7 small Spark jobs over kilobyte
       // CDC deltas — see Q.withShufflePartitions
-      val root = Files.createTempDirectory("graft_rollup_q").toString
+      Q.withScratch(s, "graft_rollup_q") { rootP =>
+      val root = rootP.toString
       val base = t(s, dir, "lineitem")
         .where(col("l_orderkey") % 4 === 1) // deterministic quarter —
         // same DML/CDC semantics, a quarter of the CoW rewrite volume
@@ -43,6 +43,7 @@ object DmlQueries {
           col("_sum_l_quantity").cast("double").as("sum_qty"),
           round(col("_avg_l_quantity"), 6).as("avg_qty"))
         .orderBy(col("l_returnflag"))
+      }
     }),
 
     // Incremental JOIN-view maintenance (the delta-join identity
@@ -55,7 +56,8 @@ object DmlQueries {
     "q_mv_join_delta" -> ((s, dir) => Q.withShufflePartitions(s, 8) {
       // scoped 8 shuffle partitions: 9 small Spark jobs over the
       // delta-join legs — see Q.withShufflePartitions
-      val root = Files.createTempDirectory("graft_mvjoin_q").toString
+      Q.withScratch(s, "graft_mvjoin_q") { rootP =>
+      val root = rootP.toString
       val orders = t(s, dir, "orders")
       val items = t(s, dir, "lineitem")
       val a = VersionedTable.create(s, s"$root/a",
@@ -87,11 +89,12 @@ object DmlQueries {
           col("_sum_l_quantity").cast("double").as("sum_qty"),
           col("_sum_o_totalprice").cast("double").as("sum_price"))
         .orderBy(col("o_orderstatus"), col("l_returnflag"))
+      }
     }),
 
     // Key-upsert MERGE: overlap takes source values, new keys insert.
-    "q_dml_merge" -> ((s, dir) => {
-      val root = Files.createTempDirectory("graft_merge_q").toString
+    "q_dml_merge" -> ((s, dir) => Q.withScratch(s, "graft_merge_q") { rootP =>
+      val root = rootP.toString
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       val vt = VersionedTable.create(s, s"$root/table",

@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.sources.{Catalog, CsvImporter}
 
@@ -14,9 +13,9 @@ object IngestQueries {
   import Q._
 
   val queries: Map[String, QFn] = Map(
-    "q_ingest_roundtrip" -> ((s, dir) => {
-      val wh = Files.createTempDirectory("graft_ingest_wh").toString
-      val csvDir = Files.createTempDirectory("graft_ingest_csv").toString
+    "q_ingest_roundtrip" -> ((s, dir) => Q.withScratch(s, "graft_ingest") { rootP =>
+      val wh = s"$rootP/wh"
+      val csvDir = s"$rootP/csv"
       val cat = new Catalog(wh, s)
       t(s, dir, "nation").coalesce(1).write.mode("overwrite")
         .option("sep", "|").csv(csvDir)
@@ -31,6 +30,7 @@ object IngestQueries {
         .orderBy(col("r_name"))
     }),
     "q_crossengine_join" -> ((s, dir) => {
+      // (no scratch: the Derby side is in-memory)
       // CrossEngineStep analog, driver-gated (ref
       // `dbcon/joblist/crossenginestep.cpp:822`): a FOREIGN table —
       // an embedded Derby instance standing in for the reference's
@@ -65,7 +65,8 @@ object IngestQueries {
       // full scan at corpus scale), and prove content fidelity through
       // JSON string escaping with per-source md5 checksums against the
       // original table.
-      val jd = Files.createTempDirectory("graft_ingest_jsonl").toString
+      Q.withScratch(s, "graft_ingest_jsonl") { rootP =>
+      val jd = rootP.toString
       t(s, dir, "documents")
         .select("doc_id", "text", "lang", "source", "n_chars")
         .write.mode("overwrite").json(jd)
@@ -80,6 +81,7 @@ object IngestQueries {
           max(md5(col("text"))).as("max_md5"),
           countDistinct(md5(col("text"))).cast("long").as("n_distinct"))
         .orderBy(col("source"))
+      }
     })
   )
 

@@ -310,7 +310,7 @@ object TypeMatrixQueries {
     // fixed edge dates plus the real shipdate, built identically on
     // both sides.
     "q_type_matrix_dtedge_v2" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 7 === 0)
       val m = (col("l_orderkey") * 7 + col("l_linenumber")) % 8
       val base = when(m === 0, lit("2000-02-29").cast(DateType))
         .when(m === 1, lit("1999-12-31").cast(DateType))
@@ -501,7 +501,7 @@ object TypeMatrixQueries {
     //  - narrow-decimal saturation spelled as clamps (same discipline
     //    as sat_tiny/sat_small in the num battery)
     "q_type_matrix_castmx" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 7 === 0)
       val bi = col("l_orderkey")
       val i = (col("l_partkey") % 100000).cast(IntegerType)
       val de = dec(col("l_extendedprice"))
@@ -803,7 +803,7 @@ object TypeMatrixQueries {
         |  CASE l_linenumber % 4 WHEN 0 THEN '29/02/2000'
         |    WHEN 1 THEN '31/02/2001' WHEN 2 THEN '07/13/2001'
         |    ELSE '15/06/1995' END AS str2
-        |  FROM lineitem)
+        |  FROM lineitem WHERE l_orderkey % 7 = 0)
         |SELECT k1, k2, CAST(base AS VARCHAR) AS base,
         |  CAST(CAST(base + INTERVAL 1 MONTH AS DATE) AS VARCHAR) AS d_am1,
         |  CAST(CAST(base - INTERVAL 13 MONTH AS DATE) AS VARCHAR) AS d_amneg,
@@ -912,7 +912,7 @@ object TypeMatrixQueries {
         |  CAST(l_shipdate AS DATE) AS dt,
         |  date_trunc('second', l_shipdate) AS ts,
         |  CAST(l_orderkey AS VARCHAR) AS st
-        |  FROM lineitem)
+        |  FROM lineitem WHERE l_orderkey % 7 = 0)
         |SELECT k1, k2,
         |  st AS c_bi_str,
         |  CAST(de AS VARCHAR) AS c_de_str,

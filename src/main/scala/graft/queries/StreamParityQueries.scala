@@ -200,6 +200,49 @@ object StreamParityQueries {
           col("conv_ts").cast("timestamp_ntz").as("conv_ts"), col("value"))
         .orderBy(col("user_id"), col("view_id"), col("conv_id"))
       }
+    }),
+
+    "q_stream_dedup_parity" -> ((s, dir) => {
+      // Streaming EXACT dedup parity (`StreamingOps.dedupStream`,
+      // spec-only until now): documents arrive in four ts-ordered
+      // slices, duplicates split ACROSS micro-batches, and the
+      // survivor set must equal DuckDB's batch DISTINCT-by-content.
+      // Determinism without fixing which twin survives: the output
+      // projects functions of the TEXT alone (md5, length), which all
+      // exact twins share, so any survivor yields identical rows. The
+      // watermark delay (5 h) exceeds the 4 h synthetic ts spread, so
+      // no state is evicted mid-run — the bounded-state eviction
+      // property itself is StreamingSpec's job; this row gates the
+      // cross-batch exactly-one-survivor semantics.
+      Q.withScratch(s, "graft_stream_dedup") { root =>
+      val watch = root.resolve("incoming"); Files.createDirectories(watch)
+      // the corpus has no exact twins at gate scale — plant them:
+      // every 5th document re-arrives ~2.8 h later under a new id, so
+      // the dedup must DROP it across micro-batches or the output
+      // multiset gains rows the DISTINCT oracle does not have
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val twins = base.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000)
+      val docs = base.unionByName(twins)
+        .withColumn("ts",
+          timestamp_seconds(lit(1704067200L) + (col("doc_id") % 14400)))
+      val (minE, maxE) = minMaxEpoch(docs)
+      stageSlices(root.resolve("st"), watch, tsSlices(docs, minE, maxE))
+      withFewPartitions(s) {
+        val src = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(watch.toString)
+        StreamingOps.dedupStream(src, watermark = "5 hours")
+          .select(col("content_hash").as("h"),
+            length(col("text")).cast("long").as("len"))
+          .writeStream.format("parquet")
+          .option("path", root.resolve("out").toString)
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      s.read.parquet(root.resolve("out").toString).orderBy(col("h"))
+      }
     })
   )
 
@@ -241,6 +284,12 @@ object StreamParityQueries {
         |SELECT v.user_id, v.view_id, c.conv_id, v.view_ts, c.conv_ts, c.value
         |FROM v JOIN c ON c.c_user = v.user_id AND c.conv_ts >= v.view_ts
         |  AND c.conv_ts <= v.view_ts + INTERVAL 30 MINUTE
-        |ORDER BY user_id, view_id, conv_id""".stripMargin
+        |ORDER BY user_id, view_id, conv_id""".stripMargin,
+
+    // the batch twin: one row per distinct content (any survivor of
+    // an exact-twin set projects to the same (md5, length) pair)
+    "q_stream_dedup_parity" ->
+      """SELECT DISTINCT md5(text) AS h, CAST(length(text) AS BIGINT) AS len
+        |FROM documents ORDER BY h""".stripMargin
   )
 }

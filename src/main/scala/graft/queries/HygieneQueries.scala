@@ -252,7 +252,7 @@ object HygieneQueries {
 
   /** Shared DuckDB fragment: word-3-gram shingle sets per doc (same
     * tokenizer class as the Spark `shingle_set` kernel). */
-  private val shingleCte =
+  private[queries] val shingleCte =
     """sh AS (
       |  SELECT doc_id, list_distinct(
       |    CASE WHEN len(toks) >= 3

@@ -243,6 +243,58 @@ object StreamParityQueries {
       }
       s.read.parquet(root.resolve("out").toString).orderBy(col("h"))
       }
+    }),
+
+    "q_stream_decontam_parity" -> ((s, dir) => {
+      // Streaming n-gram decontamination parity
+      // (`StreamingOps.decontaminateStream`, spec-only until now):
+      // the corpus streams in four ts-ordered slices against the
+      // BROADCAST benchmark shingle set (doc_id % 20 = 7 — the same
+      // split as the batch q_decontaminate family), and every kept
+      // doc must carry the exact distinct-shared-shingle count DuckDB
+      // derives from first principles. The groupBy state finalizes in
+      // append mode only when the watermark passes each doc's event
+      // time, so a sentinel 3 h past the corpus flushes all real
+      // groups (the q_stream_window_parity pattern); the sentinel's
+      // negative id filters it out of the gate output.
+      Q.withScratch(s, "graft_stream_decon") { root =>
+      val watch = root.resolve("incoming"); Files.createDirectories(watch)
+      val all = t(s, dir, "documents")
+      val bench = all.filter(col("doc_id") % 20 === 7)
+        .select(col("doc_id"), col("text"))
+      val corpus = all.filter(col("doc_id") % 20 =!= 7)
+        .select(col("doc_id"), col("text"))
+        .withColumn("ts",
+          timestamp_seconds(lit(1704067200L) + (col("doc_id") % 14400)))
+      val (minE, maxE) = minMaxEpoch(corpus)
+      val sentinel = s.sql(
+        s"SELECT CAST(-1 AS BIGINT) AS doc_id, 'x' AS text, " +
+          s"timestamp_seconds(${maxE + 10800}) AS ts")
+      stageSlices(root.resolve("st"), watch,
+        tsSlices(corpus, minE, maxE) :+ sentinel)
+      withFewPartitions(s) {
+        val src = s.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", 1).parquet(watch.toString)
+        // NOTE: the sentinel must NOT be filtered inside the stream —
+        // a doc_id predicate here pushes down to the parquet scan,
+        // drops the sentinel at the source, and the watermark never
+        // advances (observed: zero rows flushed). Its own group can
+        // never flush itself (wm = its ts − 1 h), so the post-hoc
+        // batch-read filter below is belt-and-braces only.
+        StreamingOps.decontaminateStream(src, bench, minHits = 5,
+            watermark = "1 hour")
+          .select(col("doc_id"), col("n_hits"))
+          .writeStream.format("parquet")
+          .option("path", root.resolve("out").toString)
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      s.read.parquet(root.resolve("out").toString)
+        .filter(col("doc_id") >= 0)
+        .orderBy(col("doc_id"))
+      }
     })
   )
 
@@ -290,6 +342,21 @@ object StreamParityQueries {
     // an exact-twin set projects to the same (md5, length) pair)
     "q_stream_dedup_parity" ->
       """SELECT DISTINCT md5(text) AS h, CAST(length(text) AS BIGINT) AS len
-        |FROM documents ORDER BY h""".stripMargin
+        |FROM documents ORDER BY h""".stripMargin,
+
+    // the batch twin of the streaming decontamination: distinct
+    // shared-shingle counts per corpus doc vs the benchmark slice,
+    // kept iff < 5 (HygieneQueries.shingleCte is the shared shingle
+    // rule — trigram sets, whole-text fallback for short docs)
+    "q_stream_decontam_parity" ->
+      s"""WITH ${HygieneQueries.shingleCte},
+        |bench AS (SELECT DISTINCT unnest(s) AS ng FROM sh WHERE doc_id % 20 = 7),
+        |corp AS (SELECT doc_id, unnest(s) AS ng FROM sh WHERE doc_id % 20 <> 7),
+        |hit AS (SELECT c.doc_id, COUNT(*) AS h
+        |        FROM corp c JOIN bench b USING (ng) GROUP BY c.doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(hit.h, 0) AS BIGINT) AS n_hits
+        |FROM documents d LEFT JOIN hit ON d.doc_id = hit.doc_id
+        |WHERE d.doc_id % 20 <> 7 AND COALESCE(hit.h, 0) < 5
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -295,6 +295,45 @@ object StreamParityQueries {
         .filter(col("doc_id") >= 0)
         .orderBy(col("doc_id"))
       }
+    }),
+
+    "q_stream_neardup_parity" -> ((s, dir) => {
+      // Streaming MinHash near-dup detection vs a STATIC corpus
+      // (`StreamingOps.nearDupVsCorpus`, spec-only until now): odd
+      // documents stream in four slices, band-bucket-join the even
+      // half's precomputed LSH index, verify candidates by exact
+      // Jaccard ≥ 0.6, and the emitted pair set must equal DuckDB's
+      // all-pairs odd×even ground truth (the q_dedup_minhash recall
+      // argument: qualifying pairs on this corpus sit at j ≥ 0.75,
+      // where 16×4 banding misses with p < 0.003). Stateless bucket
+      // join → pairs emit on arrival; the only state is the
+      // emit-dedup watermark, so no sentinel is needed.
+      Q.withScratch(s, "graft_stream_ndup") { root =>
+      val watch = root.resolve("incoming"); Files.createDirectories(watch)
+      val all = t(s, dir, "documents")
+      val corpus = all.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+      val streamDocs = all.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("text"))
+        .withColumn("ts",
+          timestamp_seconds(lit(1704067200L) + (col("doc_id") % 14400)))
+      val (minE, maxE) = minMaxEpoch(streamDocs)
+      stageSlices(root.resolve("st"), watch, tsSlices(streamDocs, minE, maxE))
+      withFewPartitions(s) {
+        val src = s.readStream.schema(streamDocs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(watch.toString)
+        StreamingOps.nearDupVsCorpus(src, corpus, threshold = 0.6)
+          .select(col("stream_id"), col("corpus_id"), col("jaccard"))
+          .writeStream.format("parquet")
+          .option("path", root.resolve("out").toString)
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      s.read.parquet(root.resolve("out").toString)
+        .orderBy(col("stream_id"), col("corpus_id"))
+      }
     })
   )
 
@@ -357,6 +396,18 @@ object StreamParityQueries {
         |SELECT d.doc_id, CAST(COALESCE(hit.h, 0) AS BIGINT) AS n_hits
         |FROM documents d LEFT JOIN hit ON d.doc_id = hit.doc_id
         |WHERE d.doc_id % 20 <> 7 AND COALESCE(hit.h, 0) < 5
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // all-pairs odd×even exact-Jaccard ground truth (the batch
+    // q_dedup_minhash oracle restricted to the stream/corpus split) —
+    // equality also measures the banded index's end-to-end recall
+    "q_stream_neardup_parity" ->
+      s"""WITH ${HygieneQueries.shingleCte}
+        |SELECT stream_id, corpus_id, jaccard FROM (
+        |  SELECT a.doc_id AS stream_id, b.doc_id AS corpus_id,
+        |    len(list_intersect(a.s, b.s))::DOUBLE
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0) t
+        |WHERE jaccard >= 0.6 ORDER BY stream_id, corpus_id""".stripMargin
   )
 }

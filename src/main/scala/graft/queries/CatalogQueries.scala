@@ -164,6 +164,44 @@ object CatalogQueries {
       } finally s.conf.set(key, prev)
     }),
 
+    // Z-ORDER clustered layout (`sources/ZOrder.scala`; the
+    // multi-dimensional extent-elimination analog — casual-partition
+    // min/max pruning that stays selective on BOTH predicate columns
+    // at once): orders rewritten as 16 z-ordered files on
+    // (o_custkey, o_totalprice); a center box predicate over both
+    // dims is value-checked against DuckDB on the raw table, and the
+    // layout guarantee — the box overlaps ≤ 3/4 of the files on EACH
+    // dimension independently — rides along as a pinned-TRUE column
+    // (LayoutSpec keeps the comparative flat/single-sort baselines
+    // and the zipf-skew equi-depth property). The band bounds are
+    // lo + 0.45·(hi−lo) .. lo + 0.55·(hi−lo) computed with the same
+    // IEEE expression shape on both engines, so the box edges are
+    // bit-identical.
+    "q_layout_zorder" -> ((s, dir) => Q.withScratch(s, "graft_zorder_q") { root =>
+      import graft.sources.ZOrder
+      val orders = Q.t(s, dir, "orders")
+      val nFiles = 16
+      val zPath = s"$root/z"
+      ZOrder.writeZOrdered(orders, zPath, Seq("o_custkey", "o_totalprice"), nFiles)
+      val zDf = s.read.parquet(zPath)
+      val r = orders.agg(
+        min(col("o_custkey").cast("double")), max(col("o_custkey").cast("double")),
+        min(col("o_totalprice")), max(col("o_totalprice"))).head
+      def band(lo: Double, hi: Double): (Double, Double) =
+        (lo + 0.45 * (hi - lo), lo + 0.55 * (hi - lo))
+      val (cklo, ckhi) = band(r.getDouble(0), r.getDouble(1))
+      val (tplo, tphi) = band(r.getDouble(2), r.getDouble(3))
+      val zCk = ZOrder.filesOverlapping(zDf, "o_custkey", cklo, ckhi)
+      val zTp = ZOrder.filesOverlapping(zDf, "o_totalprice", tplo, tphi)
+      zDf.filter(col("o_custkey").cast("double").between(cklo, ckhi) &&
+          col("o_totalprice").between(tplo, tphi))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Q.sumDec(col("o_totalprice")).as("price_sum"))
+        .withColumn("pruned_both_dims",
+          lit(zCk <= nFiles * 3 / 4 && zTp <= nFiles * 3 / 4))
+    }),
+
     // ALTER TABLE schema evolution (`sources/Catalog.scala`; reference
     // `dbcon/ddlpackage/ddl.y` ALTER grammar executed by ddlproc):
     // ADD COLUMN then DROP COLUMN as pure metadata over two file
@@ -360,6 +398,26 @@ object CatalogQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    // box agg recomputed over the raw table (layout-independent);
+    // the multi-dim prune guarantee is pinned TRUE; band bounds are
+    // the identical IEEE expression on both sides
+    "q_layout_zorder" ->
+      """WITH b AS (SELECT CAST(min(o_custkey) AS DOUBLE) AS cklo0,
+        |    CAST(max(o_custkey) AS DOUBLE) AS ckhi0,
+        |    min(o_totalprice) AS tplo0, max(o_totalprice) AS tphi0
+        |  FROM orders),
+        |r AS (SELECT cklo0 + 0.45 * (ckhi0 - cklo0) AS cklo,
+        |    cklo0 + 0.55 * (ckhi0 - cklo0) AS ckhi,
+        |    tplo0 + 0.45 * (tphi0 - tplo0) AS tplo,
+        |    tplo0 + 0.55 * (tphi0 - tplo0) AS tphi FROM b)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+        |  TRUE AS pruned_both_dims
+        |FROM orders, r
+        |WHERE CAST(o_custkey AS DOUBLE) BETWEEN cklo AND ckhi
+        |  AND o_totalprice BETWEEN tplo AND tphi""".stripMargin,
 
     // both evolution phases rebuilt from the raw tables
     "q_catalog_evolution" ->

@@ -164,6 +164,39 @@ object CatalogQueries {
       } finally s.conf.set(key, prev)
     }),
 
+    // Runtime bloom-filter injection (the casual-partition/extent-
+    // elimination analog: the SELECTIVE side's runtime values prune
+    // the big side's scan before the join): on by default with
+    // cluster-calibrated size gates (application side must scan
+    // > 10 GB), lowered here to fire at gate scale exactly as
+    // PlanSpec does. The injection proof — `might_contain` in the
+    // optimized plan — rides along as a pinned-TRUE column next to
+    // the value-checked join aggregate. At 100 TB this is the
+    // difference between scanning the full fact table and only the
+    // row groups that can possibly match the urgent orders.
+    "q_opt_bloomjoin" -> ((s, dir) => {
+      val confs = Map(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+      val olds = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+      try {
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        val li = Q.t(s, dir, "lineitem")
+        val ord = Q.t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+        val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), Q.sumDec(col("l_quantity")).as("qty_sum"))
+        // force optimization NOW, under the lowered gates
+        val injected =
+          j.queryExecution.optimizedPlan.toString.contains("might_contain")
+        j.withColumn("bloom_injected", lit(injected))
+          .orderBy(col("o_orderpriority"))
+      } finally olds.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+    }),
+
     // Z-ORDER clustered layout (`sources/ZOrder.scala`; the
     // multi-dimensional extent-elimination analog — casual-partition
     // min/max pruning that stays selective on BOTH predicate columns
@@ -398,6 +431,17 @@ object CatalogQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    // join values recomputed from the raw tables; the bloom
+    // injection proof is pinned TRUE
+    "q_opt_bloomjoin" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum,
+        |  TRUE AS bloom_injected
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     // box agg recomputed over the raw table (layout-independent);
     // the multi-dim prune guarantee is pinned TRUE; band bounds are

@@ -164,6 +164,40 @@ object CatalogQueries {
       } finally s.conf.set(key, prev)
     }),
 
+    // Stats-driven join REORDER (the spanning-tree join ordering of
+    // jlf_tuplejoblist, ref dbcon/joblist/jlf_tuplejoblist.cpp:1607):
+    // the query is WRITTEN with the two big tables joining first and
+    // the selective 25-row dim last; with ANALYZE stats on all three
+    // inputs, CostBasedJoinReorder must pull the dim ahead of the
+    // big-big join. The reorder proof (dim among the first two leaves
+    // of the optimized plan) is pinned TRUE next to the value-checked
+    // aggregate — reordering must be a pure optimization.
+    "q_opt_joinreorder" -> ((s, dir) => {
+      import graft.plans.Analyze
+      Analyze.analyzed(s, Q.t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        "graft_jr_orders")
+      Analyze.analyzed(s, Q.t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")), "graft_jr_customer")
+      Analyze.analyzed(s, Q.t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"), col("n_name")),
+        "graft_jr_nation")
+      val df = s.sql(
+        """SELECT n.n_name, o.o_totalprice
+          |FROM graft_jr_orders o
+          |JOIN graft_jr_customer c ON o.o_custkey = c.c_custkey
+          |JOIN graft_jr_nation n ON c.c_nationkey = n.n_nationkey
+          |WHERE n.n_regionkey = 0""".stripMargin)
+      val names = Seq("graft_jr_orders", "graft_jr_customer", "graft_jr_nation")
+      val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+        .map(_.toString).map(x => names.find(x.contains).getOrElse("?"))
+      val dimEarly = leaves.indexOf("graft_jr_nation") < 2
+      df.groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"), Q.sumDec(col("o_totalprice")).as("price_sum"))
+        .withColumn("dim_joined_early", lit(dimEarly))
+        .orderBy(col("n_name"))
+    }),
+
     // Runtime bloom-filter injection (the casual-partition/extent-
     // elimination analog: the SELECTIVE side's runtime values prune
     // the big side's scan before the join): on by default with
@@ -431,6 +465,18 @@ object CatalogQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    // join values recomputed from the raw tables; the CBO reorder
+    // proof is pinned TRUE
+    "q_opt_joinreorder" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+        |  TRUE AS dim_joined_early
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_regionkey = 0
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
 
     // join values recomputed from the raw tables; the bloom
     // injection proof is pinned TRUE

@@ -92,6 +92,64 @@ object DmlQueries {
       }
     }),
 
+    // MVCC time travel + ROLLBACK at the gate: every published version
+    // stays readable (the VSS/VBBM versioned-block analog — old block
+    // versions remain until vacuum), and rollback republishes an old
+    // file set as a NEW version (history append-only). Four snapshots
+    // — v0 create, v1 insert, v2 delete, v3 = rollback(1) — each
+    // value-checked from first principles; v3 must equal v1 exactly
+    // (rollback is pure manifest metadata, no data rewrite).
+    "q_dml_timetravel" -> ((s, dir) => Q.withScratch(s, "graft_tt_q") { rootP =>
+      val root = rootP.toString
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val vt = VersionedTable.create(s, s"$root/table",
+        orders.where(col("o_orderkey") % 2 === 0))
+      vt.insert(orders.where(col("o_orderkey") % 2 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 1))
+      vt.delete(col("o_orderkey") % 3 === 0)
+      vt.rollback(1)
+      def snap(v: Int, label: String) =
+        vt.read(v).agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("key_sum"),
+            d(sum(dec(col("o_totalprice")))).as("price_sum"))
+          .select(lit(label).as("phase"), col("n"), col("key_sum"),
+            col("price_sum"))
+      snap(0, "v0_create")
+        .unionByName(snap(1, "v1_insert"))
+        .unionByName(snap(2, "v2_delete"))
+        .unionByName(snap(vt.currentVersion, "v3_rollback"))
+        .orderBy(col("phase"))
+    }),
+
+    // OPTIMIZE (file compaction, Z-order clustered) at the gate: three
+    // inserts fragment the table into ~12 files; optimize(2) rewrites
+    // them as 2 z-ordered files in ONE new version. Value-checked agg
+    // proves compaction is content-neutral; pinned booleans prove the
+    // file count actually dropped and the PRE-compaction version is
+    // still readable afterwards (compaction is just another MVCC
+    // version — time travel crosses it until vacuum).
+    "q_dml_optimize" -> ((s, dir) => Q.withScratch(s, "graft_opt_q") { rootP =>
+      val root = rootP.toString
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val vt = VersionedTable.create(s, s"$root/table",
+        orders.where(col("o_orderkey") % 3 === 0))
+      vt.insert(orders.where(col("o_orderkey") % 3 === 1))
+      vt.insert(orders.where(col("o_orderkey") % 3 === 2))
+      val before = vt.currentVersion
+      val nBefore = vt.read(before).inputFiles.length
+      vt.optimize(2, Seq("o_orderkey"))
+      val nAfter = vt.read().inputFiles.length
+      val historyReadable = vt.read(before).count() == vt.read().count()
+      vt.read().agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          d(sum(dec(col("o_totalprice")))).as("price_sum"))
+        .select(col("n"), col("key_sum"), col("price_sum"),
+          lit(nAfter <= 2 && nBefore > 2).as("compacted"),
+          lit(historyReadable).as("history_readable"))
+    }),
+
     // Key-upsert MERGE: overlap takes source values, new keys insert.
     "q_dml_merge" -> ((s, dir) => Q.withScratch(s, "graft_merge_q") { rootP =>
       val root = rootP.toString
@@ -148,6 +206,36 @@ object DmlQueries {
         |FROM a_final JOIN b_final ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus, l_returnflag
         |ORDER BY o_orderstatus, l_returnflag""".stripMargin,
+    // the four snapshots from first principles; v3 repeats v1 (the
+    // rollback contract)
+    "q_dml_timetravel" ->
+      """WITH v0 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+        |v1 AS (SELECT o_orderkey, o_totalprice FROM v0
+        |       UNION ALL
+        |       SELECT o_orderkey, o_totalprice + 1 FROM orders WHERE o_orderkey % 2 = 1),
+        |v2 AS (SELECT * FROM v1 WHERE o_orderkey % 3 <> 0),
+        |s AS (
+        |  SELECT 'v0_create' AS phase, COUNT(*) AS n, SUM(o_orderkey) AS key_sum,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum FROM v0
+        |  UNION ALL
+        |  SELECT 'v1_insert', COUNT(*), SUM(o_orderkey),
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM v1
+        |  UNION ALL
+        |  SELECT 'v2_delete', COUNT(*), SUM(o_orderkey),
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM v2
+        |  UNION ALL
+        |  SELECT 'v3_rollback', COUNT(*), SUM(o_orderkey),
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM v1)
+        |SELECT phase, CAST(n AS BIGINT) AS n, CAST(key_sum AS BIGINT) AS key_sum, price_sum
+        |FROM s ORDER BY phase""".stripMargin,
+    // compaction is content-neutral: the agg is just full orders; the
+    // file-count drop and history-readability proofs are pinned TRUE
+    "q_dml_optimize" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+        |  TRUE AS compacted, TRUE AS history_readable
+        |FROM orders""".stripMargin,
     "q_dml_merge" ->
       """WITH merged AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice + 1 AS price

@@ -30,13 +30,27 @@ outdir = sys.argv[1]
 bad = 0
 names = sorted(d for d in os.listdir(outdir)
                if os.path.isdir(os.path.join(outdir, d)))
+def has_nested_decimal(t):
+    """Recurse through list/struct/map types — a decimal hidden inside
+    collect_list(...) or a struct field hits the same driver-hash
+    divergence as a top-level one (mirrors PlanGuardSpec.hasDecimal)."""
+    if pa.types.is_decimal(t):
+        return True
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return has_nested_decimal(t.value_type)
+    if pa.types.is_map(t):
+        return has_nested_decimal(t.key_type) or has_nested_decimal(t.item_type)
+    if pa.types.is_struct(t):
+        return any(has_nested_decimal(t.field(i).type) for i in range(t.num_fields))
+    return False
+
 for name in names:
     if name in ALLOW:
         continue
     tbl = pq.read_table(os.path.join(outdir, name))
     for field in tbl.schema:
         t = field.type
-        if pa.types.is_decimal(t):
+        if has_nested_decimal(t):
             print(f"FAIL {name}.{field.name}: decimal column ({t})")
             bad += 1
         elif pa.types.is_date(t) or pa.types.is_timestamp(t):

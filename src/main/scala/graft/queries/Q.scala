@@ -56,14 +56,38 @@ object Q {
       finally walk.close()
     }
 
+  /** Plan text of every query localize() executed on this thread —
+    * localization replaces the real plan with a LocalRelation, which
+    * would otherwise make the fleet-wide PlanGuardSpec sweeps vacuous
+    * for withScratch queries (they'd inspect a LocalTableScan and
+    * pass anything). The guard drains this buffer after building each
+    * query and audits the captured plans instead. Thread-local so
+    * parallel test suites can't interleave captures. */
+  private val capturedPlans =
+    ThreadLocal.withInitial[scala.collection.mutable.ArrayBuffer[String]](
+      () => scala.collection.mutable.ArrayBuffer.empty[String])
+
+  /** Drain (return + clear) the plans localize() captured on this
+    * thread since the last drain. */
+  def drainLocalizedPlans(): Seq[String] = {
+    val buf = capturedPlans.get()
+    val out = buf.toList
+    buf.clear()
+    out
+  }
+
   /** Materialize a gate-sized result into a driver-local relation.
     * Gate outputs are bounded by contract (the driver hash-compares
     * every row against DuckDB), so collecting them is cheap — and it
     * severs the plan's dependency on scratch files so staging can be
     * deleted before the DataFrame is returned. Row order (the gate's
-    * determinism sort) is preserved by collect(). */
+    * determinism sort) is preserved by collect(). The executed plan
+    * is recorded for [[drainLocalizedPlans]] before it is discarded. */
   def localize(s: SparkSession, df: DataFrame): DataFrame = {
     import scala.jdk.CollectionConverters._
+    val buf = capturedPlans.get()
+    if (buf.size >= 64) buf.remove(0) // bound memory across long bench runs
+    buf += df.queryExecution.sparkPlan.toString
     s.createDataFrame(df.collect().toSeq.asJava, df.schema)
   }
 
@@ -90,8 +114,11 @@ object Q {
   def stagedOnce(key: String)(build: java.nio.file.Path => Unit): String =
     stagedDirs.computeIfAbsent(key, _ => {
       val root = java.nio.file.Files.createTempDirectory("graft_stage")
-      build(root)
+      // register cleanup BEFORE building: a build cancelled mid-write
+      // (bench watchdog) must not leak its half-written tree
       sys.addShutdownHook(deleteTree(root))
+      try build(root)
+      catch { case e: Throwable => deleteTree(root); throw e }
       root.toString
     })
 

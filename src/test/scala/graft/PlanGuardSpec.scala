@@ -41,18 +41,25 @@ class PlanGuardSpec extends SparkSpec {
 
   // every gated query, built once and shared by the fleet-wide sweeps
   // below (several builders stage real work — DML, streams, catalog
-  // mutations — so building is the expensive part, not asserting)
-  private lazy val built: Seq[(String, org.apache.spark.sql.DataFrame)] =
+  // mutations — so building is the expensive part, not asserting).
+  // Queries routed through Q.withScratch/localize return a
+  // LocalRelation whose plan text says nothing about the real query —
+  // the plans localize() executed are drained per query and audited
+  // alongside, so the cartesian sweep is NOT vacuous for them.
+  private lazy val built
+      : Seq[(String, org.apache.spark.sql.DataFrame, Seq[String])] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> (try fn(spark, sfDir)
-        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") })
+      graft.queries.Q.drainLocalizedPlans() // discard stale captures
+      val df = try fn(spark, sfDir)
+        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      (name, df, graft.queries.Q.drainLocalizedPlans())
     }
 
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin in any query") {
-    val offenders = built.flatMap { case (name, df) =>
-      val plan = df.queryExecution.sparkPlan.toString
-      val bad = (plan.contains("CartesianProduct") ||
-        plan.contains("BroadcastNestedLoopJoin")) && !allowNestedLoop(name)
+    val offenders = built.flatMap { case (name, df, staged) =>
+      val plans = df.queryExecution.sparkPlan.toString +: staged
+      val bad = plans.exists(p => p.contains("CartesianProduct") ||
+        p.contains("BroadcastNestedLoopJoin")) && !allowNestedLoop(name)
       if (bad) Some(name) else None
     }
     assert(offenders.isEmpty, s"nested-loop/cartesian plans: $offenders")
@@ -76,7 +83,7 @@ class PlanGuardSpec extends SparkSpec {
       case s: StructType => s.fields.exists(f => hasDecimal(f.dataType))
       case _ => false
     }
-    val offenders = built.flatMap { case (name, df) =>
+    val offenders = built.flatMap { case (name, df, _) =>
       if (allowTypes(name)) None
       else {
         val bad = df.schema.fields.filter(f => hasDecimal(f.dataType)).map(_.name)

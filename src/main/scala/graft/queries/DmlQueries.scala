@@ -150,6 +150,31 @@ object DmlQueries {
           lit(historyReadable).as("history_readable"))
     }),
 
+    // VACUUM (version-buffer reclamation on transaction end): after a
+    // create/insert/delete history, vacuum(keepVersions=1) must drop
+    // the superseded manifests AND their now-unreferenced data files
+    // while leaving the live version bit-identical. Pinned booleans:
+    // files were actually reclaimed, and time travel to v0 now FAILS
+    // (the inverse of q_dml_optimize's history_readable — together
+    // they pin the retention boundary exactly at `keepVersions`).
+    "q_dml_vacuum" -> ((s, dir) => Q.withScratch(s, "graft_vac_q") { rootP =>
+      val root = rootP.toString
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val vt = VersionedTable.create(s, s"$root/table",
+        orders.where(col("o_orderkey") % 2 === 0))
+      vt.insert(orders.where(col("o_orderkey") % 2 === 1))
+      vt.delete(col("o_orderkey") % 5 === 0)
+      val removed = vt.vacuum(keepVersions = 1)
+      val historyGone = scala.util.Try(vt.read(0).count()).isFailure
+      vt.read().agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          d(sum(dec(col("o_totalprice")))).as("price_sum"))
+        .select(col("n"), col("key_sum"), col("price_sum"),
+          lit(removed > 0).as("files_reclaimed"),
+          lit(historyGone).as("history_reclaimed"))
+    }),
+
     // Key-upsert MERGE: overlap takes source values, new keys insert.
     "q_dml_merge" -> ((s, dir) => Q.withScratch(s, "graft_merge_q") { rootP =>
       val root = rootP.toString
@@ -236,6 +261,14 @@ object DmlQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
         |  TRUE AS compacted, TRUE AS history_readable
         |FROM orders""".stripMargin,
+    // live state = full orders minus the deleted fifth; reclamation
+    // proofs pinned TRUE
+    "q_dml_vacuum" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+        |  TRUE AS files_reclaimed, TRUE AS history_reclaimed
+        |FROM orders WHERE o_orderkey % 5 <> 0""".stripMargin,
     "q_dml_merge" ->
       """WITH merged AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice + 1 AS price

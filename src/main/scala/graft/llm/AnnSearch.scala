@@ -380,9 +380,60 @@ object AnnSearch {
       corpus: DataFrame, threshold: Double,
       numPlanes: Int = 8, numTables: Int = 8, probeBits: Int = 1, dim: Int = 64,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val c0 = corpus.select(col(id).as("_id"), asDouble(col(vec)).as("_v"),
-      norm(asDouble(col(vec))).as("_n"))
-    verifyPairs(lshCandidatePairs(c0, numPlanes, numTables, probeBits, dim), c0, threshold)
+    val (classes, members) = vectorClasses(corpus, id, vec)
+    val repPairs = verifyPairs(
+      lshCandidatePairs(classes, numPlanes, numTables, probeBits, dim),
+      classes, threshold)
+    expandVectorClassPairs(repPairs, classes, members, threshold)
+  }
+
+  /** (classes, members) of the exact-vector twin collapse (round 12):
+    * a corpus with k copies of a vector used to push all k through
+    * bucketing/blocking and compare them pairwise — O(k²) candidate
+    * rows for pairs that are definitionally duplicates. `classes` is
+    * one row per DISTINCT vector (_id = min member id, _v, _n);
+    * `members` maps every original id to its class. Spark normalizes
+    * NaN/−0.0 in group and join keys (NormalizeFloatingNumbers), so
+    * the groupBy and the membership join agree on what "identical"
+    * means. Reference analog: the dictionary scan dedups values before
+    * its join (`dbcon/joblist/pdictionaryscan.cpp`). */
+  private def vectorClasses(corpus: DataFrame, id: String, vec: String): (DataFrame, DataFrame) = {
+    val keyed = corpus.select(col(id).as("_mid"), asDouble(col(vec)).as("_v"))
+    val classes = keyed.groupBy(col("_v")).agg(min(col("_mid")).as("_id"))
+      .select(col("_id"), col("_v"), norm(col("_v")).as("_n"))
+    val members = keyed.join(classes.select(col("_v"), col("_id").as("_cid")), "_v")
+      .select(col("_cid"), col("_mid"))
+    (classes, members)
+  }
+
+  /** Expand class-representative pairs (id_a, id_b, cosine) to member
+    * pairs — classes are disjoint, so each member pair appears exactly
+    * once, with the cosine computed ONCE per class pair (identical
+    * vectors ⇒ identical doubles) — and add within-class pairs, whose
+    * value is the class vector's self-cosine through the SAME guarded
+    * expression the cross path evaluates (dot/(n·n), zero-norm → 0.0,
+    * clamped), so every emitted double is bit-identical to what the
+    * pre-collapse all-member plan produced. */
+  private def expandVectorClassPairs(repPairs: DataFrame, classes: DataFrame,
+      members: DataFrame, threshold: Double): DataFrame = {
+    val d = col("_n") * col("_n")
+    val selfCos = least(greatest(
+      when(d > 0, dot(col("_v"), col("_v")) / d).otherwise(lit(0.0)),
+      lit(-1.0)), lit(1.0))
+    val classSelf = classes.select(col("_id").as("_cid"), selfCos.as("cosine"))
+      .filter(col("cosine") >= threshold)
+    val twins = members.as("a").join(members.as("b"),
+        col("a._cid") === col("b._cid") && col("a._mid") < col("b._mid"))
+      .select(col("a._cid").as("_cid"),
+        col("a._mid").as("id_a"), col("b._mid").as("id_b"))
+      .join(classSelf, "_cid")
+      .select(col("id_a"), col("id_b"), col("cosine"))
+    val cross = repPairs
+      .join(members.select(col("_cid").as("id_a"), col("_mid").as("_ia")), "id_a")
+      .join(members.select(col("_cid").as("id_b"), col("_mid").as("_ib")), "id_b")
+      .select(least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"), col("cosine"))
+    twins.unionByName(cross)
   }
 
   /** The multi-probe candidate stage of `cosineDupPairs`, exposed so
@@ -418,9 +469,8 @@ object AnnSearch {
   def cosineCandidateCount(corpus: DataFrame,
       numPlanes: Int = 8, numTables: Int = 8, probeBits: Int = 1, dim: Int = 64,
       id: String = "vec_id", vec: String = "embedding"): Long = {
-    val c0 = corpus.select(col(id).as("_id"), asDouble(col(vec)).as("_v"),
-      norm(asDouble(col(vec))).as("_n"))
-    lshCandidatePairs(c0, numPlanes, numTables, probeBits, dim).count()
+    val (classes, _) = vectorClasses(corpus, id, vec)
+    lshCandidatePairs(classes, numPlanes, numTables, probeBits, dim).count()
   }
 
   /** EXACT cosine-similarity self-join (every pair with cosine ≥
@@ -447,8 +497,12 @@ object AnnSearch {
       corpus: DataFrame, threshold: Double, numBlocks: Int = 16,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val b = numBlocks
-    val c0 = corpus.select(col(id).as("_id"), asDouble(col(vec)).as("_v"),
-      norm(asDouble(col(vec))).as("_n"), pmod(hash(col(id)), lit(b)).as("_blk"))
+    // exact-twin collapse (round 12): the O(N²) comparison grid runs
+    // over DISTINCT vectors only — k copies of a vector cost one class
+    // row in the grid, not k² comparisons; member pairs are generated
+    // from the qualifying class pairs, never compared.
+    val (classes, members) = vectorClasses(corpus, id, vec)
+    val c0 = classes.withColumn("_blk", pmod(hash(col("_id")), lit(b)))
     val aSide = c0
       .select(col("_id").as("id_a"), col("_v").as("_va"), col("_n").as("_na"),
         col("_blk").as("_ba"), explode(sequence(col("_blk"), lit(b - 1))).as("_j"))
@@ -461,12 +515,13 @@ object AnnSearch {
     val cos = least(greatest(
       when(d > 0, dot(col("_va"), col("_vb")) / d).otherwise(lit(0.0)),
       lit(-1.0)), lit(1.0))
-    aSide.join(bSide, Seq("_cell"))
+    val repPairs = aSide.join(bSide, Seq("_cell"))
       // same-block cells see both orderings (and self-pairs): keep one;
       // cross-block pairs meet exactly once, in either id order
       .filter(col("_ba") =!= col("_bb") || col("id_a") < col("id_b"))
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), cos.as("cosine"))
       .filter(col("cosine") >= threshold)
+    expandVectorClassPairs(repPairs, classes, members, threshold)
   }
 }

@@ -519,6 +519,39 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     require(threshold > 0, "threshold must be positive (zero-overlap pairs are never emitted)")
+    require(numHashes == 64, "the minhash64 kernel signature is fixed at 64 hashes")
+
+    // EXACT-TWIN COLLAPSE (round 12): identical texts share the
+    // signature, every band bucket, and the shingle set — running k
+    // copies through LSH used to emit O(k²·bands) collision rows for
+    // pairs that are *definitionally* duplicates. Classes are keyed by
+    // md5(text); LSH + verify run over one representative per class,
+    // and twin-class pairs are emitted directly (each exactly once, no
+    // banding, no distinct). NULL texts never verified into a pair
+    // before (NULL shingle set → NULL jaccard → dropped); they are
+    // excluded up front so a NULL-heavy corpus cannot form a
+    // degenerate class. Reference analog: the dictionary scan dedups
+    // tokens before its join (`dbcon/joblist/pdictionaryscan.cpp`).
+    val base = docs.filter(col(text).isNotNull)
+      .select(col(id).as("_id"), col(text).as("_t"), md5(col(text)).as("_ck"))
+    val reps = base.groupBy(col("_ck"))
+      .agg(min(col("_id")).as("_id"), first(col("_t")).as("_t"))
+
+    // twin-class pairs: jaccard via the same int/int → double quotient
+    // as the verify stage — |S|/(|S|+|S|−|S|), exactly 1.0 for
+    // non-empty sets, NULL-division-dropped for degenerate empties.
+    // The shingle kernel runs once per CLASS, not per pair.
+    val members = base.select(col("_ck"), col("_id"))
+    val classSz = reps.select(col("_ck"),
+      size(call_function("shingle_set", col("_t"), lit(shingleN))).as("_sz"))
+    val twins = members.as("a").join(members.as("b"),
+        col("a._ck") === col("b._ck") && col("a._id") < col("b._id"))
+      .select(col("a._ck").as("_ck"),
+        col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .join(classSz, "_ck")
+      .select(col("id_a"), col("id_b"),
+        (col("_sz") / (col("_sz") + col("_sz") - col("_sz"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
 
     // Signatures: the native one-pass minhash64 kernel — no shingle
     // explode, no shuffle, no 64-min aggregate; bit-identical to
@@ -527,8 +560,8 @@ object Dedup {
     // share a subtree share its work through Spark's exchange reuse —
     // an earlier localCheckpoint here leaked BlockManager storage
     // across the whole bench suite.
-    require(numHashes == 64, "the minhash64 kernel signature is fixed at 64 hashes")
-    val bucketed = minhashBandBuckets(docs, id, text, bands, shingleN)
+    val repDocs = reps.select(col("_id"), col("_t"))
+    val bucketed = minhashBandBuckets(repDocs, "_id", "_t", bands, shingleN)
 
     val pairs = bucketed.as("a")
       .join(bucketed.as("b"),
@@ -536,14 +569,14 @@ object Dedup {
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct() // a pair can collide in several bands
 
-    // Exact verify: join each pair's shingle ARRAYS (one shingle_set
-    // kernel call per doc, docs-count narrow rows) and intersect per
-    // pair — Σ_pairs(|A|+|B|) element work, no exploded-row shuffle.
-    // Same shape as jaccardDupPairs' verify.
-    val sets = docs.select(col(id).as("_id"),
-      call_function("shingle_set", col(text), lit(shingleN)).as("_set"))
+    // Exact verify: join each candidate class pair's shingle ARRAYS
+    // (one shingle_set kernel call per class, class-count narrow rows)
+    // and intersect per pair — Σ_pairs(|A|+|B|) element work, no
+    // exploded-row shuffle. Same shape as jaccardDupPairs' verify.
+    val sets = repDocs.select(col("_id"),
+      call_function("shingle_set", col("_t"), lit(shingleN)).as("_set"))
     val inter = size(array_intersect(col("_seta"), col("_setb")))
-    pairs
+    val repPairs = pairs
       .join(sets.select(col("_id").as("id_a"), col("_set").as("_seta")), "id_a")
       .join(sets.select(col("_id").as("id_b"), col("_set").as("_setb")), "id_b")
       .withColumn("_inter", inter)
@@ -551,6 +584,21 @@ object Dedup {
         col("_inter") / (size(col("_seta")) + size(col("_setb")) - col("_inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+
+    // expand qualifying class pairs to member pairs: classes are
+    // disjoint, so each member pair appears exactly once, with the
+    // jaccard computed ONCE per class pair (identical texts ⇒ the
+    // member-pair value is the same double by construction). id order
+    // is restored with least/greatest.
+    val repKey = reps.select(col("_id"), col("_ck"))
+    val cross = repPairs
+      .join(repKey.select(col("_id").as("id_a"), col("_ck").as("_cka")), "id_a")
+      .join(repKey.select(col("_id").as("id_b"), col("_ck").as("_ckb")), "id_b")
+      .join(members.select(col("_ck").as("_cka"), col("_id").as("_ia")), "_cka")
+      .join(members.select(col("_ck").as("_ckb"), col("_id").as("_ib")), "_ckb")
+      .select(least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"), col("jaccard"))
+    twins.unionByName(cross)
   }
 
   /** EXACT n-gram Jaccard similarity self-join (every pair with
@@ -985,35 +1033,156 @@ object Dedup {
     * one of maxDist+1 disjoint bit bands, so banding loses no
     * qualifying pair (recall 1.0 by construction). Shared by the text
     * SimHash and the multimodal perceptual-hash operators; the join
-    * is per-band-bucket — never all-pairs. */
+    * is per-band-bucket — never all-pairs.
+    *
+    * Scale hardening (round 12 — the r11 sf1 audit found two
+    * degenerate-mass shapes in the single-level formulation):
+    *
+    *  1. EXACT-TWIN COLLAPSE. Rows sharing the SAME hash value are one
+    *     equivalence class, yet banding used to explode all k of them
+    *     into (maxDist+1)·k bucket rows whose self-join emitted
+    *     O(k²·bands) collision rows — then distinct'd — for pairs that
+    *     are *definitionally* duplicates (hamming 0). Twin-class pairs
+    *     are now emitted directly from ONE hash-equality self-join
+    *     (each pair exactly once: no band multiplier, no distinct),
+    *     and the banded join runs over DISTINCT hash values only.
+    *     Reference analog: the dictionary scan dedups tokens before
+    *     its join (`dbcon/joblist/pdictionaryscan.cpp`).
+    *
+    *  2. TWO-LEVEL PIGEONHOLE. A first-level band is only
+    *     ~64/(maxDist+1) bits wide — 128 distinct values at
+    *     maxDist = 8 — so beyond ~10⁴ distinct hashes every bucket
+    *     saturates and Σ bucket² goes quadratic REGARDLESS of
+    *     duplicate structure (measured: 47× wall for 10× docs at sf1).
+    *     If a qualifying pair agrees on band b, its ≤ maxDist
+    *     differing bits all lie in b's complement; re-partitioning
+    *     that complement into maxDist+1 sub-bands pigeonholes again:
+    *     the pair also agrees exactly on at least one sub-band. Keys
+    *     become (band, subband, band bits, subband bits) — (maxDist+1)²
+    *     narrow rows per DISTINCT hash instead of maxDist+1, but the
+    *     effective key widens from ~64/(d+1) to ~2·64/(d+1) bits, so
+    *     expected bucket occupancy falls by a 2^(64/(d+1)) factor and
+    *     the collision volume stays near-linear far longer. Recall is
+    *     still exactly 1.0 (both levels are pigeonhole-complete).
+    *
+    *  3. Optional per-bucket candidate cap `maxBucket` (DISTINCT-hash
+    *     occupancy): buckets still larger than the cap — adversarial
+    *     mass that twin collapse cannot see, e.g. boilerplate clusters
+    *     at hamming 1–2 — are dropped from candidate generation. OFF
+    *     by default (Int.MaxValue); when enabled recall is documented-
+    *     lossy: [[bandedBucketStats]] reports exactly how many buckets
+    *     were capped (the no-silent-caps rule), and twin-class pairs
+    *     are never affected.
+    */
   def bandedHashPairs(
       hashed: DataFrame,
       id: String,
       hash: String,
-      maxDist: Int): DataFrame = {
+      maxDist: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxDist >= 0 && maxDist < 32, s"maxDist must be in [0, 32), got $maxDist")
-    val bands = maxDist + 1
-    val bounds = (0 to bands).map(b => 64 * b / bands)
     val base = hashed.select(col(id).as("_id"), col(hash).as("_h"))
-    val banded = base.select(col("_id"), col("_h"),
-      explode(array((0 until bands).map { b =>
-        val lo = bounds(b)
-        val w = bounds(b + 1) - lo
-        // w == 64 only when maxDist = 0 (one band = the whole hash);
-        // (1L << 64) wraps to 1L in JVM shift semantics, so spell the
-        // all-ones mask explicitly
-        val mask = if (w == 64) -1L else (1L << w) - 1
-        struct(lit(b).as("band"),
-          shiftright(col("_h"), lo).bitwiseAND(mask).as("key"))
-      }: _*)).as("_bk"))
+    // (1) twin-class pairs: one equi-join on the full hash — each pair
+    // exactly once. hamming is the same xor+popcount expression as the
+    // cross-class branch (identically 0 here), so types and values are
+    // bit-identical to the pre-collapse plan.
+    val twins = base.as("a").join(base.as("b"),
+        col("a._h") === col("b._h") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        hamming(col("a._h"), col("b._h")).as("hamming"))
+    // (2) cross-class candidates over DISTINCT hash values only
+    val banded = cappedBandedReps(base, maxDist, maxBucket)
     // hamming is a cheap xor+popcount per collision row — filtering
     // BEFORE the distinct shrinks its shuffle from the full collision
-    // volume (~Σ bucket²) to just the qualifying pairs
-    banded.as("a").join(banded.as("b"),
-        col("a._bk") === col("b._bk") && col("a._id") < col("b._id"))
-      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+    // volume (~Σ bucket²) to just the qualifying class pairs
+    val classPairs = banded.as("a").join(banded.as("b"),
+        col("a._bk") === col("b._bk") && col("a._h") < col("b._h"))
+      .select(col("a._h").as("_ha"), col("b._h").as("_hb"),
         hamming(col("a._h"), col("b._h")).as("hamming"))
       .filter(col("hamming") <= maxDist)
       .distinct()
+    // expand class pairs to member pairs: classes are disjoint, so
+    // each member pair appears exactly once; id order is restored with
+    // least/greatest (hash order says nothing about id order)
+    val cross = classPairs
+      .join(base.select(col("_h").as("_ha"), col("_id").as("_ia")), "_ha")
+      .join(base.select(col("_h").as("_hb"), col("_id").as("_ib")), "_hb")
+      .select(least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"), col("hamming"))
+    twins.unionByName(cross)
+  }
+
+  /** Banded (hash, key) rows over the DISTINCT hash values of `base`,
+    * with buckets above `maxBucket` distinct hashes dropped — the
+    * candidate-generation stage shared by [[bandedHashPairs]] and its
+    * audit [[bandedBucketStats]]. */
+  private def cappedBandedReps(base: DataFrame, maxDist: Int, maxBucket: Int): DataFrame = {
+    val banded0 = base.select(col("_h")).distinct()
+      .select(col("_h"), explode(bandKeys(col("_h"), maxDist)).as("_bk"))
+    if (maxBucket == Int.MaxValue) banded0
+    else {
+      // hot buckets are by premise FEW — a broadcast anti-join prunes
+      // them without re-shuffling the banded rows
+      val hot = banded0.groupBy(col("_bk")).count()
+        .filter(col("count") > maxBucket).select(col("_bk"))
+      banded0.join(broadcast(hot), Seq("_bk"), "left_anti")
+    }
+  }
+
+  /** Truncation audit for [[bandedHashPairs]] with a cap — the
+    * no-silent-caps contract: one row
+    * (n_buckets, max_bucket, buckets_capped, rows_dropped) so a capped
+    * run always reports how much candidate mass it refused. Bucket
+    * occupancy counts DISTINCT hash values (twin classes), matching
+    * what the capped join actually sees. */
+  def bandedBucketStats(
+      hashed: DataFrame, id: String, hash: String,
+      maxDist: Int, maxBucket: Int): DataFrame = {
+    val base = hashed.select(col(id).as("_id"), col(hash).as("_h"))
+    cappedBandedReps(base, maxDist, Int.MaxValue)
+      .groupBy(col("_bk")).agg(count(lit(1)).as("_n"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("_n")).as("max_bucket"),
+        sum(when(col("_n") > maxBucket, 1L).otherwise(0L)).as("buckets_capped"),
+        sum(when(col("_n") > maxBucket, col("_n")).otherwise(0L)).as("rows_dropped"))
+  }
+
+  /** The (maxDist+1)² two-level pigeonhole keys of a 64-bit hash (see
+    * [[bandedHashPairs]]): for first-level band b over bits [lo, hi)
+    * and sub-band s over the packed complement bits, the key is
+    * (b, s, bits of b, bits of s). All band geometry is compile-time
+    * Scala; the column expression is pure shifts/masks inside one
+    * codegen'd projection. */
+  private def bandKeys(h: Column, maxDist: Int): Column = {
+    val bands = maxDist + 1
+    val bounds = (0 to bands).map(b => 64 * b / bands)
+    array((for (b <- 0 until bands; s <- 0 until bands) yield {
+      val lo = bounds(b); val hi = bounds(b + 1); val w = hi - lo
+      val bandKey = sliceBits(h, lo, w)
+      // complement of band b, packed into 64 − w low bits:
+      // bits [0, lo) stay in place, bits [hi, 64) shift down to [lo, …)
+      val cw = 64 - w
+      val compl =
+        if (cw == 0) lit(0L) // maxDist = 0: one band is the whole hash
+        else if (lo == 0) sliceBits(h, hi, cw)
+        else if (hi == 64) sliceBits(h, 0, lo)
+        else sliceBits(h, 0, lo)
+          .bitwiseOR(shiftleft(sliceBits(h, hi, 64 - hi), lo))
+      val sb = (0 to bands).map(x => cw * x / bands)
+      val slo = sb(s); val sw = sb(s + 1) - slo
+      val subKey = if (sw == 0) lit(0L) else sliceBits(compl, slo, sw)
+      struct(lit(b).as("band"), lit(s).as("sub"),
+        bandKey.as("key"), subKey.as("skey"))
+    }): _*)
+  }
+
+  /** Bits [lo, lo+w) of a long column as a long, w ∈ [1, 64].
+    * (1L << 64) wraps to 1L in JVM shift semantics, so the all-ones
+    * mask is spelled explicitly; the shift is LOGICAL — an arithmetic
+    * shift would sign-extend the top band into the mask. */
+  private def sliceBits(h: Column, lo: Int, w: Int): Column = {
+    val mask = if (w >= 64) -1L else (1L << w) - 1
+    val shifted = if (lo == 0) h else shiftrightunsigned(h, lo)
+    shifted.bitwiseAND(lit(mask))
   }
 }

@@ -164,6 +164,89 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("bandedHashPairs: twin collapse + two-level banding keep the brute-force contract") {
+    // round 12 hardening — exact-hash twins are emitted from one
+    // equality join and the banded join runs two-level pigeonhole
+    // keys over DISTINCT hashes. The output contract (every pair at
+    // hamming ≤ maxDist, exactly once, with the distance) must not
+    // move at ANY maxDist, including the degenerate 0 (twins only).
+    val hashes = Seq(
+      (1L, 0x0123456789abcdefL), (2L, 0x0123456789abcdefL),
+      (3L, 0x0123456789abcdefL),                  // 3-member twin class
+      (4L, 0x0123456789abcdeeL),                  // hamming 1 from it
+      (5L, -1L), (6L, -1L),                       // all-ones twin class
+      (7L, 0L), (8L, 0x00000000000000ffL),        // hamming 8 pair
+      (9L, 0x8000000000000001L)                   // sign-bit edge
+    ).toDF("doc_id", "h")
+    val all = hashes.as[(Long, Long)].collect()
+    for (maxDist <- Seq(0, 3, 8)) {
+      val truth = (for {
+        (ia, ha) <- all; (ib, hb) <- all
+        if ia < ib && Dedup.hammingInt(ha, hb) <= maxDist
+      } yield (ia, ib, Dedup.hammingInt(ha, hb))).toSet
+      val got = Dedup.bandedHashPairs(hashes, "doc_id", "h", maxDist)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int"))
+        .as[(Long, Long, Int)].collect()
+      assert(got.length == got.toSet.size, s"maxDist=$maxDist duplicate pair rows")
+      assert(got.toSet == truth,
+        s"maxDist=$maxDist missing=${truth -- got.toSet} spurious=${got.toSet -- truth}")
+    }
+  }
+
+  test("per-bucket cap: capped output ⊆ uncapped, truncation reported, default cap no-op") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val sh = Dedup.simhash(docs.filter(size(TextAnalysis.tokens(col("text"))) > 0))
+    val full = Dedup.bandedHashPairs(sh, "doc_id", "simhash", 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.bandedHashPairs(sh, "doc_id", "simhash", 8, maxBucket = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(full), "a cap may only DROP candidates, never invent them")
+    // the no-silent-caps contract: the audit row reports the truncation
+    val stats = Dedup.bandedBucketStats(docs.transform(d =>
+        Dedup.simhash(d.filter(size(TextAnalysis.tokens(col("text"))) > 0))),
+      "doc_id", "simhash", maxDist = 8, maxBucket = 2).collect()(0)
+    assert(stats.getAs[Long]("buckets_capped") > 0,
+      "a 2-hash cap on 5000 docs must truncate somewhere")
+    assert(stats.getAs[Long]("rows_dropped") >= stats.getAs[Long]("buckets_capped"))
+    // default (no cap): nothing truncated, output is the full contract
+    val statsOff = Dedup.bandedBucketStats(sh, "doc_id", "simhash", 8, Int.MaxValue)
+      .collect()(0)
+    assert(statsOff.getAs[Long]("buckets_capped") == 0L)
+  }
+
+  test("twin collapse: clone-heavy corpus, minhash and simhash pairs equal brute force") {
+    // every synthetic doc ×4 exact copies — the degenerate duplicate
+    // mass the r11 sf1 audit flagged. Collapse must leave the OUTPUT
+    // untouched: all qualifying member pairs, each exactly once,
+    // within-class jaccard exactly 1.0.
+    val docs = (0 to 3).map(k =>
+      syntheticDocs.withColumn("doc_id", col("doc_id") + lit(100L * k)))
+      .reduce(_ unionByName _)
+    val found = Dedup.minhashDupPairs(docs, threshold = 0.6)
+      .as[(Long, Long, Double)].collect()
+    assert(found.length == found.toSet.size, "duplicate pair rows")
+    val sh = docs.select(col("doc_id").as("_id"), Dedup.shingles(col("text")).as("_sh"))
+    val truth = sh.as("a").join(sh.as("b"), col("a._id") < col("b._id"))
+      .withColumn("j", Dedup.jaccard(col("a._sh"), col("b._sh")))
+      .filter(col("j") >= 0.6)
+      .select(col("a._id"), col("b._id")).as[(Long, Long)].collect().toSet
+    val foundPairs = found.map(t => (t._1, t._2)).toSet
+    assert(foundPairs == truth,
+      s"missing=${truth -- foundPairs} spurious=${foundPairs -- truth}")
+    // twin-class members must score exactly 1.0
+    found.filter { case (a, b, _) => a % 100 == b % 100 }
+      .foreach { case (a, b, j) => assert(j == 1.0, s"twin ($a,$b) scored $j") }
+    // simhash side: same corpus, same brute-force contract
+    val simFound = Dedup.simhashDupPairs(docs, maxDist = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sim = Dedup.simhash(docs).select(col("doc_id").as("_id"), col("simhash"))
+    val simTruth = sim.as("a").join(sim.as("b"), col("a._id") < col("b._id"))
+      .filter(Dedup.hamming(col("a.simhash"), col("b.simhash")) <= 8)
+      .select(col("a._id"), col("b._id")).as[(Long, Long)].collect().toSet
+    assert(simFound == simTruth,
+      s"missing=${simTruth -- simFound} spurious=${simFound -- simTruth}")
+  }
+
   test("shingle_set kernel equals the windowed row formulation") {
     val docs = Tables.t(spark, sfDir, "documents").filter(col("doc_id") < 300)
     val kernel = Dedup.shingleRows(docs).as[(Long, String)].collect().toSet
@@ -250,6 +333,42 @@ class LlmSpec extends SparkSpec {
       assert(got == want, s"blocks=$blocks missing=${want -- got} spurious=${got -- want}")
       assert(got.size == 10) // exactly the planted twins
     }
+  }
+
+  test("cosine pipelines: exact-vector twins collapse without changing the output") {
+    // ids 1000–1004 are exact copies of vectors 0–4 (each of which has
+    // a planted near-twin at 100–104): classes of size 2, cross-class
+    // qualifying pairs, and a singleton tail — all three shapes at once
+    val emb = plantedVectors
+    val dup = emb.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 1000L)
+    val corpus = emb.unionByName(dup)
+    val e = corpus.select(col("vec_id").as("_id"),
+      col("embedding").cast("array<double>").as("_v"))
+    val naive = e.as("a").join(e.as("b"), col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        (AnnSearch.dot(col("a._v"), col("b._v")) /
+          (sqrt(AnnSearch.dot(col("a._v"), col("a._v"))) *
+           sqrt(AnnSearch.dot(col("b._v"), col("b._v"))))).as("cosine"))
+      .filter(col("cosine") >= 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = AnnSearch.cosineDupPairsExact(corpus, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(exact.length == exact.toSet.size, "duplicate pair rows")
+    assert(exact.toSet == naive,
+      s"missing=${naive -- exact.toSet} spurious=${exact.toSet -- naive}")
+    // twin pairs present, self-cosine ~1 (sqrt(x)² may sit an ulp off
+    // x, so exact 1.0 is NOT guaranteed — only the clamp's ≤ 1.0 is;
+    // what matters is the value equals what the pre-collapse member
+    // computation produced, which uses the identical expression)
+    val twinCos = AnnSearch.cosineDupPairsExact(corpus, threshold = 0.8)
+      .filter(col("id_b") === col("id_a") + 1000L)
+      .select("cosine").as[Double].collect()
+    assert(twinCos.length == 5 && twinCos.forall(c => c > 0.999999 && c <= 1.0))
+    // LSH path: same collapse, total recall on this corpus holds
+    val lsh = AnnSearch.cosineDupPairs(corpus, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == naive, s"missing=${naive -- lsh} spurious=${lsh -- naive}")
   }
 
   test("cosine LSH pairs: total recall at 0.8 on planted dups, sub-quadratic candidates") {

@@ -1,19 +1,25 @@
 #!/usr/bin/env python3
 """Gate-output TYPE guard — enforces COMPAT.md divergence #34.
 
-Round 10 proved (bit-exact replay of all 10 gate-red queries + a type
-scan of the full suite) that the driver's hash canonicalization
-diverges on DECIMAL128 output cells and on temporal cells outside the
+Round 10 observed (bit-exact replay of all 10 gate-red queries + a
+type scan of the full suite) the driver's hash canonicalization
+diverging on DECIMAL128 output cells and on temporal cells outside the
 nanosecond-epoch window (~1677-09-21 .. 2262-04-11): every red query
-emitted one of those, zero of the 328 green ones did. The fix is a
-rendering discipline at the gate boundary — this script enforces it:
+emitted one of those, zero of the 328 green ones did. ROUND 11 UPDATE:
+both control probes hashed GREEN at the driver gate — the divergence
+no longer reproduces in its strong form (driver fixed, or the old
+behavior was value/shape-dependent). The rendering discipline is kept
+as cheap insurance, and this script still enforces it:
 
   FAIL if any Verify dump column is a decimal type, or any
   date/timestamp CELL falls outside the ns-representable window.
 
 The two 1-row control probes (q_probe_decimal, q_probe_ts9999) are the
-documented EXCEPTIONS — they intentionally emit the forbidden types to
-keep the driver-side divergence measurable round over round.
+documented EXCEPTIONS — they intentionally emit the historically
+forbidden types as the per-round canary: RED on a probe isolates a
+driver-side canonicalization change with zero query logic in the
+blast radius; sustained GREEN means typed decimal/temporal output
+could be restored suite-wide (COVERAGE.md tracks that decision).
 
 Usage: python3 scripts/check_types.py <verifyOutDir>
 """

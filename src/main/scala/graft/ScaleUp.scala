@@ -10,11 +10,16 @@ import org.apache.spark.sql.functions._
   *
   * Scaling law mirrors TPC-H dbgen: fact and dimension row counts
   * scale linearly with SF; nation/region stay fixed. Each replica `r`
-  * offsets every scaled table's keys by `r * (max_key + 1)`, so
-  * referential joins stay consistent WITHIN a replica and every
-  * selectivity distribution (status flags, dates, prices, segments)
-  * is preserved exactly — a q5-shaped join returns 10× the rows at
-  * 10× the input, not a skewed blowup. Document text gets a short
+  * offsets every scaled table's keys by `r * stride`, so referential
+  * joins stay consistent WITHIN a replica and value-column
+  * selectivity distributions (status flags, dates, prices, segments)
+  * are preserved exactly — a q5-shaped join returns 10× the rows at
+  * 10× the input, not a skewed blowup. KEY-modulo predicates (the
+  * suite's `key % m = k` sampling splits) are residue-stable only
+  * when the stride divides the modulus, so the stride is max_key + 1
+  * rounded UP to a multiple of lcm(2,3,4,5,6,7,20) = 420 (every
+  * modulus the suite uses): each replica then reproduces the base
+  * residue classes exactly (ADVICE r11). Document text gets a short
   * per-replica suffix so the near-dup structure becomes clusters of
   * near-identical VARIANTS rather than exact clones (realistic dedup
   * work at scale); `n_chars` is kept consistent with the new length.
@@ -46,9 +51,13 @@ object ScaleUp {
     "doc_id" -> "documents", "vec_id" -> "embeddings")
 
   def scale(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
-    // one stride per key domain = max(key) + 1 in the source
-    def mx(table: String, col: String): Long =
-      Tables.t(spark, src, table).agg(max(col)).head.getLong(0) + 1L
+    // one stride per key domain = max(key) + 1 in the source, rounded
+    // up to a multiple of 420 = lcm(2,3,4,5,6,7,20) so every `key % m`
+    // predicate the suite uses keeps its exact per-replica selectivity
+    def mx(table: String, col: String): Long = {
+      val raw = Tables.t(spark, src, table).agg(max(col)).head.getLong(0) + 1L
+      (raw + 419L) / 420L * 420L
+    }
     val stride: Map[String, Long] = Map(
       "customer" -> mx("customer", "c_custkey"),
       "supplier" -> mx("supplier", "s_suppkey"),

@@ -18,9 +18,10 @@ object CatalogQueries {
 
   // session-scoped staging memos (content is invocation-independent;
   // bench repeats each query many times — re-staging per run scales
-  // with the scale factor, the q_catalog_governor lesson)
-  private val jrStaged =
-    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  // with the scale factor, the q_catalog_governor lesson). The
+  // join-reorder staging memo is the session catalog itself
+  // (tableExists under this lock) — see q_opt_joinreorder.
+  private val jrStageLock = new Object
   private case class ZStage(path: String, zCk: Long, zTp: Long,
       cklo: Double, ckhi: Double, tplo: Double, tphi: Double)
   private val zStaged =
@@ -185,20 +186,26 @@ object CatalogQueries {
     "q_opt_joinreorder" -> ((s, dir) => {
       import graft.plans.Analyze
       // stage + ANALYZE once per (session, dir): tables and stats are
-      // pure functions of the input dir; the dir-hash suffix lets two
-      // dirs coexist in one JVM (test suites share the session)
-      val sfx = java.lang.Integer.toHexString(dir.hashCode)
+      // pure functions of the input dir; the collision-free dir digest
+      // lets two dirs coexist in one JVM (test suites share the
+      // session). The memo is the CATALOG itself (tableExists), not a
+      // JVM-static map — a map entry would go stale if the shared
+      // session is stopped and recreated in the same JVM (ADVICE r11),
+      // because managed session-scoped tables die with their session.
+      val sfx = Q.dirDigest(dir)
       val (tOrd, tCust, tNat) =
         (s"graft_jr_orders_$sfx", s"graft_jr_customer_$sfx", s"graft_jr_nation_$sfx")
-      jrStaged.computeIfAbsent(dir, _ => {
-        Analyze.analyzed(s, Q.t(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")), tOrd)
-        Analyze.analyzed(s, Q.t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_nationkey")), tCust)
-        Analyze.analyzed(s, Q.t(s, dir, "nation")
-          .select(col("n_nationkey"), col("n_regionkey"), col("n_name")), tNat)
-        true
-      })
+      jrStageLock.synchronized {
+        if (!(s.catalog.tableExists(tOrd) && s.catalog.tableExists(tCust) &&
+            s.catalog.tableExists(tNat))) {
+          Analyze.analyzed(s, Q.t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")), tOrd)
+          Analyze.analyzed(s, Q.t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey")), tCust)
+          Analyze.analyzed(s, Q.t(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_regionkey"), col("n_name")), tNat)
+        }
+      }
       val df = s.sql(
         s"""SELECT n.n_name, o.o_totalprice
           |FROM $tOrd o

@@ -175,6 +175,50 @@ object DmlQueries {
           lit(historyGone).as("history_reclaimed"))
     }),
 
+    // Multi-writer OPTIMISTIC CONCURRENCY at the gate (the
+    // DBRM-serialization analog, VERDICT r11 stretch #7): two
+    // transactions begin on the SAME base version; A commits first,
+    // so B's commit MUST detect the lost race (ConcurrentWriteException
+    // — the reference surfaces the same condition when a transaction's
+    // version buffer no longer matches the BRM's committed state,
+    // versioning/BRM), then B re-begins on A's version, re-applies,
+    // and commits cleanly. Deterministic: the "race" is two sequential
+    // transactions with overlapping base versions — no timing, no
+    // threads, same lost-update shape. Value-checked final state
+    // (update-then-delete from first principles in DuckDB) + pinned
+    // booleans for each protocol step.
+    "q_dml_concurrency" -> ((s, dir) => Q.withScratch(s, "graft_ccr_q") { rootP =>
+      val root = rootP.toString
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val vt = VersionedTable.create(s, s"$root/table",
+        orders.where(col("o_orderkey") % 2 === 0))
+      // both transactions observe v0
+      val txnA = vt.begin()
+      val txnB = vt.begin()
+      txnA.update(col("o_orderkey") % 4 === 0,
+        Map("o_totalprice" -> (col("o_totalprice") + 10)))
+      txnB.delete(col("o_orderkey") % 6 === 0)
+      txnA.commit() // v1
+      val raceDetected =
+        try { txnB.commit(); false }
+        catch { case _: graft.dml.ConcurrentWriteException => true }
+      // loser retries: re-begin on A's committed version, re-apply
+      val txnB2 = vt.begin()
+      txnB2.delete(col("o_orderkey") % 6 === 0)
+      val retryOk = try { txnB2.commit(); true }
+        catch { case _: graft.dml.ConcurrentWriteException => false }
+      // the retry must see A's update (delete applies AFTER update),
+      // and the losing attempt's writes must be invisible
+      vt.read().agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          d(sum(dec(col("o_totalprice")))).as("price_sum"))
+        .select(col("n"), col("key_sum"), col("price_sum"),
+          lit(raceDetected).as("race_detected"),
+          lit(retryOk).as("retry_committed"),
+          lit(vt.currentVersion == 2).as("two_commits_published"))
+    }),
+
     // Key-upsert MERGE: overlap takes source values, new keys insert.
     "q_dml_merge" -> ((s, dir) => Q.withScratch(s, "graft_merge_q") { rootP =>
       val root = rootP.toString
@@ -269,6 +313,19 @@ object DmlQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
         |  TRUE AS files_reclaimed, TRUE AS history_reclaimed
         |FROM orders WHERE o_orderkey % 5 <> 0""".stripMargin,
+    // final state from first principles: optimistic concurrency must
+    // serialize to update-then-delete (A's update commits first, B's
+    // retry re-applies the delete on top); the booleans pin the
+    // protocol outcome (race detected, retry succeeded, two versions)
+    "q_dml_concurrency" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 10
+        |                     ELSE o_totalprice END AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS price_sum,
+        |  TRUE AS race_detected, TRUE AS retry_committed,
+        |  TRUE AS two_commits_published
+        |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 6 <> 0""".stripMargin,
     "q_dml_merge" ->
       """WITH merged AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice + 1 AS price

@@ -20,6 +20,13 @@ object Q {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     graft.Tables.t(spark, dir, name)
 
+  /** Collision-free 12-hex-char digest of a path, for staging-table
+    * name suffixes (ADVICE r11: `dir.hashCode` hex can collide across
+    * dirs and silently alias two fixtures' staged tables). */
+  def dirDigest(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+
   /** Cast to exact decimal for order-independent aggregation. */
   def dec(c: Column): Column = c.cast(DecimalType(18, 2))
   /** Final cast back to double for output-schema parity with DuckDB. */

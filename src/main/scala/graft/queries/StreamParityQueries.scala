@@ -297,17 +297,88 @@ object StreamParityQueries {
       }
     }),
 
+    // CHECKPOINT RESTART / exactly-once across process boundaries
+    // (VERDICT r11 #5 — the streaming property a 100 TB pipeline leans
+    // on hardest): the upsert-with-rollup pipeline processes slices
+    // 1–2, TERMINATES, then a brand-new query reopens the SAME
+    // checkpoint for slices 3–4, and a third restart with no new data
+    // must be a pure no-op. The final rollup hash-matches the batch
+    // answer — any replayed batch would double the signed-delta fold,
+    // any dropped batch would miss keys, so equality pins
+    // no-duplicate/no-loss across both restarts. Pinned booleans:
+    // the first run made partial progress (restart actually resumed
+    // mid-stream, not re-read everything), and the idle restart
+    // published no new version.
+    "q_stream_restart_parity" -> ((s, dir) => withFewPartitions(s) {
+      Q.withScratch(s, "graft_stream_restart") { rootP =>
+      val root = rootP.toString
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val seed = orders.where(col("o_orderkey") % 2 === 0)
+      val vt = VersionedTable.create(s, s"$root/table", seed)
+      val view = IncrementalRollup.create(vt, s"$root/view",
+        Seq("o_orderstatus"), Seq("o_totalprice"))
+      val streamed = orders.where(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      // stage 4 disjoint-key slice files; reveal only the first half
+      streamed.repartitionByRange(4, col("o_orderkey"))
+        .write.parquet(s"$root/staged")
+      val staged = {
+        import scala.jdk.CollectionConverters._
+        val l = Files.list(rootP.resolve("staged"))
+        try l.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.getFileName.toString)
+        finally l.close()
+      }
+      val watch = rootP.resolve("incoming"); Files.createDirectories(watch)
+      def reveal(ps: Seq[Path]): Unit = ps.foreach { p =>
+        Files.move(p, watch.resolve(p.getFileName))
+      }
+      def run(): Unit = {
+        val src = s.readStream.schema(streamed.schema)
+          .option("maxFilesPerTrigger", 1).parquet(watch.toString)
+        StreamingOps.upsertStreamWithRollup(src, vt, "o_orderkey", view,
+          s"$root/ckpt")
+      }
+      val (firstHalf, secondHalf) = staged.splitAt(staged.length / 2)
+      reveal(firstHalf)
+      run() // run 1: slices 1–2, then the query terminates
+      val midCount = vt.read().count()
+      reveal(secondHalf)
+      run() // run 2: SAME checkpoint resumes with slices 3–4 only
+      val fullCount = vt.read().count()
+      val fullVersion = vt.currentVersion
+      run() // run 3: idle restart — must publish nothing
+      val seedCount = seed.count()
+      val midProgress = midCount > seedCount && midCount < fullCount
+      val idleNoop = vt.currentVersion == fullVersion &&
+        vt.read().count() == fullCount
+      view.read()
+        .select(col("o_orderstatus"), col("_cnt").as("n"),
+          col("_sum_o_totalprice").cast("double").as("sum_price"),
+          (col("_sum_o_totalprice").cast("double") / col("_cnt"))
+            .as("avg_price"))
+        .withColumn("mid_progress", lit(midProgress))
+        .withColumn("idle_noop", lit(idleNoop))
+        .orderBy(col("o_orderstatus"))
+      }
+    }),
+
     "q_stream_neardup_parity" -> ((s, dir) => {
       // Streaming MinHash near-dup detection vs a STATIC corpus
       // (`StreamingOps.nearDupVsCorpus`, spec-only until now): odd
       // documents stream in four slices, band-bucket-join the even
       // half's precomputed LSH index, verify candidates by exact
-      // Jaccard ≥ 0.6, and the emitted pair set must equal DuckDB's
-      // all-pairs odd×even ground truth (the q_dedup_minhash recall
-      // argument: qualifying pairs on this corpus sit at j ≥ 0.75,
-      // where 16×4 banding misses with p < 0.003). Stateless bucket
-      // join → pairs emit on arrival; the only state is the
-      // emit-dedup watermark, so no sentinel is needed.
+      // Jaccard, and the emitted pair set must equal DuckDB's
+      // all-pairs odd×even ground truth. The verify threshold sits at
+      // 0.75 — ON the 16×4 banding knee, not below it (ADVICE r11):
+      // at 0.6 any regenerated fixture with a pair in [0.6, 0.75)
+      // could deterministically miss it (up to ~11% per such pair)
+      // and flake the row red; at ≥ 0.75 the analytic miss bound is
+      // < 0.003 per pair (Dedup.minhashMissProb), so oracle equality
+      // is a property of the OPERATOR, not of one fixture's gap.
+      // Stateless bucket join → pairs emit on arrival; the only state
+      // is the emit-dedup watermark, so no sentinel is needed.
       Q.withScratch(s, "graft_stream_ndup") { root =>
       val watch = root.resolve("incoming"); Files.createDirectories(watch)
       val all = t(s, dir, "documents")
@@ -322,7 +393,7 @@ object StreamParityQueries {
       withFewPartitions(s) {
         val src = s.readStream.schema(streamDocs.schema)
           .option("maxFilesPerTrigger", 1).parquet(watch.toString)
-        StreamingOps.nearDupVsCorpus(src, corpus, threshold = 0.6)
+        StreamingOps.nearDupVsCorpus(src, corpus, threshold = 0.75)
           .select(col("stream_id"), col("corpus_id"), col("jaccard"))
           .writeStream.format("parquet")
           .option("path", root.resolve("out").toString)
@@ -377,6 +448,21 @@ object StreamParityQueries {
         |  AND c.conv_ts <= v.view_ts + INTERVAL 30 MINUTE
         |ORDER BY user_id, view_id, conv_id""".stripMargin,
 
+    // same final state as the single-run upsert parity — the restart
+    // must be invisible in the answer; booleans pin the protocol
+    "q_stream_restart_parity" ->
+      """WITH final AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS p
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  TRUE AS mid_progress, TRUE AS idle_noop
+        |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     // the batch twin: one row per distinct content (any survivor of
     // an exact-twin set projects to the same (md5, length) pair)
     "q_stream_dedup_parity" ->
@@ -400,7 +486,9 @@ object StreamParityQueries {
 
     // all-pairs odd×even exact-Jaccard ground truth (the batch
     // q_dedup_minhash oracle restricted to the stream/corpus split) —
-    // equality also measures the banded index's end-to-end recall
+    // equality also measures the banded index's end-to-end recall.
+    // Threshold 0.75 = the banding knee (see the query comment): the
+    // oracle-equality claim holds for ANY corpus, not just this one.
     "q_stream_neardup_parity" ->
       s"""WITH ${HygieneQueries.shingleCte}
         |SELECT stream_id, corpus_id, jaccard FROM (
@@ -408,6 +496,6 @@ object StreamParityQueries {
         |    len(list_intersect(a.s, b.s))::DOUBLE
         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0) t
-        |WHERE jaccard >= 0.6 ORDER BY stream_id, corpus_id""".stripMargin
+        |WHERE jaccard >= 0.75 ORDER BY stream_id, corpus_id""".stripMargin
   )
 }

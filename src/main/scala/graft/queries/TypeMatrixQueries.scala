@@ -591,10 +591,23 @@ object TypeMatrixQueries {
     // whose value is the same literal on both sides — trivially
     // bit-identical, no query logic in the blast radius. A hash-red
     // gate result on a probe therefore isolates the divergence to the
-    // gate's canonicalization of that TYPE. Expected outcome: RED at
-    // the driver gate, PASS under scripts/check_oracle.py's value
-    // compare — that outcome PAIR is the documented evidence (r10
-    // verdict prescription; the 328-green/0-decimal split predicted it).
+    // gate's canonicalization of that TYPE.
+    //
+    // OUTCOME HISTORY (keep current — a stale expectation here costs
+    // a debug cycle): r9/r10 — 10 gate rows emitting raw decimal /
+    // extreme temporals hashed RED while bit-exact replays showed 0
+    // value diffs (the divergence the probes were built to isolate).
+    // r11 — BOTH probes hashed GREEN at the driver gate: the strong
+    // form of the r10 theory ("the driver hash never passes those
+    // types") no longer reproduces — either the driver's hasher was
+    // fixed between rounds or the old divergence was value/shape-
+    // dependent beyond what 1-row probes exercise. Policy going
+    // forward: the suite-wide string-rendering discipline STAYS
+    // (cheap insurance, zero semantic cost), and the probes STAY as
+    // the per-round canary — a future RED on either isolates a
+    // driver-side canonicalization change with zero query logic in
+    // the blast radius; GREEN means typed decimal/temporal output
+    // could in principle be restored (COVERAGE.md tracks that call).
     "q_probe_decimal" -> ((s, _) =>
       s.range(1).select(lit(1L).as("k"),
         lit("123.45").cast(DecimalType(18, 2)).as("v_dec"))),

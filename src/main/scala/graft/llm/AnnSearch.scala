@@ -380,12 +380,28 @@ object AnnSearch {
       corpus: DataFrame, threshold: Double,
       numPlanes: Int = 8, numTables: Int = 8, probeBits: Int = 1, dim: Int = 64,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val (classes, members) = vectorClasses(corpus, id, vec)
-    val repPairs = verifyPairs(
-      lshCandidatePairs(classes, numPlanes, numTables, probeBits, dim),
-      classes, threshold)
-    expandVectorClassPairs(repPairs, classes, members, threshold)
+    val keyed = corpus.select(col(id).as("_mid"), asDouble(col(vec)).as("_v"))
+    if (!hasVectorTwins(keyed)) {
+      val c0 = keyed.select(col("_mid").as("_id"), col("_v"), norm(col("_v")).as("_n"))
+      verifyPairs(lshCandidatePairs(c0, numPlanes, numTables, probeBits, dim),
+        c0, threshold)
+    } else {
+      val (classes, members) = vectorClasses(keyed)
+      val repPairs = verifyPairs(
+        lshCandidatePairs(classes, numPlanes, numTables, probeBits, dim),
+        classes, threshold)
+      expandVectorClassPairs(repPairs, classes, members, threshold)
+    }
   }
+
+  /** One cheap probe job deciding the twin-collapse branch: does any
+    * exact-duplicate vector class have ≥ 2 members? Clone-free corpora
+    * (the common case after upstream exact dedup) then skip the
+    * collapse machinery entirely — its groupBy/membership joins are
+    * pure overhead there. */
+  private def hasVectorTwins(keyed: DataFrame): Boolean =
+    !keyed.groupBy(col("_v")).agg(count(lit(1)).as("_k"))
+      .filter(col("_k") > 1).isEmpty
 
   /** (classes, members) of the exact-vector twin collapse (round 12):
     * a corpus with k copies of a vector used to push all k through
@@ -397,8 +413,7 @@ object AnnSearch {
     * the groupBy and the membership join agree on what "identical"
     * means. Reference analog: the dictionary scan dedups values before
     * its join (`dbcon/joblist/pdictionaryscan.cpp`). */
-  private def vectorClasses(corpus: DataFrame, id: String, vec: String): (DataFrame, DataFrame) = {
-    val keyed = corpus.select(col(id).as("_mid"), asDouble(col(vec)).as("_v"))
+  private def vectorClasses(keyed: DataFrame): (DataFrame, DataFrame) = {
     val classes = keyed.groupBy(col("_v")).agg(min(col("_mid")).as("_id"))
       .select(col("_id"), col("_v"), norm(col("_v")).as("_n"))
     val members = keyed.join(classes.select(col("_v"), col("_id").as("_cid")), "_v")
@@ -452,12 +467,18 @@ object AnnSearch {
     }: _*)
     val masks: Seq[Long] = (0 to probeBits).flatMap(k =>
       (0 until numPlanes).combinations(k).map(_.map(1L << _).sum))
+    // explicit exchanges on the bucket key: withB sits on the small
+    // materialized class collapse, and the (P,L,probe) explode factor
+    // is invisible to AQE's size stats — same one-task-join hazard as
+    // the banded text pipelines
     val own = withB.select(col("_id"),
       explode(array((0 until numTables).map(t =>
         struct(lit(t).as("t"), col(s"_b$t").as("b"))): _*)).as("_tb"))
+      .repartition(col("_tb"))
     val probed = withB.select(col("_id"),
       explode(array((for { t <- 0 until numTables; m <- masks } yield
         struct(lit(t).as("t"), col(s"_b$t").bitwiseXOR(lit(m)).as("b"))): _*)).as("_tb"))
+      .repartition(col("_tb"))
     own.as("a").join(probed.as("b"),
         col("a._tb") === col("b._tb") && col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
@@ -469,7 +490,8 @@ object AnnSearch {
   def cosineCandidateCount(corpus: DataFrame,
       numPlanes: Int = 8, numTables: Int = 8, probeBits: Int = 1, dim: Int = 64,
       id: String = "vec_id", vec: String = "embedding"): Long = {
-    val (classes, _) = vectorClasses(corpus, id, vec)
+    val keyed = corpus.select(col(id).as("_mid"), asDouble(col(vec)).as("_v"))
+    val (classes, _) = vectorClasses(keyed)
     lshCandidatePairs(classes, numPlanes, numTables, probeBits, dim).count()
   }
 
@@ -496,32 +518,57 @@ object AnnSearch {
   def cosineDupPairsExact(
       corpus: DataFrame, threshold: Double, numBlocks: Int = 16,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val b = numBlocks
-    // exact-twin collapse (round 12): the O(N²) comparison grid runs
+    // exact-twin collapse (round 12), adaptive like minhashDupPairs:
+    // with duplicate vectors present the O(N²) comparison grid runs
     // over DISTINCT vectors only — k copies of a vector cost one class
     // row in the grid, not k² comparisons; member pairs are generated
-    // from the qualifying class pairs, never compared.
-    val (classes, members) = vectorClasses(corpus, id, vec)
-    val c0 = classes.withColumn("_blk", pmod(hash(col("_id")), lit(b)))
-    val aSide = c0
+    // from the qualifying class pairs, never compared. Clone-free
+    // corpora take the direct grid with zero collapse overhead.
+    val keyed = corpus.select(col(id).as("_mid"), asDouble(col(vec)).as("_v"))
+    if (!hasVectorTwins(keyed)) {
+      val c0 = keyed.select(col("_mid").as("_id"), col("_v"),
+        norm(col("_v")).as("_n"))
+      blockPairs(c0, threshold, numBlocks, repartitionCells = false)
+    } else {
+      val (classes, members) = vectorClasses(keyed)
+      val repPairs = blockPairs(classes, threshold, numBlocks,
+        repartitionCells = true)
+      expandVectorClassPairs(repPairs, classes, members, threshold)
+    }
+  }
+
+  /** The triangle block join of [[cosineDupPairsExact]] over any
+    * (_id, _v, _n) frame. `repartitionCells` is set on the collapsed
+    * path only: there the input is a small materialized aggregate, and
+    * without the explicit exchange the whole B(B+1)/2-cell comparison
+    * grid would inherit its one AQE-coalesced partition and run
+    * serially — the cells are the designed unit of parallelism.
+    * Straight off a scan the join's own exchange parallelizes
+    * correctly. */
+  private def blockPairs(c0in: DataFrame, threshold: Double, numBlocks: Int,
+      repartitionCells: Boolean): DataFrame = {
+    val b = numBlocks
+    val c0 = c0in.withColumn("_blk", pmod(hash(col("_id")), lit(b)))
+    def spread(df: DataFrame): DataFrame =
+      if (repartitionCells) df.repartition(col("_cell")) else df
+    val aSide = spread(c0
       .select(col("_id").as("id_a"), col("_v").as("_va"), col("_n").as("_na"),
         col("_blk").as("_ba"), explode(sequence(col("_blk"), lit(b - 1))).as("_j"))
-      .withColumn("_cell", struct(col("_ba").as("i"), col("_j").as("j")))
-    val bSide = c0
+      .withColumn("_cell", struct(col("_ba").as("i"), col("_j").as("j"))))
+    val bSide = spread(c0
       .select(col("_id").as("id_b"), col("_v").as("_vb"), col("_n").as("_nb"),
         col("_blk").as("_bb"), explode(sequence(lit(0), col("_blk"))).as("_i"))
-      .withColumn("_cell", struct(col("_i").as("i"), col("_bb").as("j")))
+      .withColumn("_cell", struct(col("_i").as("i"), col("_bb").as("j"))))
     val d = col("_na") * col("_nb")
     val cos = least(greatest(
       when(d > 0, dot(col("_va"), col("_vb")) / d).otherwise(lit(0.0)),
       lit(-1.0)), lit(1.0))
-    val repPairs = aSide.join(bSide, Seq("_cell"))
+    aSide.join(bSide, Seq("_cell"))
       // same-block cells see both orderings (and self-pairs): keep one;
       // cross-block pairs meet exactly once, in either id order
       .filter(col("_ba") =!= col("_bb") || col("id_a") < col("id_b"))
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), cos.as("cosine"))
       .filter(col("cosine") >= threshold)
-    expandVectorClassPairs(repPairs, classes, members, threshold)
   }
 }

@@ -532,36 +532,82 @@ object Dedup {
     // excluded up front so a NULL-heavy corpus cannot form a
     // degenerate class. Reference analog: the dictionary scan dedups
     // tokens before its join (`dbcon/joblist/pdictionaryscan.cpp`).
+    //
+    // ADAPTIVE: one cheap probe job (any md5 class with ≥ 2 members?)
+    // picks the plan. A clone-free corpus — the common case after an
+    // upstream exact-dedup pass — takes the direct pipeline with zero
+    // collapse overhead (measured: the collapse machinery alone cost
+    // ~1.3 s at sf0.1 for nothing); a cloned corpus pays one narrow
+    // groupBy and gets the O(classes) LSH instead of O(docs).
     val base = docs.filter(col(text).isNotNull)
       .select(col(id).as("_id"), col(text).as("_t"), md5(col(text)).as("_ck"))
-    val reps = base.groupBy(col("_ck"))
-      .agg(min(col("_id")).as("_id"), first(col("_t")).as("_t"))
+    val hasTwins = !base.groupBy(col("_ck")).agg(count(lit(1)).as("_k"))
+      .filter(col("_k") > 1).isEmpty
+    if (!hasTwins)
+      minhashPairsOver(base.select(col("_id"), col("_t")), bands, shingleN,
+        threshold, repartitionBuckets = false)
+    else {
+      val reps = base.groupBy(col("_ck"))
+        .agg(min(col("_id")).as("_id"), first(col("_t")).as("_t"))
 
-    // twin-class pairs: jaccard via the same int/int → double quotient
-    // as the verify stage — |S|/(|S|+|S|−|S|), exactly 1.0 for
-    // non-empty sets, NULL-division-dropped for degenerate empties.
-    // The shingle kernel runs once per CLASS, not per pair.
-    val members = base.select(col("_ck"), col("_id"))
-    val classSz = reps.select(col("_ck"),
-      size(call_function("shingle_set", col("_t"), lit(shingleN))).as("_sz"))
-    val twins = members.as("a").join(members.as("b"),
-        col("a._ck") === col("b._ck") && col("a._id") < col("b._id"))
-      .select(col("a._ck").as("_ck"),
-        col("a._id").as("id_a"), col("b._id").as("id_b"))
-      .join(classSz, "_ck")
-      .select(col("id_a"), col("id_b"),
-        (col("_sz") / (col("_sz") + col("_sz") - col("_sz"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      // twin-class pairs: jaccard via the same int/int → double
+      // quotient as the verify stage — |S|/(|S|+|S|−|S|), exactly 1.0
+      // for non-empty sets, NULL-division-dropped for degenerate
+      // empties. The shingle kernel runs once per CLASS, not per pair.
+      val members = base.select(col("_ck"), col("_id"))
+      val classSz = reps.select(col("_ck"),
+        size(call_function("shingle_set", col("_t"), lit(shingleN))).as("_sz"))
+      val twins = members.as("a").join(members.as("b"),
+          col("a._ck") === col("b._ck") && col("a._id") < col("b._id"))
+        .select(col("a._ck").as("_ck"),
+          col("a._id").as("id_a"), col("b._id").as("id_b"))
+        .join(classSz, "_ck")
+        .select(col("id_a"), col("id_b"),
+          (col("_sz") / (col("_sz") + col("_sz") - col("_sz"))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
 
-    // Signatures: the native one-pass minhash64 kernel — no shingle
-    // explode, no shuffle, no 64-min aggregate; bit-identical to
-    // minhashSignatures (LlmSpec proves it). No explicit caching or
-    // lineage truncation anywhere in this pipeline: consumers that
-    // share a subtree share its work through Spark's exchange reuse —
-    // an earlier localCheckpoint here leaked BlockManager storage
-    // across the whole bench suite.
-    val repDocs = reps.select(col("_id"), col("_t"))
-    val bucketed = minhashBandBuckets(repDocs, "_id", "_t", bands, shingleN)
+      val repPairs = minhashPairsOver(reps.select(col("_id"), col("_t")),
+        bands, shingleN, threshold, repartitionBuckets = true)
+
+      // expand qualifying class pairs to member pairs: classes are
+      // disjoint, so each member pair appears exactly once, with the
+      // jaccard computed ONCE per class pair (identical texts ⇒ the
+      // member-pair value is the same double by construction). id
+      // order is restored with least/greatest.
+      val repKey = reps.select(col("_id"), col("_ck"))
+      val cross = repPairs
+        .join(repKey.select(col("_id").as("id_a"), col("_ck").as("_cka")), "id_a")
+        .join(repKey.select(col("_id").as("id_b"), col("_ck").as("_ckb")), "id_b")
+        .join(members.select(col("_ck").as("_cka"), col("_id").as("_ia")), "_cka")
+        .join(members.select(col("_ck").as("_ckb"), col("_id").as("_ib")), "_ckb")
+        .select(least(col("_ia"), col("_ib")).as("id_a"),
+          greatest(col("_ia"), col("_ib")).as("id_b"), col("jaccard"))
+      twins.unionByName(cross)
+    }
+  }
+
+  /** The LSH + exact-verify core of [[minhashDupPairs]], over any
+    * (_id, _t) frame (raw docs on the no-twin fast path,
+    * one-representative-per-class on the collapsed path).
+    *
+    * Signatures: the native one-pass minhash64 kernel — no shingle
+    * explode, no shuffle, no 64-min aggregate; bit-identical to
+    * minhashSignatures (LlmSpec proves it). No explicit caching or
+    * lineage truncation anywhere in this pipeline: consumers that
+    * share a subtree share its work through Spark's exchange reuse —
+    * an earlier localCheckpoint here leaked BlockManager storage
+    * across the whole bench suite.
+    *
+    * `repartitionBuckets` is set on the collapsed path only: there the
+    * input is a small materialized aggregate whose post-explode size
+    * AQE cannot see — without the explicit exchange the bucket
+    * self-join degenerates to a one-task broadcast join at scale.
+    * Straight off a scan (fast path) the join's own exchange sees the
+    * real exploded volume and parallelizes correctly. */
+  private def minhashPairsOver(repDocs: DataFrame, bands: Int, shingleN: Int,
+      threshold: Double, repartitionBuckets: Boolean): DataFrame = {
+    val b0 = minhashBandBuckets(repDocs, "_id", "_t", bands, shingleN)
+    val bucketed = if (repartitionBuckets) b0.repartition(col("_bucket")) else b0
 
     val pairs = bucketed.as("a")
       .join(bucketed.as("b"),
@@ -569,14 +615,14 @@ object Dedup {
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct() // a pair can collide in several bands
 
-    // Exact verify: join each candidate class pair's shingle ARRAYS
-    // (one shingle_set kernel call per class, class-count narrow rows)
+    // Exact verify: join each candidate pair's shingle ARRAYS (one
+    // shingle_set kernel call per input row, input-count narrow rows)
     // and intersect per pair — Σ_pairs(|A|+|B|) element work, no
     // exploded-row shuffle. Same shape as jaccardDupPairs' verify.
     val sets = repDocs.select(col("_id"),
       call_function("shingle_set", col("_t"), lit(shingleN)).as("_set"))
     val inter = size(array_intersect(col("_seta"), col("_setb")))
-    val repPairs = pairs
+    pairs
       .join(sets.select(col("_id").as("id_a"), col("_set").as("_seta")), "id_a")
       .join(sets.select(col("_id").as("id_b"), col("_set").as("_setb")), "id_b")
       .withColumn("_inter", inter)
@@ -584,21 +630,6 @@ object Dedup {
         col("_inter") / (size(col("_seta")) + size(col("_setb")) - col("_inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-
-    // expand qualifying class pairs to member pairs: classes are
-    // disjoint, so each member pair appears exactly once, with the
-    // jaccard computed ONCE per class pair (identical texts ⇒ the
-    // member-pair value is the same double by construction). id order
-    // is restored with least/greatest.
-    val repKey = reps.select(col("_id"), col("_ck"))
-    val cross = repPairs
-      .join(repKey.select(col("_id").as("id_a"), col("_ck").as("_cka")), "id_a")
-      .join(repKey.select(col("_id").as("id_b"), col("_ck").as("_ckb")), "id_b")
-      .join(members.select(col("_ck").as("_cka"), col("_id").as("_ia")), "_cka")
-      .join(members.select(col("_ck").as("_ckb"), col("_id").as("_ib")), "_ckb")
-      .select(least(col("_ia"), col("_ib")).as("id_a"),
-        greatest(col("_ia"), col("_ib")).as("id_b"), col("jaccard"))
-    twins.unionByName(cross)
   }
 
   /** EXACT n-gram Jaccard similarity self-join (every pair with
@@ -1117,8 +1148,19 @@ object Dedup {
     * candidate-generation stage shared by [[bandedHashPairs]] and its
     * audit [[bandedBucketStats]]. */
   private def cappedBandedReps(base: DataFrame, maxDist: Int, maxBucket: Int): DataFrame = {
+    // the explicit repartition on the join key is load-bearing: the
+    // distinct() materializes a TINY stage (distinct hashes are ~8
+    // bytes each), AQE coalesces it to one partition and — because the
+    // (maxDist+1)² explode blowup happens AFTER that stats boundary —
+    // then broadcast-converts the downstream self-join, serializing
+    // the whole Σ bucket² collision grind into ONE task (measured: a
+    // 10-minute wedge at sf1 that the parallel plan does in seconds).
+    // Repartitioning the EXPLODED rows by _bk restores 32-way
+    // parallelism and is exactly the partitioning the self-join needs,
+    // so both aliases reuse one exchange and no further shuffle runs.
     val banded0 = base.select(col("_h")).distinct()
       .select(col("_h"), explode(bandKeys(col("_h"), maxDist)).as("_bk"))
+      .repartition(col("_bk"))
     if (maxBucket == Int.MaxValue) banded0
     else {
       // hot buckets are by premise FEW — a broadcast anti-join prunes

@@ -539,51 +539,72 @@ object Dedup {
     // collapse overhead (measured: the collapse machinery alone cost
     // ~1.3 s at sf0.1 for nothing); a cloned corpus pays one narrow
     // groupBy and gets the O(classes) LSH instead of O(docs).
-    val base = docs.filter(col(text).isNotNull)
-      .select(col(id).as("_id"), col(text).as("_t"), md5(col(text)).as("_ck"))
-    val hasTwins = !base.groupBy(col("_ck")).agg(count(lit(1)).as("_k"))
-      .filter(col("_k") > 1).isEmpty
+    val (base, reps, hasTwins) = textClasses(docs, id, text)
     if (!hasTwins)
       minhashPairsOver(base.select(col("_id"), col("_t")), bands, shingleN,
         threshold, repartitionBuckets = false)
     else {
-      val reps = base.groupBy(col("_ck"))
-        .agg(min(col("_id")).as("_id"), first(col("_t")).as("_t"))
-
-      // twin-class pairs: jaccard via the same int/int → double
-      // quotient as the verify stage — |S|/(|S|+|S|−|S|), exactly 1.0
-      // for non-empty sets, NULL-division-dropped for degenerate
-      // empties. The shingle kernel runs once per CLASS, not per pair.
-      val members = base.select(col("_ck"), col("_id"))
-      val classSz = reps.select(col("_ck"),
-        size(call_function("shingle_set", col("_t"), lit(shingleN))).as("_sz"))
-      val twins = members.as("a").join(members.as("b"),
-          col("a._ck") === col("b._ck") && col("a._id") < col("b._id"))
-        .select(col("a._ck").as("_ck"),
-          col("a._id").as("id_a"), col("b._id").as("id_b"))
-        .join(classSz, "_ck")
-        .select(col("id_a"), col("id_b"),
-          (col("_sz") / (col("_sz") + col("_sz") - col("_sz"))).as("jaccard"))
-        .filter(col("jaccard") >= threshold)
-
       val repPairs = minhashPairsOver(reps.select(col("_id"), col("_t")),
         bands, shingleN, threshold, repartitionBuckets = true)
-
-      // expand qualifying class pairs to member pairs: classes are
-      // disjoint, so each member pair appears exactly once, with the
-      // jaccard computed ONCE per class pair (identical texts ⇒ the
-      // member-pair value is the same double by construction). id
-      // order is restored with least/greatest.
-      val repKey = reps.select(col("_id"), col("_ck"))
-      val cross = repPairs
-        .join(repKey.select(col("_id").as("id_a"), col("_ck").as("_cka")), "id_a")
-        .join(repKey.select(col("_id").as("id_b"), col("_ck").as("_ckb")), "id_b")
-        .join(members.select(col("_ck").as("_cka"), col("_id").as("_ia")), "_cka")
-        .join(members.select(col("_ck").as("_ckb"), col("_id").as("_ib")), "_ckb")
-        .select(least(col("_ia"), col("_ib")).as("id_a"),
-          greatest(col("_ia"), col("_ib")).as("id_b"), col("jaccard"))
-      twins.unionByName(cross)
+      twinClassPairs(base, reps, shingleN, threshold)
+        .unionByName(expandTextClassPairs(repPairs, reps, base))
     }
+  }
+
+  /** (base, reps, hasTwins) of the md5(text) exact-twin collapse,
+    * shared by [[minhashDupPairs]] and [[jaccardDupPairs]]: `base` is
+    * the NULL-text-free (_id, _t, _ck) frame; `reps` is one
+    * representative (min id) per distinct content — or `base` itself
+    * when the probe finds no class with ≥ 2 members (collapse would be
+    * pure overhead). */
+  private def textClasses(docs: DataFrame, id: String, text: String)
+      : (DataFrame, DataFrame, Boolean) = {
+    val base = docs.filter(col(text).isNotNull)
+      .select(col(id).as("_id"), col(text).as("_t"), md5(col(text)).as("_ck"))
+    val hasTwins = !base.groupBy(col("_ck")).agg(count(lit(1)).as("_k"))
+      .filter(col("_k") > 1).isEmpty
+    val reps =
+      if (!hasTwins) base
+      else base.groupBy(col("_ck"))
+        .agg(min(col("_id")).as("_id"), first(col("_t")).as("_t"))
+    (base, reps, hasTwins)
+  }
+
+  /** Twin-class member pairs: jaccard via the same int/int → double
+    * quotient as the verify stages — |S|/(|S|+|S|−|S|), exactly 1.0
+    * for non-empty sets, NULL-division-dropped for degenerate empties.
+    * The shingle kernel runs once per CLASS, not per pair. */
+  private def twinClassPairs(base: DataFrame, reps: DataFrame,
+      shingleN: Int, threshold: Double): DataFrame = {
+    val members = base.select(col("_ck"), col("_id"))
+    val classSz = reps.select(col("_ck"),
+      size(call_function("shingle_set", col("_t"), lit(shingleN))).as("_sz"))
+    members.as("a").join(members.as("b"),
+        col("a._ck") === col("b._ck") && col("a._id") < col("b._id"))
+      .select(col("a._ck").as("_ck"),
+        col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .join(classSz, "_ck")
+      .select(col("id_a"), col("id_b"),
+        (col("_sz") / (col("_sz") + col("_sz") - col("_sz"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Expand qualifying class-representative pairs to member pairs:
+    * classes are disjoint, so each member pair appears exactly once,
+    * with the jaccard computed ONCE per class pair (identical texts ⇒
+    * the member-pair value is the same double by construction). id
+    * order is restored with least/greatest. */
+  private def expandTextClassPairs(repPairs: DataFrame, reps: DataFrame,
+      base: DataFrame): DataFrame = {
+    val members = base.select(col("_ck"), col("_id"))
+    val repKey = reps.select(col("_id"), col("_ck"))
+    repPairs
+      .join(repKey.select(col("_id").as("id_a"), col("_ck").as("_cka")), "id_a")
+      .join(repKey.select(col("_id").as("id_b"), col("_ck").as("_ckb")), "id_b")
+      .join(members.select(col("_ck").as("_cka"), col("_id").as("_ia")), "_cka")
+      .join(members.select(col("_ck").as("_ckb"), col("_id").as("_ib")), "_ckb")
+      .select(least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"), col("jaccard"))
   }
 
   /** The LSH + exact-verify core of [[minhashDupPairs]], over any
@@ -659,6 +680,30 @@ object Dedup {
       id: String = "doc_id", text: String = "text", shingleN: Int = 3,
       prefixFilter: Boolean = true): DataFrame = {
     require(threshold > 0, "threshold must be positive (zero-overlap pairs are never emitted)")
+    // exact-twin collapse, adaptive like minhashDupPairs (r12): a
+    // class of k identical texts is a clique of j = 1.0 pairs that the
+    // prefix join would rediscover through EVERY shared shingle —
+    // collapse emits the clique directly and runs the set-similarity
+    // join over one representative per distinct content. Clone-free
+    // corpora (one probe job) take the direct pipeline unchanged.
+    val (base, reps, hasTwins) = textClasses(docs, id, text)
+    if (!hasTwins)
+      jaccardPairsCore(docs, threshold, id, text, shingleN, prefixFilter)
+    else {
+      val repPairs = jaccardPairsCore(reps, threshold, "_id", "_t",
+        shingleN, prefixFilter)
+      twinClassPairs(base, reps, shingleN, threshold)
+        .unionByName(expandTextClassPairs(repPairs, reps, base))
+    }
+  }
+
+  /** The prefix-filtered set-similarity join of [[jaccardDupPairs]]
+    * over any doc frame (raw docs on the no-twin fast path, one
+    * representative per content class on the collapsed path). */
+  private def jaccardPairsCore(
+      docs: DataFrame, threshold: Double,
+      id: String, text: String, shingleN: Int,
+      prefixFilter: Boolean): DataFrame = {
     // Verify joins the per-doc shingle ARRAYS (one kernel call per
     // doc, docs-count rows — broadcast-size) onto the candidate
     // pairs and intersects per pair: Σ_cand(|A|+|B|) element work,

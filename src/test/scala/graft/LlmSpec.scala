@@ -236,6 +236,14 @@ class LlmSpec extends SparkSpec {
     // twin-class members must score exactly 1.0
     found.filter { case (a, b, _) => a % 100 == b % 100 }
       .foreach { case (a, b, j) => assert(j == 1.0, s"twin ($a,$b) scored $j") }
+    // the exact set-similarity join shares the collapse: identical
+    // output under the SAME brute-force truth (it is exact, so the
+    // pair sets coincide at any threshold where LSH has full recall)
+    val jacFound = Dedup.jaccardDupPairs(docs, threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(jacFound.length == jacFound.toSet.size, "duplicate pair rows (jaccard)")
+    assert(jacFound.toSet == truth,
+      s"jaccard missing=${truth -- jacFound.toSet} spurious=${jacFound.toSet -- truth}")
     // simhash side: same corpus, same brute-force contract
     val simFound = Dedup.simhashDupPairs(docs, maxDist = 8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -324,6 +324,40 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_dedup_minhash_twins" -> ((s, dir) => {
+      // Driver-gates the COLLAPSED branch of the exact-twin collapse
+      // (r12): the fixture corpus is clone-free, so q_dedup_minhash
+      // exercises only the adaptive fast path. Doubling the corpus —
+      // every text under two ids (doc_id, doc_id + 100000) — flips the
+      // probe: LSH runs over one representative per content class, the
+      // twin cliques emit directly (jaccard exactly 1.0 via the
+      // |S|/(2|S|−|S|) quotient), and each qualifying cross-class pair
+      // expands to all four member combinations. Oracle: DuckDB
+      // all-pairs exact Jaccard over the SAME doubled corpus — recall
+      // and values must survive the collapse bit-for-bit.
+      val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val doubled = d0.unionByName(
+        d0.withColumn("doc_id", col("doc_id") + lit(100000L)))
+      Dedup.minhashDupPairs(doubled, threshold = 0.6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_dedup_cosine_twins" -> ((s, dir) => {
+      // Collapsed branch of the exact triangle block join, same
+      // doubled-corpus trick on vectors. PAIR SET only: self-dot
+      // accumulation order differs between vec_dot (sequential) and
+      // DuckDB's SIMD list kernels on all-positive squares (measured:
+      // 37/500 fixture self-norms differ in the last ulp — the same
+      // reason q_emb_norm_audit gates norms on the 1e8 grid), so the
+      // twin row pins WHICH pairs survive the collapse; the cosine
+      // VALUES are gated bit-exactly by q_dedup_cosine's cross pairs.
+      val e0 = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val doubled = e0.unionByName(
+        e0.withColumn("vec_id", col("vec_id") + lit(100000L)))
+      AnnSearch.cosineDupPairsExact(doubled, threshold = 0.4)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_quantize" -> ((s, dir) => {
       // int8 symmetric quantization, oracle-checked bit-for-bit: the
       // scale and ⌊x/scale + ½⌋ arithmetic is the same IEEE double
@@ -910,6 +944,38 @@ object LlmQueries {
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+        |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    // the doubled corpus from first principles; values must equal the
+    // single-corpus quotients (identical texts ⇒ identical arithmetic)
+    "q_dedup_minhash_twins" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      ELSE [txt] END) AS s
+        |  FROM (SELECT doc_id, lower(text) AS txt,
+        |          list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0) AS toks
+        |        FROM docs2))
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s))::DOUBLE
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+        |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_cosine_twins" ->
+      """WITH emb2 AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings)
+        |SELECT id_a, id_b FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
+        |  FROM emb2 a JOIN emb2 b ON a.vec_id < b.vec_id) t
         |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     "q_text_lang" ->
       """WITH toks AS (

@@ -821,6 +821,72 @@ object Dedup {
       id: String = "doc_id", text: String = "text", shingleN: Int = 3,
       prefixFilter: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1, "containment threshold in (0, 1]")
+    // exact-twin collapse, adaptive like minhash/jaccard (r12): a
+    // class of k identical texts is a DIRECTED clique of k·(k−1)
+    // containment-1.0 pairs that the probe×index join would
+    // rediscover through every shared shingle; cross-class
+    // containment is a pure function of the two contents, so the
+    // asymmetric join runs over one representative per distinct
+    // content and qualifying rep pairs expand to member pairs WITH
+    // DIRECTION preserved (containment(a,b) = |A∩B|/|A| is not
+    // symmetric — least/greatest canonicalization would corrupt it).
+    val (base, reps, hasTwins) = textClasses(docs, id, text)
+    if (!hasTwins)
+      containmentPairsCore(docs, threshold, id, text, shingleN, prefixFilter)
+    else {
+      val repPairs = containmentPairsCore(reps, threshold, "_id", "_t",
+        shingleN, prefixFilter)
+      twinClassPairsDirected(base, reps, shingleN, threshold)
+        .unionByName(expandDirectedClassPairs(repPairs, reps, base))
+    }
+  }
+
+  /** Within-class DIRECTED twin pairs for [[containmentDupPairs]]:
+    * identical texts ⇒ identical shingle sets ⇒ containment |A∩A|/|A|
+    * = 1.0 in both directions for non-empty sets; the int/int
+    * quotient NULLs out (and the filter drops) degenerate empty-set
+    * classes — exactly the pairs the core pipeline never forms
+    * candidates for. The shingle kernel runs once per CLASS. */
+  private def twinClassPairsDirected(base: DataFrame, reps: DataFrame,
+      shingleN: Int, threshold: Double): DataFrame = {
+    val members = base.select(col("_ck"), col("_id"))
+    val classSz = reps.select(col("_ck"),
+      size(call_function("shingle_set", col("_t"), lit(shingleN))).as("_sz"))
+    members.as("a").join(members.as("b"),
+        col("a._ck") === col("b._ck") && col("a._id") =!= col("b._id"))
+      .select(col("a._ck").as("_ck"),
+        col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .join(classSz, "_ck")
+      .select(col("id_a"), col("id_b"),
+        (col("_sz") / col("_sz")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** Expand qualifying DIRECTED class-representative pairs to member
+    * pairs: classes are disjoint, so each directed member pair
+    * appears exactly once, carrying the class pair's containment
+    * (identical texts ⇒ identical shingle sets ⇒ the member-pair
+    * value is the same double by construction). Unlike the jaccard
+    * expansion there is NO least/greatest canonicalization — the
+    * (id_a → id_b) direction is the semantics. */
+  private def expandDirectedClassPairs(repPairs: DataFrame, reps: DataFrame,
+      base: DataFrame): DataFrame = {
+    val members = base.select(col("_ck"), col("_id"))
+    val repKey = reps.select(col("_id"), col("_ck"))
+    repPairs
+      .join(repKey.select(col("_id").as("id_a"), col("_ck").as("_cka")), "id_a")
+      .join(repKey.select(col("_id").as("id_b"), col("_ck").as("_ckb")), "id_b")
+      .join(members.select(col("_ck").as("_cka"), col("_id").as("_ia")), "_cka")
+      .join(members.select(col("_ck").as("_ckb"), col("_id").as("_ib")), "_ckb")
+      .select(col("_ia").as("id_a"), col("_ib").as("id_b"), col("containment"))
+  }
+
+  /** The probe-prefix × inverted-index join of [[containmentDupPairs]]
+    * over any doc frame (raw docs on the no-twin fast path, one
+    * representative per content class on the collapsed path). */
+  private def containmentPairsCore(docs: DataFrame, threshold: Double,
+      id: String, text: String, shingleN: Int,
+      prefixFilter: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sets = docs.select(col(id).as("_id"),
       call_function("shingle_set", col(text), lit(shingleN)).as("_set"))

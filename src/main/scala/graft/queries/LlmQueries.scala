@@ -357,6 +357,23 @@ object LlmQueries {
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_dedup_containment_twins" -> ((s, dir) => {
+      // Collapsed branch of the DIRECTED containment join, doubled
+      // corpus: containment(a,b) = |A∩B|/|A| is asymmetric, so the
+      // twin expansion must preserve direction — a twin clique of k
+      // identical texts emits all k·(k−1) ORDERED pairs at exactly
+      // 1.0, and each qualifying cross-class rep pair expands to the
+      // four directed member combinations carrying the class value
+      // (no least/greatest canonicalization anywhere on this path).
+      // Oracle: DuckDB all-ordered-pairs directed containment over
+      // the same doubled corpus — direction, recall, and the
+      // int/int → double quotient must survive the collapse.
+      val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val doubled = d0.unionByName(
+        d0.withColumn("doc_id", col("doc_id") + lit(100000L)))
+      Dedup.containmentDupPairs(doubled, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     "q_quantize" -> ((s, dir) => {
       // int8 symmetric quantization, oracle-checked bit-for-bit: the
@@ -977,6 +994,28 @@ object LlmQueries {
         |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
         |  FROM emb2 a JOIN emb2 b ON a.vec_id < b.vec_id) t
         |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    // directed containment over the doubled corpus: ordered pairs
+    // (a.doc_id <> b.doc_id), |A∩B|/|A| quotient — both directions of
+    // every twin pair must appear at exactly 1.0
+    "q_dedup_containment_twins" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      ELSE [txt] END) AS s
+        |  FROM (SELECT doc_id, lower(text) AS txt,
+        |          list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0) AS toks
+        |        FROM docs2))
+        |SELECT id_a, id_b, containment FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) AS containment
+        |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id) t
+        |WHERE containment >= 0.8 ORDER BY id_a, id_b""".stripMargin,
     "q_text_lang" ->
       """WITH toks AS (
         |  SELECT doc_id,

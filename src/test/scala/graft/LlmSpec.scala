@@ -253,6 +253,28 @@ class LlmSpec extends SparkSpec {
       .select(col("a._id"), col("b._id")).as[(Long, Long)].collect().toSet
     assert(simFound == simTruth,
       s"missing=${simTruth -- simFound} spurious=${simFound -- simTruth}")
+    // containment shares the collapse too, with DIRECTION preserved:
+    // truth is the all-ordered-pairs asymmetric quotient — both
+    // directions inside a twin class (containment 1.0 each way),
+    // direction-specific values across classes (|A∩B|/|A| ≠ |A∩B|/|B|)
+    val conFound = Dedup.containmentDupPairs(docs, threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(conFound.length == conFound.map(t => (t._1, t._2)).toSet.size,
+      "duplicate pair rows (containment)")
+    val conTruth = sh.as("a").join(sh.as("b"), col("a._id") =!= col("b._id"))
+      .withColumn("c",
+        size(array_intersect(col("a._sh"), col("b._sh"))).cast("double") /
+          size(col("a._sh")))
+      .filter(col("c") >= 0.8)
+      .select(col("a._id"), col("b._id"), col("c"))
+      .as[(Long, Long, Double)].collect().toSet
+    val conPairs = conFound.map(t => (t._1, t._2)).toSet
+    val truthPairs = conTruth.map(t => (t._1, t._2))
+    assert(conPairs == truthPairs,
+      s"containment missing=${truthPairs -- conPairs} spurious=${conPairs -- truthPairs}")
+    assert(conFound.toSet == conTruth, "containment VALUES drifted under collapse")
+    conFound.filter { case (a, b, _) => a % 100 == b % 100 }
+      .foreach { case (a, b, c) => assert(c == 1.0, s"twin ($a,$b) scored $c") }
   }
 
   test("shingle_set kernel equals the windowed row formulation") {

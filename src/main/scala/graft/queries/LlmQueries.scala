@@ -357,6 +357,22 @@ object LlmQueries {
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_dedup_jaccard_twins" -> ((s, dir) => {
+      // Collapsed branch of the EXACT prefix-filter set-similarity
+      // join, doubled corpus: the prefix join runs over one
+      // representative per content class, twin cliques emit directly
+      // at exactly 1.0 via the |S|/(2|S|−|S|) quotient, and
+      // qualifying cross-class pairs expand with least/greatest
+      // canonicalization (jaccard IS symmetric, unlike containment).
+      // Exact at any threshold, so the oracle is plain deterministic
+      // equality — no LSH recall argument needed; 0.5 matches
+      // q_dedup_jaccard so the two rows differ only in corpus twins.
+      val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val doubled = d0.unionByName(
+        d0.withColumn("doc_id", col("doc_id") + lit(100000L)))
+      Dedup.jaccardDupPairs(doubled, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_dedup_containment_twins" -> ((s, dir) => {
       // Collapsed branch of the DIRECTED containment join, doubled
       // corpus: containment(a,b) = |A∩B|/|A| is asymmetric, so the
@@ -994,6 +1010,28 @@ object LlmQueries {
         |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
         |  FROM emb2 a JOIN emb2 b ON a.vec_id < b.vec_id) t
         |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    // exact symmetric jaccard over the doubled corpus at the
+    // q_dedup_jaccard threshold — same shingle CTE as minhash_twins
+    "q_dedup_jaccard_twins" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      ELSE [txt] END) AS s
+        |  FROM (SELECT doc_id, lower(text) AS txt,
+        |          list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0) AS toks
+        |        FROM docs2))
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s))::DOUBLE
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
     // directed containment over the doubled corpus: ordered pairs
     // (a.doc_id <> b.doc_id), |A∩B|/|A| quotient — both directions of

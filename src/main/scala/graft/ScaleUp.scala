@@ -50,7 +50,8 @@ object ScaleUp {
     "event_id" -> "events", "user_id" -> "events_user",
     "doc_id" -> "documents", "vec_id" -> "embeddings")
 
-  def scale(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+  def scale(spark: SparkSession, src: String, dst: String, factor: Int,
+      exactClones: Boolean = false, only: Set[String] = Set.empty): Unit = {
     // one stride per key domain = max(key) + 1 in the source, rounded
     // up to a multiple of 420 = lcm(2,3,4,5,6,7,20) so every `key % m`
     // predicate the suite uses keeps its exact per-replica selectivity
@@ -74,7 +75,11 @@ object ScaleUp {
         var df = base
         for (k <- keyCols(table))
           df = df.withColumn(k, col(k) + lit(r * stride(strideOf(k))))
-        if (table == "documents" && r > 0)
+        // default: per-replica text VARIANTS (realistic near-dup
+        // clusters); clone mode keeps text byte-identical so every
+        // replica set is an exact-twin class — the adversarial shape
+        // the dedup twin collapse exists for
+        if (table == "documents" && r > 0 && !exactClones)
           df = df.withColumn("text", concat(col("text"), lit(s" v$r")))
             .withColumn("n_chars",
               (col("n_chars") + lit(2 + s"$r".length)).cast("int"))
@@ -82,10 +87,12 @@ object ScaleUp {
       }.reduce(_ unionByName _)
     }
 
-    for (t <- Seq("region", "nation")) // fixed tables: straight copy
+    val wanted: String => Boolean =
+      if (only.isEmpty) _ => true else only.contains
+    for (t <- Seq("region", "nation") if wanted(t)) // fixed: straight copy
       Tables.t(spark, src, t).write.mode("overwrite")
         .parquet(s"$dst/$t.parquet")
-    for (t <- keyCols.keys.toSeq.sorted) {
+    for (t <- keyCols.keys.toSeq.sorted if wanted(t)) {
       val parts = t match {
         case "lineitem" => 8 * factor / 10 max 8
         case "orders" | "events" => 4 * factor / 10 max 4
@@ -97,9 +104,13 @@ object ScaleUp {
     }
   }
 
+  /** Usage: ScaleUp <src> <dst> <factor> [clones] [table,table,...] */
   def main(args: Array[String]): Unit = {
     val Array(src, dst, f) = args.take(3)
+    val exactClones = args.lift(3).contains("clones")
+    val only = args.lift(4).map(_.split(',').toSet).getOrElse(Set.empty)
     val spark = GraftSession.get()
-    try scale(spark, src, dst, f.toInt) finally spark.stop()
+    try scale(spark, src, dst, f.toInt, exactClones, only)
+    finally spark.stop()
   }
 }

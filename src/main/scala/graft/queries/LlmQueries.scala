@@ -306,6 +306,26 @@ object LlmQueries {
         .withColumn("hamming", col("hamming").cast("int"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_dedup_simhash_twins" -> ((s, dir) => {
+      // Collapsed branch of bandedHashPairs' HASH-level twin collapse,
+      // doubled corpus: identical texts produce identical simhashes,
+      // so every clone pair is a hash-twin class emitted once from the
+      // hash-equality join (hamming 0, no band multiplier, no
+      // distinct), while banding + pigeonhole run over DISTINCT hashes
+      // only. Oracle: DuckDB replays all 60 sign-of-bit-sum lanes AND
+      // the all-pairs hamming ≤ 8 truth over the same doubled corpus.
+      val docs = t(s, dir, "documents")
+      val d0 = docs
+        .filter(size(TextAnalysis.tokens(col("text"))) > 0)
+        .select(col("doc_id"), col("text"))
+      val doubled = d0.unionByName(
+        d0.withColumn("doc_id", col("doc_id") + lit(100000L)))
+      val sh = doubled.select(col("doc_id"),
+        call_function("simhash64_md5", col("text")).as("simhash"))
+      Dedup.bandedHashPairs(sh, "doc_id", "simhash", maxDist = 8)
+        .withColumn("hamming", col("hamming").cast("int"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_dedup_cosine" -> ((s, dir) => {
       // Oracle-checked against DuckDB all-pairs cosine ≥ 0.4 — and at
       // 0.4 the qualifying set is the tail of the random-pair cosine
@@ -1204,6 +1224,26 @@ object LlmQueries {
         |  SELECT doc_id,
         |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0)) AS t
         |  FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks),
+        |s AS (SELECT doc_id, $simhashMd5Bits AS sh FROM h GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
+    // same 60-lane replay over the doubled corpus: every clone pair
+    // must surface at hamming 0 alongside the base cross pairs
+    "q_dedup_simhash_twins" ->
+      s"""WITH docs1 AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE len(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0)) > 0),
+        |docs2 AS (
+        |  SELECT doc_id, text FROM docs1
+        |  UNION ALL SELECT doc_id + 100000, text FROM docs1),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0)) AS t
+        |  FROM docs2),
         |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks),
         |s AS (SELECT doc_id, $simhashMd5Bits AS sh FROM h GROUP BY doc_id)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -120,6 +120,15 @@ object Bench {
       // the dedup block made the 57 queries after them 2.95× slower)
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      // ...nor a predecessor's un-collected garbage: G1 left >3 GB of
+      // dead shuffle/codegen debris on the 8 GB heap at mid-window
+      // positions, and the next shuffle-heavy query paid it as 2-3×
+      // GC-bound inflation (r12: q_dedup_keepbest 7.3 s in-suite,
+      // 3.1 s standalone — reproducible, position-dependent, and gone
+      // after a forced collection). A full GC outside the timed
+      // window, only when occupancy is actually high, keeps the
+      // measurement the query's own cost.
+      if (usedHeapMb() > 2500) System.gc()
       if (sinceRestart >= restartEvery) {
         sinceRestart = 0
         spark.stop()

@@ -104,11 +104,21 @@ object ScaleUp {
     }
   }
 
-  /** Usage: ScaleUp <src> <dst> <factor> [clones] [table,table,...] */
+  /** Usage: ScaleUp <src> <dst> <factor> [clones|variants] [table,table,...] */
   def main(args: Array[String]): Unit = {
     val Array(src, dst, f) = args.take(3)
-    val exactClones = args.lift(3).contains("clones")
+    // fail fast on typos: a misspelled mode must not silently fall
+    // back to variants (the twin-mass bench would measure the wrong
+    // corpus shape), and a misspelled table must not exit 0 having
+    // written nothing
+    val mode = args.lift(3)
+    require(mode.forall(Set("clones", "variants")),
+      s"mode must be 'clones' or 'variants', got ${mode.get}")
+    val exactClones = mode.contains("clones")
     val only = args.lift(4).map(_.split(',').toSet).getOrElse(Set.empty)
+    val known = keyCols.keySet ++ Set("region", "nation")
+    require(only.subsetOf(known),
+      s"unknown tables: ${(only -- known).mkString(",")}")
     val spark = GraftSession.get()
     try scale(spark, src, dst, f.toInt, exactClones, only)
     finally spark.stop()

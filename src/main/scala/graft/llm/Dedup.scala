@@ -570,41 +570,57 @@ object Dedup {
     (base, reps, hasTwins)
   }
 
-  /** Twin-class member pairs: jaccard via the same int/int → double
-    * quotient as the verify stages — |S|/(|S|+|S|−|S|), exactly 1.0
-    * for non-empty sets, NULL-division-dropped for degenerate empties.
-    * The shingle kernel runs once per CLASS, not per pair. */
+  /** Twin-class member pairs, shared by the jaccard/minhash
+    * (undirected, `a < b`) and containment (DIRECTED, `a ≠ b`)
+    * collapses. `valueOf(sz)` states each pipeline's own verify
+    * quotient over the class's shingle-set size — jaccard
+    * |S|/(|S|+|S|−|S|), containment |S|/|S| — exactly 1.0 for
+    * non-empty sets, NULL-division-dropped for degenerate empties,
+    * and bit-identical to what the verify stage would compute for the
+    * pair. The shingle kernel runs once per CLASS, not per pair. */
   private def twinClassPairs(base: DataFrame, reps: DataFrame,
-      shingleN: Int, threshold: Double): DataFrame = {
+      shingleN: Int, threshold: Double, valueName: String = "jaccard",
+      valueOf: Column => Column =
+        sz => sz / (sz + sz - sz),
+      directed: Boolean = false): DataFrame = {
     val members = base.select(col("_ck"), col("_id"))
     val classSz = reps.select(col("_ck"),
       size(call_function("shingle_set", col("_t"), lit(shingleN))).as("_sz"))
+    val pairPred =
+      if (directed) col("a._id") =!= col("b._id")
+      else col("a._id") < col("b._id")
     members.as("a").join(members.as("b"),
-        col("a._ck") === col("b._ck") && col("a._id") < col("b._id"))
+        col("a._ck") === col("b._ck") && pairPred)
       .select(col("a._ck").as("_ck"),
         col("a._id").as("id_a"), col("b._id").as("id_b"))
       .join(classSz, "_ck")
-      .select(col("id_a"), col("id_b"),
-        (col("_sz") / (col("_sz") + col("_sz") - col("_sz"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), valueOf(col("_sz")).as(valueName))
+      .filter(col(valueName) >= threshold)
   }
 
   /** Expand qualifying class-representative pairs to member pairs:
     * classes are disjoint, so each member pair appears exactly once,
-    * with the jaccard computed ONCE per class pair (identical texts ⇒
-    * the member-pair value is the same double by construction). id
-    * order is restored with least/greatest. */
+    * with the similarity computed ONCE per class pair (identical
+    * texts ⇒ the member-pair value is the same double by
+    * construction). Undirected callers restore id order with
+    * least/greatest; the directed (containment) caller keeps the
+    * (id_a → id_b) orientation — that direction IS the semantics. */
   private def expandTextClassPairs(repPairs: DataFrame, reps: DataFrame,
-      base: DataFrame): DataFrame = {
+      base: DataFrame, valueName: String = "jaccard",
+      directed: Boolean = false): DataFrame = {
     val members = base.select(col("_ck"), col("_id"))
     val repKey = reps.select(col("_id"), col("_ck"))
-    repPairs
+    val expanded = repPairs
       .join(repKey.select(col("_id").as("id_a"), col("_ck").as("_cka")), "id_a")
       .join(repKey.select(col("_id").as("id_b"), col("_ck").as("_ckb")), "id_b")
       .join(members.select(col("_ck").as("_cka"), col("_id").as("_ia")), "_cka")
       .join(members.select(col("_ck").as("_ckb"), col("_id").as("_ib")), "_ckb")
-      .select(least(col("_ia"), col("_ib")).as("id_a"),
-        greatest(col("_ia"), col("_ib")).as("id_b"), col("jaccard"))
+    if (directed)
+      expanded.select(col("_ia").as("id_a"), col("_ib").as("id_b"),
+        col(valueName))
+    else
+      expanded.select(least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"), col(valueName))
   }
 
   /** The LSH + exact-verify core of [[minhashDupPairs]], over any
@@ -836,49 +852,12 @@ object Dedup {
     else {
       val repPairs = containmentPairsCore(reps, threshold, "_id", "_t",
         shingleN, prefixFilter)
-      twinClassPairsDirected(base, reps, shingleN, threshold)
-        .unionByName(expandDirectedClassPairs(repPairs, reps, base))
+      twinClassPairs(base, reps, shingleN, threshold,
+          valueName = "containment", valueOf = sz => sz / sz,
+          directed = true)
+        .unionByName(expandTextClassPairs(repPairs, reps, base,
+          valueName = "containment", directed = true))
     }
-  }
-
-  /** Within-class DIRECTED twin pairs for [[containmentDupPairs]]:
-    * identical texts ⇒ identical shingle sets ⇒ containment |A∩A|/|A|
-    * = 1.0 in both directions for non-empty sets; the int/int
-    * quotient NULLs out (and the filter drops) degenerate empty-set
-    * classes — exactly the pairs the core pipeline never forms
-    * candidates for. The shingle kernel runs once per CLASS. */
-  private def twinClassPairsDirected(base: DataFrame, reps: DataFrame,
-      shingleN: Int, threshold: Double): DataFrame = {
-    val members = base.select(col("_ck"), col("_id"))
-    val classSz = reps.select(col("_ck"),
-      size(call_function("shingle_set", col("_t"), lit(shingleN))).as("_sz"))
-    members.as("a").join(members.as("b"),
-        col("a._ck") === col("b._ck") && col("a._id") =!= col("b._id"))
-      .select(col("a._ck").as("_ck"),
-        col("a._id").as("id_a"), col("b._id").as("id_b"))
-      .join(classSz, "_ck")
-      .select(col("id_a"), col("id_b"),
-        (col("_sz") / col("_sz")).as("containment"))
-      .filter(col("containment") >= threshold)
-  }
-
-  /** Expand qualifying DIRECTED class-representative pairs to member
-    * pairs: classes are disjoint, so each directed member pair
-    * appears exactly once, carrying the class pair's containment
-    * (identical texts ⇒ identical shingle sets ⇒ the member-pair
-    * value is the same double by construction). Unlike the jaccard
-    * expansion there is NO least/greatest canonicalization — the
-    * (id_a → id_b) direction is the semantics. */
-  private def expandDirectedClassPairs(repPairs: DataFrame, reps: DataFrame,
-      base: DataFrame): DataFrame = {
-    val members = base.select(col("_ck"), col("_id"))
-    val repKey = reps.select(col("_id"), col("_ck"))
-    repPairs
-      .join(repKey.select(col("_id").as("id_a"), col("_ck").as("_cka")), "id_a")
-      .join(repKey.select(col("_id").as("id_b"), col("_ck").as("_ckb")), "id_b")
-      .join(members.select(col("_ck").as("_cka"), col("_id").as("_ia")), "_cka")
-      .join(members.select(col("_ck").as("_ckb"), col("_id").as("_ib")), "_ckb")
-      .select(col("_ia").as("id_a"), col("_ib").as("id_b"), col("containment"))
   }
 
   /** The probe-prefix × inverted-index join of [[containmentDupPairs]]

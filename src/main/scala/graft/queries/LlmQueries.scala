@@ -21,6 +21,20 @@ import graft.llm.{AnnSearch, Chunking, Dedup, Multimodal, Quantize, Retrieval, T
 object LlmQueries {
   import Q._
 
+  /** Clone-id offset for the doubled-corpus `*_twins` gates — far
+    * above any fixture key (sf0.1 max doc_id/vec_id < 100k), and
+    * interpolated into BOTH the Spark plans and the DuckDB oracle
+    * strings so the two sides cannot drift apart. */
+  private val TwinOffset = 100000L
+
+  /** The doubled corpus of the twin gates: every row twice, the clone
+    * under `id + TwinOffset` with identical payload — flips the
+    * adaptive exact-twin probe so the COLLAPSED branch is the one
+    * driver-gated. */
+  private def doubledBy(df: org.apache.spark.sql.DataFrame,
+      idCol: String): org.apache.spark.sql.DataFrame =
+    df.unionByName(df.withColumn(idCol, col(idCol) + lit(TwinOffset)))
+
   val queries: Map[String, QFn] = Map(
     // ---- text analysis (oracle: integer stats only — ratio rounding
     // is engine-dependent at ties; ratios are spec-tested) ----
@@ -318,8 +332,7 @@ object LlmQueries {
       val d0 = docs
         .filter(size(TextAnalysis.tokens(col("text"))) > 0)
         .select(col("doc_id"), col("text"))
-      val doubled = d0.unionByName(
-        d0.withColumn("doc_id", col("doc_id") + lit(100000L)))
+      val doubled = doubledBy(d0, "doc_id")
       val sh = doubled.select(col("doc_id"),
         call_function("simhash64_md5", col("text")).as("simhash"))
       Dedup.bandedHashPairs(sh, "doc_id", "simhash", maxDist = 8)
@@ -348,7 +361,7 @@ object LlmQueries {
       // Driver-gates the COLLAPSED branch of the exact-twin collapse
       // (r12): the fixture corpus is clone-free, so q_dedup_minhash
       // exercises only the adaptive fast path. Doubling the corpus —
-      // every text under two ids (doc_id, doc_id + 100000) — flips the
+      // every text under two ids (doc_id, doc_id + TwinOffset) — flips the
       // probe: LSH runs over one representative per content class, the
       // twin cliques emit directly (jaccard exactly 1.0 via the
       // |S|/(2|S|−|S|) quotient), and each qualifying cross-class pair
@@ -356,8 +369,7 @@ object LlmQueries {
       // all-pairs exact Jaccard over the SAME doubled corpus — recall
       // and values must survive the collapse bit-for-bit.
       val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val doubled = d0.unionByName(
-        d0.withColumn("doc_id", col("doc_id") + lit(100000L)))
+      val doubled = doubledBy(d0, "doc_id")
       Dedup.minhashDupPairs(doubled, threshold = 0.6)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -371,8 +383,7 @@ object LlmQueries {
       // twin row pins WHICH pairs survive the collapse; the cosine
       // VALUES are gated bit-exactly by q_dedup_cosine's cross pairs.
       val e0 = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val doubled = e0.unionByName(
-        e0.withColumn("vec_id", col("vec_id") + lit(100000L)))
+      val doubled = doubledBy(e0, "vec_id")
       AnnSearch.cosineDupPairsExact(doubled, threshold = 0.4)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
@@ -388,8 +399,7 @@ object LlmQueries {
       // equality — no LSH recall argument needed; 0.5 matches
       // q_dedup_jaccard so the two rows differ only in corpus twins.
       val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val doubled = d0.unionByName(
-        d0.withColumn("doc_id", col("doc_id") + lit(100000L)))
+      val doubled = doubledBy(d0, "doc_id")
       Dedup.jaccardDupPairs(doubled, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -405,8 +415,7 @@ object LlmQueries {
       // the same doubled corpus — direction, recall, and the
       // int/int → double quotient must survive the collapse.
       val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val doubled = d0.unionByName(
-        d0.withColumn("doc_id", col("doc_id") + lit(100000L)))
+      val doubled = doubledBy(d0, "doc_id")
       Dedup.containmentDupPairs(doubled, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -1002,9 +1011,9 @@ object LlmQueries {
     // the doubled corpus from first principles; values must equal the
     // single-corpus quotients (identical texts ⇒ identical arithmetic)
     "q_dedup_minhash_twins" ->
-      """WITH docs2 AS (
+      s"""WITH docs2 AS (
         |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+        |  UNION ALL SELECT doc_id + $TwinOffset, text FROM documents),
         |sh AS (
         |  SELECT doc_id, list_distinct(
         |    CASE WHEN len(toks) >= 3
@@ -1022,9 +1031,9 @@ object LlmQueries {
         |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_cosine_twins" ->
-      """WITH emb2 AS (
+      s"""WITH emb2 AS (
         |  SELECT vec_id, embedding FROM embeddings
-        |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings)
+        |  UNION ALL SELECT vec_id + $TwinOffset, embedding FROM embeddings)
         |SELECT id_a, id_b FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
@@ -1034,9 +1043,9 @@ object LlmQueries {
     // exact symmetric jaccard over the doubled corpus at the
     // q_dedup_jaccard threshold — same shingle CTE as minhash_twins
     "q_dedup_jaccard_twins" ->
-      """WITH docs2 AS (
+      s"""WITH docs2 AS (
         |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+        |  UNION ALL SELECT doc_id + $TwinOffset, text FROM documents),
         |sh AS (
         |  SELECT doc_id, list_distinct(
         |    CASE WHEN len(toks) >= 3
@@ -1057,9 +1066,9 @@ object LlmQueries {
     // (a.doc_id <> b.doc_id), |A∩B|/|A| quotient — both directions of
     // every twin pair must appear at exactly 1.0
     "q_dedup_containment_twins" ->
-      """WITH docs2 AS (
+      s"""WITH docs2 AS (
         |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+        |  UNION ALL SELECT doc_id + $TwinOffset, text FROM documents),
         |sh AS (
         |  SELECT doc_id, list_distinct(
         |    CASE WHEN len(toks) >= 3
@@ -1239,7 +1248,7 @@ object LlmQueries {
         |  WHERE len(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0)) > 0),
         |docs2 AS (
         |  SELECT doc_id, text FROM docs1
-        |  UNION ALL SELECT doc_id + 100000, text FROM docs1),
+        |  UNION ALL SELECT doc_id + $TwinOffset, text FROM docs1),
         |toks AS (
         |  SELECT doc_id,
         |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0)) AS t

@@ -89,6 +89,15 @@ object ScaleUp {
 
     val wanted: String => Boolean =
       if (only.isEmpty) _ => true else only.contains
+    // Mixed-corpus guard (ADVICE r12): `only` writes selected tables
+    // NEXT TO whatever dst already holds — two invocations at different
+    // factors/modes would silently produce a referentially inconsistent
+    // corpus (orders at factor 30 beside customer at factor 10 =
+    // dangling o_custkey) that Tables.t happily reads. A manifest stamps
+    // every run; a follow-up that disagrees on factor or mode fails
+    // before writing a byte.
+    val written = (Seq("region", "nation") ++ keyCols.keys).filter(wanted)
+    checkAndWriteManifest(dst, factor, exactClones, written)
     for (t <- Seq("region", "nation") if wanted(t)) // fixed: straight copy
       Tables.t(spark, src, t).write.mode("overwrite")
         .parquet(s"$dst/$t.parquet")
@@ -104,8 +113,43 @@ object ScaleUp {
     }
   }
 
-  /** Usage: ScaleUp <src> <dst> <factor> [clones|variants] [table,table,...] */
-  def main(args: Array[String]): Unit = {
+  /** Stamp `dst` with (factor, mode, tables); refuse a run whose factor
+    * or mode disagrees with a previous stamp (tables merge — partial
+    * `only` refreshes at the SAME factor/mode are the supported use). */
+  private[graft] def checkAndWriteManifest(dst: String, factor: Int,
+      exactClones: Boolean, tables: Seq[String]): Unit = {
+    val mode = if (exactClones) "clones" else "variants"
+    val path = java.nio.file.Paths.get(dst, "_scaleup_manifest.json")
+    var all = tables.toSet
+    if (java.nio.file.Files.exists(path)) {
+      val prev = java.nio.file.Files.readString(path)
+      def field(k: String): String =
+        s""""$k":"?([^",}\\]]*)"?""".r.findFirstMatchIn(prev)
+          .map(_.group(1)).getOrElse("")
+      val (pf, pm) = (field("factor"), field("mode"))
+      require(pf == factor.toString && pm == mode,
+        s"$dst already holds a factor=$pf mode=$pm corpus; refusing to mix " +
+          s"in factor=$factor mode=$mode tables (delete the dir or match the stamp)")
+      all ++= s""""tables":\\[([^\\]]*)\\]""".r.findFirstMatchIn(prev)
+        .map(_.group(1).split(',').map(_.trim.stripPrefix("\"")
+          .stripSuffix("\"")).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty)
+    }
+    java.nio.file.Files.createDirectories(path.getParent)
+    java.nio.file.Files.writeString(path,
+      s"""{"factor":$factor,"mode":"$mode","tables":[""" +
+        all.toSeq.sorted.map("\"" + _ + "\"").mkString(",") + "]}\n")
+  }
+
+  /** Parsed+validated CLI arguments; validation lives here (not in
+    * main) so specs can exercise the fail-fast guards without touching
+    * the shared SparkSession — ScaleUpSpec pins that contract. */
+  private[graft] final case class Args(src: String, dst: String,
+    factor: Int, exactClones: Boolean, only: Set[String])
+
+  private[graft] def parseArgs(args: Array[String]): Args = {
+    require(args.length >= 3,
+      "usage: ScaleUp <src> <dst> <factor> [clones|variants] [table,table,...]")
     val Array(src, dst, f) = args.take(3)
     // fail fast on typos: a misspelled mode must not silently fall
     // back to variants (the twin-mass bench would measure the wrong
@@ -114,13 +158,21 @@ object ScaleUp {
     val mode = args.lift(3)
     require(mode.forall(Set("clones", "variants")),
       s"mode must be 'clones' or 'variants', got ${mode.get}")
-    val exactClones = mode.contains("clones")
     val only = args.lift(4).map(_.split(',').toSet).getOrElse(Set.empty)
     val known = keyCols.keySet ++ Set("region", "nation")
     require(only.subsetOf(known),
       s"unknown tables: ${(only -- known).mkString(",")}")
+    Args(src, dst, f.toInt, mode.contains("clones"), only)
+  }
+
+  /** Usage: ScaleUp <src> <dst> <factor> [clones|variants] [table,table,...]
+    * Argument validation MUST stay before session creation: the spec's
+    * fail-fast test calls main directly, and a session created here
+    * would be stopped by the finally and poison the shared test session. */
+  def main(args: Array[String]): Unit = {
+    val a = parseArgs(args)
     val spark = GraftSession.get()
-    try scale(spark, src, dst, f.toInt, exactClones, only)
+    try scale(spark, a.src, a.dst, a.factor, a.exactClones, a.only)
     finally spark.stop()
   }
 }

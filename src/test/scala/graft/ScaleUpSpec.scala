@@ -62,13 +62,38 @@ class ScaleUpSpec extends SparkSpec {
       "replica offsetting broke the o_custkey -> c_custkey reference")
   }
 
-  test("main fails fast on a misspelled mode or unknown table") {
+  test("argument parsing fails fast on a misspelled mode or unknown table") {
+    // parseArgs is the validation seam (ADVICE r12): testing it directly
+    // means no code path here can ever reach GraftSession.get() and stop
+    // the shared test session from main's finally
     intercept[IllegalArgumentException] {
-      ScaleUp.main(Array(sfDir, "/tmp/graft_scaleup_spec_bad", "2", "clone"))
+      ScaleUp.parseArgs(Array(sfDir, "/tmp/graft_scaleup_spec_bad", "2", "clone"))
     }
     intercept[IllegalArgumentException] {
-      ScaleUp.main(Array(sfDir, "/tmp/graft_scaleup_spec_bad", "2", "clones",
-        "document"))
+      ScaleUp.parseArgs(Array(sfDir, "/tmp/graft_scaleup_spec_bad", "2",
+        "clones", "document"))
+    }
+    val ok = ScaleUp.parseArgs(Array(sfDir, "/x", "3", "clones", "orders,part"))
+    assert(ok == ScaleUp.Args(sfDir, "/x", 3, exactClones = true,
+      Set("orders", "part")))
+  }
+
+  test("manifest refuses a mixed-factor/mode corpus, merges same-stamp tables") {
+    val dst = "/tmp/graft_scaleup_spec_manifest"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dst))
+    ScaleUp.checkAndWriteManifest(dst, 10, exactClones = false, Seq("orders"))
+    // same stamp, more tables: allowed, table list merges
+    ScaleUp.checkAndWriteManifest(dst, 10, exactClones = false, Seq("customer"))
+    val m = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dst, "_scaleup_manifest.json"))
+    assert(m.contains("\"factor\":10") && m.contains("\"variants\""))
+    assert(m.contains("\"customer\"") && m.contains("\"orders\""))
+    // different factor or mode into the same dst: refused before writing
+    intercept[IllegalArgumentException] {
+      ScaleUp.checkAndWriteManifest(dst, 30, exactClones = false, Seq("part"))
+    }
+    intercept[IllegalArgumentException] {
+      ScaleUp.checkAndWriteManifest(dst, 10, exactClones = true, Seq("part"))
     }
   }
 }

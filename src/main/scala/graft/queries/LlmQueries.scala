@@ -30,10 +30,25 @@ object LlmQueries {
   /** The doubled corpus of the twin gates: every row twice, the clone
     * under `id + TwinOffset` with identical payload — flips the
     * adaptive exact-twin probe so the COLLAPSED branch is the one
-    * driver-gated. */
+    * driver-gated.
+    *
+    * The offset is asserted, not assumed (ADVICE r12): it clears the
+    * fixture's keys at sf0.1, but ScaleUp corpora reach doc_id ~151k
+    * at SF3 — running a twins gate there would silently alias clone
+    * ids with real ids, corrupting the "every row twice" shape AND
+    * textClasses' min-id representatives. The offset itself must stay
+    * a compile-time constant (it is interpolated into the oracle SQL
+    * strings), so a too-big corpus fails loudly instead of gating a
+    * corrupted shape. */
   private def doubledBy(df: org.apache.spark.sql.DataFrame,
-      idCol: String): org.apache.spark.sql.DataFrame =
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val mx = df.agg(max(col(idCol))).head.getLong(0)
+    require(mx < TwinOffset,
+      s"twins gate: max($idCol)=$mx >= TwinOffset=$TwinOffset — clone ids " +
+        "would alias real ids; raise TwinOffset (and its oracle-string " +
+        "interpolations) before running twins gates on this corpus")
     df.unionByName(df.withColumn(idCol, col(idCol) + lit(TwinOffset)))
+  }
 
   val queries: Map[String, QFn] = Map(
     // ---- text analysis (oracle: integer stats only — ratio rounding
@@ -251,20 +266,34 @@ object LlmQueries {
     "q_heaps_curve" -> ((s, dir) => {
       // Heaps-law vocabulary growth: cumulative distinct tokens vs
       // cumulative token volume in doc_id order — each token's
-      // first-occurrence doc contributes one new type there; both
-      // curves are integer running sums over the docs-sized frame.
+      // first-occurrence doc contributes one new type there. The
+      // running sums use the SAME two-phase grouped prefix sum as
+      // Packing.packSequences (r12 verdict: no docs-sized global
+      // window): phase 1 cumsums within doc_id/100 ranges in
+      // parallel; phase 2 prefix-sums the |docs|/100 group totals
+      // (the one remaining global window — 100× reduced, allowlisted
+      // in PlanGuardSpec) and broadcasts the offsets back.
       import org.apache.spark.sql.expressions.Window
       val toks = t(s, dir, "documents").select(col("doc_id"),
         explode(graft.llm.TextAnalysis.tokens(lower(col("text")))).as("tok"))
       val perDoc = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
       val newTypes = toks.groupBy(col("tok")).agg(min(col("doc_id")).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_new"))
-      val w = Window.orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      perDoc.join(newTypes, Seq("doc_id"), "left")
+      val base = perDoc.join(newTypes, Seq("doc_id"), "left")
         .na.fill(0, Seq("n_new"))
-        .withColumn("cum_tokens", sum(col("n_tok")).over(w))
-        .withColumn("cum_types", sum(col("n_new")).over(w))
+        .withColumn("_g", floor(col("doc_id") / 100).cast("long"))
+      val wLocal = Window.partitionBy(col("_g")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wGroups = Window.orderBy(col("_g"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy(col("_g"))
+        .agg(sum(col("n_tok")).as("_gt"), sum(col("n_new")).as("_gy"))
+        .withColumn("_tOff", coalesce(sum(col("_gt")).over(wGroups), lit(0L)))
+        .withColumn("_yOff", coalesce(sum(col("_gy")).over(wGroups), lit(0L)))
+        .select(col("_g"), col("_tOff"), col("_yOff"))
+      base.join(broadcast(offsets), "_g")
+        .withColumn("cum_tokens", col("_tOff") + sum(col("n_tok")).over(wLocal))
+        .withColumn("cum_types", col("_yOff") + sum(col("n_new")).over(wLocal))
         .filter(col("doc_id") % 50 === 0) // sampled curve points
         .select(col("doc_id"), col("cum_tokens"), col("cum_types"))
         .orderBy(col("doc_id"))
@@ -688,13 +717,18 @@ object LlmQueries {
       // is order-independent; the closed-form slope/intercept then
       // runs in one mirrored double sequence. A healthy natural
       // corpus sits near slope −1; a template-flooded crawl flattens.
+      // top-1000 head via orderBy+LIMIT (TakeOrderedAndProject —
+      // distributed partial top-k, the vocabulary() discipline: a
+      // corpus vocabulary runs to 10⁸ terms and must never pass
+      // through one global rank window); row_number then runs over
+      // the 1000-row survivor frame only (allowlisted constant bound)
       import org.apache.spark.sql.expressions.Window
       val toks = t(s, dir, "documents").select(
         explode(graft.llm.TextAnalysis.tokens(lower(col("text")))).as("tok"))
       val ranked = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(1000)
         .withColumn("r", row_number().over(
           Window.orderBy(col("c").desc, col("tok"))))
-        .filter(col("r") <= 1000)
         .select(floor(log(col("r").cast("double")) * 1e6).as("qx"),
           floor(log(col("c").cast("double")) * 1e6).as("qy"))
       val m = ranked.agg(count(lit(1)).as("n"),
@@ -1009,7 +1043,11 @@ object LlmQueries {
         |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
     // the doubled corpus from first principles; values must equal the
-    // single-corpus quotients (identical texts ⇒ identical arithmetic)
+    // single-corpus quotients (identical texts ⇒ identical arithmetic).
+    // NOTE (ADVICE r12): these are s-interpolated strings, so Scala
+    // escape processing runs on the whole literal — regex backslashes
+    // inside them must be DOUBLED (\\t) so DuckDB receives the escape
+    // sequence textually, not a raw control character.
     "q_dedup_minhash_twins" ->
       s"""WITH docs2 AS (
         |  SELECT doc_id, text FROM documents
@@ -1021,7 +1059,7 @@ object LlmQueries {
         |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
         |      ELSE [txt] END) AS s
         |  FROM (SELECT doc_id, lower(text) AS txt,
-        |          list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0) AS toks
+        |          list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS toks
         |        FROM docs2))
         |SELECT id_a, id_b, jaccard FROM (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1053,7 +1091,7 @@ object LlmQueries {
         |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
         |      ELSE [txt] END) AS s
         |  FROM (SELECT doc_id, lower(text) AS txt,
-        |          list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0) AS toks
+        |          list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS toks
         |        FROM docs2))
         |SELECT id_a, id_b, jaccard FROM (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1076,7 +1114,7 @@ object LlmQueries {
         |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
         |      ELSE [txt] END) AS s
         |  FROM (SELECT doc_id, lower(text) AS txt,
-        |          list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0) AS toks
+        |          list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS toks
         |        FROM docs2))
         |SELECT id_a, id_b, containment FROM (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,

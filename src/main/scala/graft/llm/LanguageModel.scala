@@ -45,6 +45,41 @@ object LanguageModel {
       .select(col("_id").as(id), col("n_tokens"), col("xent"))
   }
 
+  /** CCNet-style perplexity bucketing: per-doc cross-entropy classed
+    * into head/middle/tail terciles. The DEFAULT path computes the two
+    * cut points as ONE aggregate row (`approx_percentile`, GK sketch —
+    * bounded state per partial, merged once), broadcasts it, and
+    * buckets every doc by comparison — no global window, no
+    * single-partition sort anywhere in the plan, so the operator a
+    * user reaches for IS the 100 TB formulation (r12 verdict #1; the
+    * reference classes rows against broadcast casual-partition min/max
+    * thresholds the same one-row-out way, dbcon/joblist/lbidlist.h:82-117).
+    * `exact = true` swaps the sketch for exact discrete percentiles
+    * (`percentile_disc`: smallest value with cume_dist ≥ p, the
+    * ceil(p·n)-th smallest — DuckDB's quantile_disc definition, so the
+    * gate hash-compares it; buffer is a value→count histogram, bounded
+    * by the 6-dp xent grid, still one row out). Same plan shape either
+    * way; only the threshold aggregate differs. Ties share a bucket by
+    * construction (threshold compare), which is also why no tiebreak
+    * column is needed for determinism. */
+  def perplexityBuckets(docs: DataFrame, exact: Boolean = false,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val ce = crossEntropy(docs, id, text)
+    val th =
+      if (exact) ce.agg(
+        expr("percentile_disc(CAST(1 AS DOUBLE)/3) WITHIN GROUP (ORDER BY xent)").as("_t1"),
+        expr("percentile_disc(CAST(2 AS DOUBLE)/3) WITHIN GROUP (ORDER BY xent)").as("_t2"))
+      else ce.agg(
+        percentile_approx(col("xent"), lit(1.0 / 3), lit(10000)).as("_t1"),
+        percentile_approx(col("xent"), lit(2.0 / 3), lit(10000)).as("_t2"))
+    ce.crossJoin(broadcast(th))
+      .withColumn("bucket",
+        when(col("xent") <= col("_t1"), lit("head"))
+          .when(col("xent") <= col("_t2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(id), col("n_tokens"), col("xent"), col("bucket"))
+  }
+
   /** Top-`size` corpus vocabulary by (count DESC, term ASC) — the
     * frequency-cut vocabulary induction every tokenizer fit starts
     * from. orderBy+limit plans as TakeOrderedAndProject (distributed

@@ -61,27 +61,38 @@ object EventQueries {
     }),
     "q_rfm" -> ((s, dir) => {
       // RFM segmentation: per-user recency/frequency/monetary rollup +
-      // global quintile scores. The quintile ntile runs on the
-      // |users|-sized AGGREGATE frame (not the event stream) with a
-      // user_id tiebreak for a deterministic total order; at 1e9-user
-      // scale swap the ntile for broadcast quantile-boundary
-      // bucketing — the rollup itself is one partial-aggregable
-      // groupBy however many events feed it.
-      import org.apache.spark.sql.expressions.Window
+      // global quintile scores. Scores come from broadcast quantile
+      // THRESHOLDS — one percentile_disc aggregate row over the user
+      // rollup, then score = 1 + #(cut points passed) — NOT an ntile
+      // over the |users|-sized frame (the r12 ccnet finding: a global
+      // window there single-partition-sorts every user at 1e9-user
+      // scale; thresholds are one row out + a broadcast compare, and
+      // metric TIES now share a score by construction). frequency/
+      // monetary are negated so all three use the same ascending
+      // percentile definition (k-th LARGEST = -(k-th smallest of -v)),
+      // which DuckDB's quantile_disc replays value-for-value.
       val ref = to_date(lit("2024-02-01"))
       val base = t(s, dir, "events")
         .groupBy(col("user_id"))
         .agg(datediff(ref, max(to_date(col("ts")))).as("recency_days"),
           count(lit(1)).as("frequency"),
           sumDec(col("value")).as("monetary"))
-      base.select(col("user_id"), col("recency_days"), col("frequency"),
+      def cuts(v: String, pfx: String) = (1 to 4).map(k =>
+        expr(s"percentile_disc(CAST(0.${2 * k} AS DOUBLE)) " +
+            s"WITHIN GROUP (ORDER BY $v)")
+          .as(s"$pfx$k"))
+      val allCuts = cuts("recency_days", "r") ++ cuts("-frequency", "f") ++
+        cuts("-monetary", "m")
+      val th = base.agg(allCuts.head, allCuts.tail: _*)
+      def score(v: org.apache.spark.sql.Column, pfx: String) =
+        (lit(1) + (1 to 4).map(k => (v > col(s"$pfx$k")).cast("int"))
+          .reduce(_ + _)).as(s"${pfx}_score")
+      base.crossJoin(broadcast(th))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
           col("monetary"),
-          ntile(5).over(Window.orderBy(col("recency_days"), col("user_id")))
-            .as("r_score"),
-          ntile(5).over(Window.orderBy(col("frequency").desc, col("user_id")))
-            .as("f_score"),
-          ntile(5).over(Window.orderBy(col("monetary").desc, col("user_id")))
-            .as("m_score"))
+          score(col("recency_days"), "r"),
+          score(-col("frequency"), "f"),
+          score(-col("monetary"), "m"))
         .orderBy(col("user_id"))
     }),
     "q_twap" -> ((s, dir) => {
@@ -948,13 +959,30 @@ object EventQueries {
         |             DATE '2024-02-01') AS recency_days,
         |    count(*) AS frequency,
         |    ${Q.oSumDec("value")} AS monetary
-        |  FROM events GROUP BY user_id)
+        |  FROM events GROUP BY user_id),
+        |th AS (SELECT
+        |  quantile_disc(recency_days, CAST(0.2 AS DOUBLE)) AS r1,
+        |  quantile_disc(recency_days, CAST(0.4 AS DOUBLE)) AS r2,
+        |  quantile_disc(recency_days, CAST(0.6 AS DOUBLE)) AS r3,
+        |  quantile_disc(recency_days, CAST(0.8 AS DOUBLE)) AS r4,
+        |  quantile_disc(-frequency, CAST(0.2 AS DOUBLE)) AS f1,
+        |  quantile_disc(-frequency, CAST(0.4 AS DOUBLE)) AS f2,
+        |  quantile_disc(-frequency, CAST(0.6 AS DOUBLE)) AS f3,
+        |  quantile_disc(-frequency, CAST(0.8 AS DOUBLE)) AS f4,
+        |  quantile_disc(-monetary, CAST(0.2 AS DOUBLE)) AS m1,
+        |  quantile_disc(-monetary, CAST(0.4 AS DOUBLE)) AS m2,
+        |  quantile_disc(-monetary, CAST(0.6 AS DOUBLE)) AS m3,
+        |  quantile_disc(-monetary, CAST(0.8 AS DOUBLE)) AS m4
+        |  FROM base)
         |SELECT user_id, CAST(recency_days AS INT) AS recency_days,
         |  frequency, monetary,
-        |  CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS INT) AS r_score,
-        |  CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS INT) AS f_score,
-        |  CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS INT) AS m_score
-        |FROM base ORDER BY user_id""".stripMargin,
+        |  CAST(1 + (recency_days > th.r1)::INT + (recency_days > th.r2)::INT
+        |    + (recency_days > th.r3)::INT + (recency_days > th.r4)::INT AS INT) AS r_score,
+        |  CAST(1 + (-frequency > th.f1)::INT + (-frequency > th.f2)::INT
+        |    + (-frequency > th.f3)::INT + (-frequency > th.f4)::INT AS INT) AS f_score,
+        |  CAST(1 + (-monetary > th.m1)::INT + (-monetary > th.m2)::INT
+        |    + (-monetary > th.m3)::INT + (-monetary > th.m4)::INT AS INT) AS m_score
+        |FROM base CROSS JOIN th ORDER BY user_id""".stripMargin,
     "q_twap" ->
       """WITH e AS (
         |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

@@ -57,16 +57,17 @@ object RetrievalQueries {
       // absent-ranker contributes 0. Both rank lists cut at 50 on the
       // ROUNDED-grid order with id tie-breaks; the fusion sum is two
       // fixed-order double terms — cross-engine deterministic end to
-      // end. The sem ranking here is a global row_number (corpus sort
-      // at audit scale); the 100 TB formulation swaps it for
-      // TakeOrderedAndProject on (cos, id) — same 50-row output —
-      // and the fusion still joins two 50-row frames.
+      // end. Each rank list is cut by orderBy+LIMIT FIRST (plans as
+      // TakeOrderedAndProject — distributed partial top-k, no corpus
+      // sort) and only the surviving 50-row frame gets its row_number
+      // window: the one global window in this plan runs over a
+      // constant-bounded frame (allowlisted in PlanGuardSpec).
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
       val lex = Retrieval.bm25(docs, terms = Seq("spark", "shuffle", "fast"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(50)
         .withColumn("lex_rank", row_number().over(
           Window.orderBy(col("bm25").desc, col("doc_id"))))
-        .filter(col("lex_rank") <= 50)
         .select(col("doc_id"), col("lex_rank"))
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -76,9 +77,9 @@ object RetrievalQueries {
         .select(col("vec_id").as("doc_id"),
           round(graft.llm.AnnSearch.cosine(col("v"), col("qv")), 6).as("cos"))
         .filter(col("doc_id") =!= 0)
+        .orderBy(col("cos").desc, col("doc_id")).limit(50)
         .withColumn("sem_rank", row_number().over(
           Window.orderBy(col("cos").desc, col("doc_id"))))
-        .filter(col("sem_rank") <= 50)
         .select(col("doc_id"), col("sem_rank"))
       lex.join(sem, Seq("doc_id"), "full_outer")
         .withColumn("rrf", round(
@@ -107,15 +108,14 @@ object RetrievalQueries {
       // CCNet-style perplexity bucketing: per-doc LM cross-entropy →
       // head/middle/tail terciles → per-bucket audit rollup (the
       // bucket-then-sample hygiene recipe of the CCNet pipeline).
-      // Terciles come from ntile over the per-doc CE table — a
-      // docs-sized AGGREGATE frame; at corpus scale swap the ntile
-      // for broadcast approx-quantile thresholds, same downstream.
-      import org.apache.spark.sql.expressions.Window
-      val ce = LanguageModel.crossEntropy(t(s, dir, "documents"))
-      ce.withColumn("tercile",
-          ntile(3).over(Window.orderBy(col("xent"), col("doc_id"))))
-        .withColumn("bucket", element_at(
-          array(lit("head"), lit("middle"), lit("tail")), col("tercile")))
+      // Terciles come from broadcast percentile THRESHOLDS — one
+      // aggregate row, bucket by comparison; no global window (the
+      // r12 scale-killer was an ntile over the docs-sized CE frame).
+      // exact=true: percentile_disc cut points the DuckDB oracle
+      // replays value-for-value (quantile_disc, same ceil(p·n)-rank
+      // definition — pinned in RetrievalSpec); the operator DEFAULT
+      // is the approx_percentile sketch, same plan shape.
+      LanguageModel.perplexityBuckets(t(s, dir, "documents"), exact = true)
         .groupBy(col("bucket")).agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("sum_tokens"),
@@ -342,10 +342,14 @@ object RetrievalQueries {
         |    round(ln(tot.total) - sum(ln(cnt.c)) / count(*), 6) AS xent
         |  FROM toks JOIN cnt USING (t) CROSS JOIN tot
         |  GROUP BY doc_id, tot.total),
+        |th AS (SELECT quantile_disc(xent, CAST(1 AS DOUBLE)/3) AS t1,
+        |              quantile_disc(xent, CAST(2 AS DOUBLE)/3) AS t2 FROM ce),
         |b AS (SELECT n_tokens, xent,
-        |        ntile(3) OVER (ORDER BY xent, doc_id) AS terc FROM ce)
-        |SELECT CASE terc WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
-        |       ELSE 'tail' END AS bucket,
+        |        CASE WHEN xent <= th.t1 THEN 'head'
+        |             WHEN xent <= th.t2 THEN 'middle'
+        |             ELSE 'tail' END AS bucket
+        |      FROM ce CROSS JOIN th)
+        |SELECT bucket,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
         |  min(xent) AS min_xent, max(xent) AS max_xent

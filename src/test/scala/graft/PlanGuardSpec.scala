@@ -19,6 +19,8 @@ class PlanGuardSpec extends SparkSpec {
   // frame (N/avgdl, totals/vocab, the temperature (N, Z) pair) — the
   // same bounded shape as q_sketch_approx. q_curriculum crossJoins a
   // 1-row broadcast percentile-thresholds frame (same class).
+  // q_rfm crossJoins the 1-row broadcast quintile-thresholds frame
+  // (12 percentile_disc cut points — the q_curriculum class).
   // q_topk_ties joins the 1-row broadcast k-th-value threshold (the
   // WITH TIES rewrite) — same bounded class. q_hybrid_rrf joins the
   // 1-ROW broadcast query-vector frame (query-by-example semantic
@@ -34,7 +36,7 @@ class PlanGuardSpec extends SparkSpec {
       "q2_true_mincost_v2", "q11_true_important", "q16_true_suppcnt",
       "q20_true_potential",
       "q_decontam_semantic", "q_bm25_topk", "q_lm_entropy", "q_ccnet_buckets", "q_benford", "q_walkforward", "q_basket_lift", "q_stickiness", "q_ab_test", "q_anomaly_days", "q_term_dispersion", "q_collocations",
-      "q_importance_weights",
+      "q_importance_weights", "q_rfm",
       "q_source_kl", "q_lm_bigram", "q_lm_trigram", "q_lm_kneser_ney",
       "q_sample_temperature",
       "q_curriculum", "q_mix_epochs", "q_hybrid_rrf")
@@ -53,6 +55,69 @@ class PlanGuardSpec extends SparkSpec {
       val df = try fn(spark, sfDir)
         catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
       (name, df, graft.queries.Q.drainLocalizedPlans())
+    }
+
+  // Global (unpartitioned) windows funnel their whole input through ONE
+  // task — invisible at gate scale, fatal at 100 TB (the r12 verdict's
+  // q_ccnet_buckets finding). The real ground rule (SCALE.md): a global
+  // window may only run over a frame whose size is BOUNDED independent
+  // of fact-table cardinality — constant-bounded audit tables, NDV- or
+  // calendar-bounded aggregates, LIMIT-k reductions, or the |rows|/span
+  // second level of a grouped prefix sum. Every such site is allowlisted
+  // WITH its bound; a new unpartitioned window anywhere else fails here
+  // before it ever ships.
+  private val allowGlobalWindow: Map[String, String] = Map(
+    "q_skew_audit" -> "per-join-key count frame (key NDV; plans/SkewJoin.scala)",
+    "q_abc_analysis" -> "parts-level Pareto aggregate (part NDV; swap note in-code)",
+    "q_bpe_merges" -> "10-row merge audit table (numMerges constant)",
+    "q_collation" -> "collation-key probe frame (segment NDV, constant)",
+    "q_collation2" -> "collation-key probe frame (segment NDV, constant)",
+    "q_window_sliding_distinct" -> "per-day aggregate (calendar-bounded)",
+    "q_window_sliding_hll" -> "per-day sketch aggregate (calendar-bounded)",
+    "q_heaps_curve" -> "grouped prefix sum: 2nd level over |docs|/100 group totals",
+    "q_pack_sequences" -> "grouped prefix sum: 2nd level over |docs|/100 group totals (llm/Packing.scala)",
+    "q_zipf_slope" -> "rank over LIMIT-1000 vocabulary head (constant)",
+    "q_hybrid_rrf" -> "rank over two LIMIT-50 TakeOrdered frames (constant)",
+    "q_ratio_report" -> "event_type x dow cell aggregate (constant-bounded)",
+    "q_chi2_independence" -> "event_type x dow cell aggregate (constant-bounded)",
+    "q_moving_corr" -> "per-day aggregate (calendar-bounded)",
+    "q_survival_km" -> "distinct-duration aggregate (calendar-bounded NDV)")
+
+  test("no global (unpartitioned) window over an unbounded frame") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = built.flatMap { case (name, df, staged) =>
+      val inMain =
+        try df.queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }.nonEmpty
+        catch { case _: Throwable => false } // streaming plans may refuse optimize
+      val inStaged = staged.exists(hasGlobalWindowNode)
+      if ((inMain || inStaged) && !allowGlobalWindow.contains(name)) Some(name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"unallowlisted global-window plans (single-partition sort of the " +
+        s"whole frame at scale): $offenders")
+  }
+
+  /** Physical-plan-string detector for the localized/withScratch plans
+    * (captured as text): a `Window` node whose one-line render has only
+    * TWO top-level bracket groups (exprs + order) — the partitioned
+    * form has three. Nested brackets inside window expressions are
+    * depth-tracked. */
+  private def hasGlobalWindowNode(plan: String): Boolean =
+    plan.linesIterator.exists { ln =>
+      val i = ln.indexOf("Window [")
+      i >= 0 && ln.substring(0, i).forall(c => "+-:| *()0123456789".contains(c)) && {
+        var depth = 0
+        var groups = 0
+        ln.substring(i + "Window ".length).foreach {
+          case '[' => if (depth == 0) groups += 1; depth += 1
+          case ']' => depth -= 1
+          case _ =>
+        }
+        groups == 2
+      }
     }
 
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin in any query") {

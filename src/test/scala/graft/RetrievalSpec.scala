@@ -485,4 +485,44 @@ class RetrievalSpec extends SparkSpec {
     for ((_, pieces, _) <- seg; p <- pieces.split('|') if p.length > 1)
       assert(vocab.contains(p), s"unknown piece $p")
   }
+
+  test("percentile_disc follows the ceil(p*n)-rank rule DuckDB's quantile_disc uses") {
+    // the ccnet/rfm threshold gates hash-compare Spark percentile_disc
+    // against DuckDB quantile_disc — both must pick the ceil(p*n)-th
+    // smallest (smallest value with cume_dist >= p). n=5, p=2/3 is the
+    // case where the OTHER common definition (floor-index, value at
+    // floor(p*(n-1))) diverges: ceil-rank says 4, floor-index says 3.
+    val five = Seq(1, 2, 3, 4, 5).toDF("x")
+    def disc(df: org.apache.spark.sql.DataFrame, p: String): Int =
+      df.agg(expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY x)"))
+        .head.getDouble(0).toInt
+    assert(disc(five, "CAST(2 AS DOUBLE)/3") == 4)
+    assert(disc(five, "CAST(1 AS DOUBLE)/3") == 2)
+    // boundary: n divisible by 3 — fl(1/3)*n rounds just under n/3,
+    // cume k/n rounds exactly to fl(1/3); both rules land on rank n/3
+    val six = Seq(1, 2, 3, 4, 5, 6).toDF("x")
+    assert(disc(six, "CAST(1 AS DOUBLE)/3") == 2)
+    assert(disc(six, "CAST(2 AS DOUBLE)/3") == 4)
+  }
+
+  test("perplexityBuckets: approx default and exact mode agree; no window in plan") {
+    import graft.llm.LanguageModel
+    val d = docs((1L to 60L).map(i =>
+      i -> (s"tok$i " * (1 + (i % 7).toInt) + "common words here")): _*)
+    val exact = LanguageModel.perplexityBuckets(d, exact = true)
+      .select("doc_id", "bucket").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val approx = LanguageModel.perplexityBuckets(d)
+      .select("doc_id", "bucket").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // accuracy 10000 >> 60 rows: the GK sketch is exact in this regime,
+    // so the default path must agree bucket-for-bucket with exact mode
+    assert(exact == approx, "approx-threshold buckets diverged from exact")
+    assert(exact.values.toSet == Set("head", "middle", "tail"))
+    // the scale contract itself: neither mode plans ANY window node
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (m <- Seq(true, false)) {
+      val w = LanguageModel.perplexityBuckets(d, exact = m)
+        .queryExecution.optimizedPlan.collect { case n: LWindow => n }
+      assert(w.isEmpty, s"perplexityBuckets(exact=$m) planned a window")
+    }
+  }
 }

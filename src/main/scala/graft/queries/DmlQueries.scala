@@ -219,6 +219,56 @@ object DmlQueries {
           lit(vt.currentVersion == 2).as("two_commits_published"))
     }),
 
+    // CRASH-IN-FLIGHT write atomicity (VERDICT r12 #3): a writer dies
+    // BETWEEN staging data files and publishing its manifest — the
+    // reference's version-buffer rollback path (versioning/BRM/vbbm.h,
+    // vss.h:167-198): uncommitted blocks must stay invisible and be
+    // reclaimed. Simulated deterministically by writing parquet files
+    // into a data_* staging dir under the table root (exactly what
+    // writeData leaves behind when commit() never runs) with POISONED
+    // values (price ×1000), so any reader leakage shifts the
+    // value-checked aggregates. Pinned: readers at the crash point see
+    // exactly v1 (n_at_crash/price_at_crash vs first-principles
+    // DuckDB), vacuum reclaims the orphans WITHOUT touching live
+    // history (keepVersions spans every manifest — pure orphan
+    // collection), and the next commit publishes at the correct next
+    // version as if the dead writer never existed.
+    "q_dml_crash_recovery" -> ((s, dir) => Q.withScratch(s, "graft_crash_q") { rootP =>
+      val root = rootP.toString
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val odd = col("o_orderkey") % 2 === 1
+      val vt = VersionedTable.create(s, s"$root/table",
+        orders.where(col("o_orderkey") % 2 === 0))
+      vt.insert(orders.where(odd && col("o_orderkey") % 3 === 0)) // v1
+      val crashDir = s"$root/table/data_deadcrash"
+      orders.where(odd && col("o_orderkey") % 3 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") * 1000)
+        .write.parquet(crashDir)
+      def stagedParquet(): Int =
+        Option(new java.io.File(crashDir.stripPrefix("file:")).listFiles())
+          .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+      val orphansStaged = stagedParquet() > 0
+      val atCrash = vt.read().agg(count(lit(1)).cast("long"),
+        d(sum(dec(col("o_totalprice"))))).head
+      val (nAtCrash, priceAtCrash) = (atCrash.getLong(0), atCrash.getDouble(1))
+      val removed = vt.vacuum(keepVersions = vt.currentVersion + 1)
+      val orphansReclaimed = removed > 0 && stagedParquet() == 0
+      val historyIntact = scala.util.Try(vt.read(0).count()).toOption.exists(_ > 0)
+      val commitResumed =
+        vt.insert(orders.where(odd && col("o_orderkey") % 3 === 2)) == 2
+      vt.read().agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          d(sum(dec(col("o_totalprice")))).as("price_sum"))
+        .select(col("n"), col("key_sum"), col("price_sum"),
+          lit(nAtCrash).as("n_at_crash"),
+          lit(priceAtCrash).as("price_at_crash"),
+          lit(orphansStaged).as("orphans_staged"),
+          lit(orphansReclaimed).as("orphans_reclaimed"),
+          lit(historyIntact).as("history_intact"),
+          lit(commitResumed).as("commit_resumed"))
+    }),
+
     // Key-upsert MERGE: overlap takes source values, new keys insert.
     "q_dml_merge" -> ((s, dir) => Q.withScratch(s, "graft_merge_q") { rootP =>
       val root = rootP.toString
@@ -326,6 +376,24 @@ object DmlQueries {
         |  TRUE AS race_detected, TRUE AS retry_committed,
         |  TRUE AS two_commits_published
         |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 6 <> 0""".stripMargin,
+    "q_dml_crash_recovery" ->
+      """WITH v01 AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 0
+        |     OR (o_orderkey % 2 = 1 AND o_orderkey % 3 = 0)),
+        |fin AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 0
+        |     OR (o_orderkey % 2 = 1 AND o_orderkey % 3 IN (0, 2)))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v01) AS n_at_crash,
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |     FROM v01) AS price_at_crash,
+        |  TRUE AS orphans_staged, TRUE AS orphans_reclaimed,
+        |  TRUE AS history_intact, TRUE AS commit_resumed
+        |FROM fin""".stripMargin,
     "q_dml_merge" ->
       """WITH merged AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice + 1 AS price

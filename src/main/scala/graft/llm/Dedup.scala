@@ -652,19 +652,20 @@ object Dedup {
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct() // a pair can collide in several bands
 
-    // Exact verify: join each candidate pair's shingle ARRAYS (one
-    // shingle_set kernel call per input row, input-count narrow rows)
-    // and intersect per pair — Σ_pairs(|A|+|B|) element work, no
-    // exploded-row shuffle. Same shape as jaccardDupPairs' verify.
-    val sets = repDocs.select(col("_id"),
-      call_function("shingle_set", col("_t"), lit(shingleN)).as("_set"))
-    val inter = size(array_intersect(col("_seta"), col("_setb")))
+    // Exact verify: join each candidate pair's HASHED shingle arrays
+    // (one shingle_set kernel call per input row, input-count narrow
+    // rows) and intersect per pair — Σ_pairs(|A|+|B|) element work, no
+    // exploded-row shuffle. Same shape (and same long-hash payload
+    // discipline) as jaccardDupPairs' verify.
+    val sets = hashedShingleSets(repDocs, "_id", "_t", shingleN)
     pairs
-      .join(sets.select(col("_id").as("id_a"), col("_set").as("_seta")), "id_a")
-      .join(sets.select(col("_id").as("id_b"), col("_set").as("_setb")), "id_b")
-      .withColumn("_inter", inter)
+      .join(sets.select(col("_id").as("id_a"), col("_n").as("_na"),
+        col("_set").as("_seta")), "id_a")
+      .join(sets.select(col("_id").as("id_b"), col("_n").as("_nb"),
+        col("_set").as("_setb")), "id_b")
+      .withColumn("_inter", size(array_intersect(col("_seta"), col("_setb"))))
       .withColumn("jaccard",
-        col("_inter") / (size(col("_seta")) + size(col("_setb")) - col("_inter")))
+        col("_inter") / (col("_na") + col("_nb") - col("_inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -713,6 +714,23 @@ object Dedup {
     }
   }
 
+  /** Per-doc shingle sets for the candidate explode and the exact
+    * verify, hashed element-wise to 64-bit longs: candidate
+    * generation and the per-pair intersect only need element
+    * EQUALITY, and 8-byte longs cut the candidate-join row payload
+    * ~4× vs trigram strings AND make the intersect integer-compare
+    * bound (the r12 verdict's heap-sensitivity finding on the
+    * exact-jaccard family: the verify join carries BOTH full shingle
+    * arrays on every candidate pair). `_n` (the set size, hence every
+    * |A|/|B| denominator) is taken from the ORIGINAL string array, so
+    * a 2⁻⁶⁴-improbable intra-doc hash collision cannot shift it. */
+  private def hashedShingleSets(docs: DataFrame, id: String, text: String,
+      shingleN: Int): DataFrame =
+    docs.select(col(id).as("_id"),
+        call_function("shingle_set", col(text), lit(shingleN)).as("_s0"))
+      .select(col("_id"), size(col("_s0")).as("_n"),
+        transform(col("_s0"), x => xxhash64(x)).as("_set"))
+
   /** The prefix-filtered set-similarity join of [[jaccardDupPairs]]
     * over any doc frame (raw docs on the no-twin fast path, one
     * representative per content class on the collapsed path). */
@@ -720,24 +738,25 @@ object Dedup {
       docs: DataFrame, threshold: Double,
       id: String, text: String, shingleN: Int,
       prefixFilter: Boolean): DataFrame = {
-    // Verify joins the per-doc shingle ARRAYS (one kernel call per
-    // doc, docs-count rows — broadcast-size) onto the candidate
+    // Verify joins the per-doc hashed shingle arrays (one kernel call
+    // per doc, docs-count rows — broadcast-size) onto the candidate
     // pairs and intersects per pair: Σ_cand(|A|+|B|) element work,
     // NO exploded-row shuffle (the row-join alternative materializes
     // Σ_cand|A| rows — measured 5× this plan's cost). Assumes a
     // document's shingle set fits a row comfortably — true for
     // documents, the operator's domain.
-    val sets = docs.select(col(id).as("_id"),
-      call_function("shingle_set", col(text), lit(shingleN)).as("_set"))
+    val sets = hashedShingleSets(docs, id, text, shingleN)
     val cand = jaccardCandidates(docs, id, text, shingleN, threshold, prefixFilter)
-      .join(sets.select(col("_id").as("id_a"), col("_set").as("_seta")), "id_a")
-      .join(sets.select(col("_id").as("id_b"), col("_set").as("_setb")), "id_b")
-      .filter(least(size(col("_seta")), size(col("_setb"))) >=
-        lit(threshold) * greatest(size(col("_seta")), size(col("_setb"))))
+      .join(sets.select(col("_id").as("id_a"), col("_n").as("_na"),
+        col("_set").as("_seta")), "id_a")
+      .join(sets.select(col("_id").as("id_b"), col("_n").as("_nb"),
+        col("_set").as("_setb")), "id_b")
+      .filter(least(col("_na"), col("_nb")) >=
+        lit(threshold) * greatest(col("_na"), col("_nb")))
     cand
       .withColumn("_inter", size(array_intersect(col("_seta"), col("_setb"))))
       .withColumn("jaccard",
-        col("_inter") / (size(col("_seta")) + size(col("_setb")) - col("_inter")))
+        col("_inter") / (col("_na") + col("_nb") - col("_inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -748,9 +767,13 @@ object Dedup {
     * shingles join. */
   private def jaccardCandidates(docs: DataFrame, id: String, text: String,
       shingleN: Int, threshold: Double, prefixFilter: Boolean): DataFrame = {
-    val sh = docs.select(col(id).as("_id"),
-        call_function("shingle_set", col(text), lit(shingleN)).as("_set"))
-      .select(col("_id"), size(col("_set")).as("_sz"), explode(col("_set")).as("_ng"))
+    // exploded from the HASHED sets: the co-occurrence join shuffles
+    // 8-byte long keys instead of trigram strings (the df-count table
+    // and the pair join both shrink ~4×); any consistent total order
+    // works for the prefix filter, so hash-space order is as valid as
+    // string order
+    val sh = hashedShingleSets(docs, id, text, shingleN)
+      .select(col("_id"), col("_n").as("_sz"), explode(col("_set")).as("_ng"))
     val side = if (!prefixFilter) sh else {
       import org.apache.spark.sql.expressions.Window
       // global canonical order: ascending document frequency, ties by
@@ -867,9 +890,11 @@ object Dedup {
       id: String, text: String, shingleN: Int,
       prefixFilter: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sets = docs.select(col(id).as("_id"),
-      call_function("shingle_set", col(text), lit(shingleN)).as("_set"))
-    val sh = sets.select(col("_id"), size(col("_set")).as("_sz"),
+    // hashed sets feed BOTH the inverted-index explode (8-byte join
+    // keys) and the verify intersect — same payload discipline as
+    // jaccardPairsCore; _sz stays the original string-set size
+    val sets = hashedShingleSets(docs, id, text, shingleN)
+    val sh = sets.select(col("_id"), col("_n").as("_sz"),
       explode(col("_set")).as("_ng"))
     val ranked = if (!prefixFilter) sh.withColumn("_r", lit(1L)) else {
       val w = Window.partitionBy(col("_id")).orderBy(col("_df"), col("_ng"))
@@ -892,11 +917,12 @@ object Dedup {
         bound >= need)
       .select(col("id_a"), col("id_b")).distinct()
     cand
-      .join(sets.select(col("_id").as("id_a"), col("_set").as("_seta")), "id_a")
+      .join(sets.select(col("_id").as("id_a"), col("_n").as("_na"),
+        col("_set").as("_seta")), "id_a")
       .join(sets.select(col("_id").as("id_b"), col("_set").as("_setb")), "id_b")
       .withColumn("containment",
         size(array_intersect(col("_seta"), col("_setb"))).cast(DoubleType) /
-          size(col("_seta")))
+          col("_na"))
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("containment"))
   }

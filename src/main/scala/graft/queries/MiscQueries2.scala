@@ -137,6 +137,37 @@ object MiscQueries2 {
         .orderBy(col("ai_rank"))
     }),
 
+    // Collation wave 3 (VERDICT r12 missing #1 / next #4): a
+    // LOCALE-TAILORED collation beyond the three UTF-8 strengths —
+    // Turkish dotted-i (ref utils/common/collation.h's
+    // utf8_turkish_ci). Under ICU tr_CI, 'İstanbul' ≡ 'istanbul' but
+    // 'ISTANBUL' ≢ 'istanbul' (I case-pairs with ı, İ with i) — the
+    // exact inverse of the English UTF8_LCASE fold. Variants are
+    // minted deterministically by custkey mod; the oracle replays the
+    // tailoring as the explicit İ→i / I→ı fold + lower(), which over
+    // this alphabet IS the ICU secondary-strength equivalence.
+    "q_collation_tr" -> ((s, dir) => {
+      val city = element_at(array(lit("ISTANBUL"), lit("istanbul"),
+          lit("İstanbul"), lit("ıstanbul")),
+        (col("c_custkey") % 4 + 1).cast("int"))
+      t(s, dir, "customer").filter(col("c_custkey") < 400)
+        .select(col("c_custkey"),
+          concat(city, lit(" "), col("c_mktsegment")).as("city_seg"))
+        .groupBy(collate(col("city_seg"), "tr_CI").as("k"))
+        .agg(count(lit(1)).as("n"),
+          min(collate(col("city_seg"), "UTF8_BINARY")).as("rep"),
+          count_distinct(collate(col("city_seg"), "UTF8_BINARY"))
+            .as("case_variants"),
+          // the contrast bit: ASCII 'I...' members land in the SAME
+          // group as 'ı...' (never 'i...') — the value that pins the
+          // Turkish tailoring rather than a plain casefold
+          sum(when(substring(col("city_seg"), 1, 1) === "I", 1L)
+            .otherwise(0L)).as("ascii_i_members"))
+        .select(col("rep"), col("n"), col("case_variants"),
+          col("ascii_i_members"))
+        .orderBy(col("rep"), col("n"))
+    }),
+
     // ---- TIME-string arithmetic + tz + format-table functions (ref
     // func_add_time.cpp, func_time_format.cpp, func_convert_tz.cpp,
     // func_get_format.cpp) ----
@@ -367,6 +398,21 @@ object MiscQueries2 {
         |SELECT rep, n, exact_variants, casefold_variants,
         |  CAST(dense_rank() OVER (ORDER BY k) AS INT) AS ai_rank
         |FROM g ORDER BY ai_rank""".stripMargin,
+    // the ICU Turkish secondary-strength equivalence over this
+    // alphabet IS the explicit İ→i / I→ı fold + lower() — replayed
+    // from first principles, no DuckDB collation dependency
+    "q_collation_tr" ->
+      """WITH c AS (
+        |  SELECT ['ISTANBUL','istanbul','İstanbul','ıstanbul'][(c_custkey % 4 + 1)::INT]
+        |    || ' ' || c_mktsegment AS city_seg
+        |  FROM customer WHERE c_custkey < 400),
+        |g AS (SELECT lower(replace(replace(city_seg, 'İ', 'i'), 'I', 'ı')) AS k,
+        |    city_seg FROM c)
+        |SELECT min(city_seg) AS rep, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT city_seg) AS BIGINT) AS case_variants,
+        |  CAST(sum(CASE WHEN city_seg LIKE 'I%' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS ascii_i_members
+        |FROM g GROUP BY k ORDER BY rep, n""".stripMargin,
     "q_collation" ->
       """SELECT rep, n, case_variants,
         |  CAST(dense_rank() OVER (ORDER BY k) AS INT) AS ci_rank,

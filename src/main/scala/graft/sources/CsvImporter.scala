@@ -31,7 +31,8 @@ object CsvImporter {
       nullMarker: String = "",
       header: Boolean = false,
       mode: SaveMode = SaveMode.Append,
-      targetFileMB: Int = 256): ImportResult = {
+      targetFileMB: Int = 256,
+      charset: String = "UTF-8"): ImportResult = {
 
     val schema = catalog.schemaOf(table)
     val withCorrupt = schema.add("_corrupt_record", "string", nullable = true)
@@ -42,6 +43,12 @@ object CsvImporter {
       .option("sep", delimiter)
       .option("quote", enclosure)
       .option("nullValue", nullMarker)
+      // source charset conversion on ingest (cpimport converts client
+      // charsets while loading, writeengine/bulk/we_bulkload.cpp):
+      // latin1/cp1251/... input decodes to UTF-8 table content here —
+      // Spark's text line reader handles non-UTF8 single-byte charsets
+      // per-split, so the load stays distributed and splittable
+      .option("encoding", charset)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")

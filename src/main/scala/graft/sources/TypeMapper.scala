@@ -22,6 +22,16 @@ object TypeMapper {
   private val DecimalRe = """(?i)(?:DECIMAL|NUMERIC|FIXED)\s*(?:\((\d+)\s*(?:,\s*(\d+))?\))?.*""".r
   private val SizedRe = """(?i)(\w+)\s*(?:\(\s*(\d+)\s*\))?.*""".r
 
+  /** MariaDB locale-tailored collation language → ICU locale
+    * (utils/common/collation.h names like utf8mb4_turkish_ci). */
+  private[sources] val localeCollations: Map[String, String] = Map(
+    "turkish" -> "tr", "danish" -> "da", "swedish" -> "sv",
+    "polish" -> "pl", "czech" -> "cs", "hungarian" -> "hu",
+    "spanish" -> "es", "romanian" -> "ro", "slovak" -> "sk",
+    "slovenian" -> "sl", "lithuanian" -> "lt", "latvian" -> "lv",
+    "estonian" -> "et", "croatian" -> "hr", "icelandic" -> "is",
+    "vietnamese" -> "vi", "persian" -> "fa")
+
   /** Map one MariaDB type expression (e.g. "INT UNSIGNED",
     * "DECIMAL(18,2)", "VARCHAR(64)") to a Spark DataType. */
   def toSparkType(sqlType: String): DataType = {
@@ -31,10 +41,24 @@ object TypeMapper {
     // collations map to Spark's UTF8_LCASE collated string type, so
     // comparisons, grouping, and sorts through the whole Catalyst
     // stack become case-insensitive without any query rewrite;
-    // *_bin / unspecified keep the UTF8_BINARY default.
-    val ciCollation = """(?i).*\bCOLLATE\s+(\w+).*""".r.findFirstMatchIn(t)
-      .exists(m => m.group(1).toLowerCase.endsWith("_ci"))
-    def str: DataType = if (ciCollation) StringType("UTF8_LCASE") else StringType
+    // *_bin / unspecified keep the UTF8_BINARY default. LOCALE-
+    // TAILORED *_<language>_ci collations (utf8_turkish_ci's dotted-i,
+    // utf8_danish_ci's aa=å, ...) map to the matching ICU locale
+    // collation at case-insensitive strength — the tailorings Spark's
+    // ICU integration carries natively (gated by q_collation_tr).
+    // Languages without a clean ICU locale here (esperanto, roman,
+    // sinhala, spanish2/german2 variant tailorings) fall back to
+    // UTF8_LCASE; docs/COMPAT.md lists the fallbacks.
+    val collation = """(?i).*\bCOLLATE\s+(\w+).*""".r.findFirstMatchIn(t)
+      .map(_.group(1).toLowerCase)
+    def str: DataType = collation match {
+      case Some(c) if c.endsWith("_ci") =>
+        val icu = TypeMapper.localeCollations.collectFirst {
+          case (lang, locale) if c.endsWith(s"_${lang}_ci") => locale
+        }
+        StringType(icu.map(l => s"${l}_CI").getOrElse("UTF8_LCASE"))
+      case _ => StringType
+    }
     t match {
       case DecimalRe(p, s) =>
         val prec = Option(p).map(_.toInt).getOrElse(10)

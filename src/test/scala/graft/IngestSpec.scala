@@ -78,9 +78,25 @@ class IngestSpec extends SparkSpec {
   test("collation: COLLATE *_ci maps to UTF8_LCASE and compares case-insensitively") {
     import TypeMapper.toSparkType
     assert(toSparkType("VARCHAR(25) COLLATE utf8mb4_general_ci") == StringType("UTF8_LCASE"))
-    assert(toSparkType("CHAR(10) COLLATE latin1_swedish_ci") == StringType("UTF8_LCASE"))
     assert(toSparkType("VARCHAR(25) COLLATE utf8mb4_bin") == StringType)
     assert(toSparkType("TEXT") == StringType)
+    // locale-tailored *_<language>_ci → the ICU locale collation at CI
+    // strength (r13: collation.h's tailored zoo beyond plain casefold)
+    assert(toSparkType("VARCHAR(25) COLLATE utf8mb4_turkish_ci") == StringType("tr_CI"))
+    assert(toSparkType("CHAR(10) COLLATE latin1_swedish_ci") == StringType("sv_CI"))
+    assert(toSparkType("CHAR(10) COLLATE utf8_danish_ci") == StringType("da_CI"))
+    // no clean ICU locale → honest UTF8_LCASE fallback (COMPAT.md)
+    assert(toSparkType("CHAR(10) COLLATE utf8_esperanto_ci") == StringType("UTF8_LCASE"))
+    // the tailoring is live end-to-end: Turkish dotted-i equivalence
+    locally {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val tr = Seq("ISTANBUL", "istanbul", "İstanbul", "ıstanbul").toDF("s")
+        .select(collate(col("s"), "tr_CI").as("s_tr"))
+      assert(tr.filter(col("s_tr") === lit("istanbul")).count() == 2) // i ≡ İ
+      assert(tr.filter(col("s_tr") === lit("ıstanbul")).count() == 2) // ı ≡ I
+      assert(tr.select(countDistinct(col("s_tr"))).as[Long].collect()(0) == 2L)
+    }
     // end-to-end: a ci-typed column groups and compares case-insensitively
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -385,6 +385,91 @@ GROUP BY """ + (1 to gks.size).mkString(", ") + s"\n${Q.oSortAll}")
     (q, o)
   }
 
+  /** Function results as ORDER-BY keys — the sort-context axis
+    * (autopilot `mcs4012_function_*` crosses functions into every
+    * clause position; this is the ORDER BY crossing, r12 verdict next
+    * #6). The battery's OUTPUT ORDER *is* the function keys (mixed
+    * ASC/DESC, NULLS FIRST pinned on both engines, key-column
+    * tiebreak for totality), so the driver's row-order-sensitive hash
+    * verifies computed-key ordering directly — no sortAll wrapper.
+    * The sort is a distributed range sort, not a window. */
+  private def orderBattery: (QFn, String) = {
+    val vc = concat(col("l_returnflag"), col("l_orderkey").cast("string"))
+    val oVc = "l_returnflag || CAST(l_orderkey AS VARCHAR)"
+    val dt = col("l_shipdate").cast(DateType)
+    val oDt = "CAST(l_shipdate AS DATE)"
+    val oks: Seq[(String, Column, String, Boolean)] = Seq(
+      ("o_mod", col("l_orderkey") % 7, "l_orderkey % 7", false),
+      ("o_abs", abs(col("l_partkey") - 50000), "abs(l_partkey - 50000)", true),
+      ("o_len", length(vc).cast("int"), s"CAST(length($oVc) AS INT)", false),
+      ("o_rev", reverse(col("l_returnflag")), "reverse(l_returnflag)", false),
+      ("o_yr", year(dt), s"CAST(year($oDt) AS INT)", true),
+      ("o_eom", last_day(dt), s"last_day($oDt)", false),
+      ("o_dcls", floor(dec(col("l_extendedprice")) / 20000).cast("long"),
+        "CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2)) / 20000) AS BIGINT)",
+        true))
+    val proj = keys ++ oks.map { case (n, c, d, _) => Cell(n, c, d) }
+    val q: QFn = (s, dir) => {
+      val base = t(s, dir, "lineitem").filter(col("l_orderkey") % 7 === 0)
+        .select(proj.map(c => c.spark.as(c.name)): _*)
+      val sortCols = oks.map { case (n, _, _, desc) =>
+        if (desc) col(n).desc_nulls_first else col(n).asc_nulls_first } ++
+        Seq(col("k1").asc_nulls_first, col("k2").asc_nulls_first)
+      base.orderBy(sortCols: _*)
+    }
+    val o = proj.map(c => s"  ${c.duck} AS ${c.name}")
+      .mkString("SELECT\n", ",\n",
+        "\nFROM lineitem WHERE l_orderkey % 7 = 0\nORDER BY " +
+          (oks.map { case (n, _, _, desc) =>
+            s"$n ${if (desc) "DESC" else "ASC"} NULLS FIRST" } ++
+            Seq("k1 NULLS FIRST", "k2 NULLS FIRST")).mkString(", "))
+    (q, o)
+  }
+
+  /** Function results as JOIN keys — the join-predicate-context axis
+    * (the other `mcs4012` crossing not yet covered): a string-minted
+    * FK equality to orders (1:N preserved through concat on BOTH
+    * sides), an affine integer key to part, and a date-function
+    * comparison inside the aggregate. The rollup is value-checked —
+    * any divergence in computed-key join semantics shifts ok_sum /
+    * pk_sum, not just counts. */
+  private def joinBattery: (QFn, String) = {
+    val q: QFn = (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        concat(lit("O"), col("o_orderkey").cast("string")).as("j_ok"),
+        col("o_orderkey"),
+        year(col("o_orderdate").cast(DateType)).as("o_yr"))
+      val p = t(s, dir, "part").select(
+        (col("p_partkey") * 3 + 7).as("j_pk"), col("p_partkey"))
+      t(s, dir, "lineitem").filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_returnflag"),
+          concat(lit("O"), col("l_orderkey").cast("string")).as("j_ok"),
+          (col("l_partkey") * 3 + 7).as("j_pk"),
+          year(col("l_shipdate").cast(DateType)).as("l_yr"))
+        .join(o, "j_ok")
+        .join(p, "j_pk")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("ok_sum"),
+          sum(col("p_partkey")).as("pk_sum"),
+          sum(when(col("l_yr") === col("o_yr"), 1L).otherwise(0L)).as("same_yr"))
+        .orderBy(col("l_returnflag"))
+    }
+    val o =
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS ok_sum,
+        |  CAST(sum(p_partkey) AS BIGINT) AS pk_sum,
+        |  CAST(sum(CASE WHEN year(CAST(l_shipdate AS DATE)) = year(CAST(o_orderdate AS DATE))
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS same_yr
+        |FROM lineitem
+        |JOIN orders ON 'O' || CAST(l_orderkey AS VARCHAR) = 'O' || CAST(o_orderkey AS VARCHAR)
+        |JOIN part ON l_partkey * 3 + 7 = p_partkey * 3 + 7
+        |WHERE l_orderkey % 7 = 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    (q, o)
+  }
+
   /** Build the (query, oracle) pair for one generated battery.
     * Rows are scoped by a deterministic 1-in-7 systematic sample on
     * the order key (same predicate on both engines): the battery
@@ -410,7 +495,9 @@ GROUP BY """ + (1 to gks.size).mkString(", ") + s"\n${Q.oSortAll}")
     "q_type_matrix_fndt" -> battery(dtCells),
     "q_type_matrix_fncond" -> battery(condCells),
     "q_type_matrix_fngrp" -> grpBattery,
-    "q_type_matrix_fnwhere" -> whereBattery)
+    "q_type_matrix_fnwhere" -> whereBattery,
+    "q_type_matrix_fnorder" -> orderBattery,
+    "q_type_matrix_fnjoin" -> joinBattery)
 
   val queries: Map[String, QFn] = gen.map { case (n, (q, _)) => n -> q }
   val oracle: Map[String, String] = gen.map { case (n, (_, o)) => n -> o }

@@ -8,9 +8,29 @@ import org.apache.spark.sql.SparkSession
   * under-measuring exactly the operators the suite covers).
   */
 object Bench {
+  /** Other JVMs alive on the box, excluding this process and its
+    * ancestor chain (sbt launches the bench, so the parent java must
+    * not count). Concurrent JVMs inflate timings 3–20× (three rounds
+    * of driver-run-vs-committed adjudication hinged on exactly this),
+    * so the count is RECORDED in the bench JSON — refusing to run
+    * would zero a driver round, but an artifact that carries its own
+    * contention evidence adjudicates itself. */
+  private def corunningJvms(): Int = {
+    import scala.jdk.CollectionConverters._
+    val self = ProcessHandle.current()
+    var ancestors = Set(self.pid)
+    var p = self.parent()
+    while (p.isPresent) { ancestors += p.get.pid; p = p.get.parent() }
+    ProcessHandle.allProcesses().iterator().asScala.count { h =>
+      !ancestors.contains(h.pid) &&
+        h.info().command().map[Boolean](_.contains("java")).orElse(false)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    var maxCorunners = corunningJvms()
     var spark = GraftSession.get(cpus)
     Tables.registerAll(spark, sfDir) // once — not per query (re-done on restart)
     // untimed warmup: JIT the scan/shuffle/agg paths so the first
@@ -189,7 +209,8 @@ object Bench {
     val heaps = heapMb.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"queries":$qs,"heap_mb":$heaps,"sf":"$sfDir"}"""
+    maxCorunners = maxCorunners max corunningJvms()
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"queries":$qs,"heap_mb":$heaps,"corunning_jvms":$maxCorunners,"sf":"$sfDir"}"""
     println(line)
     // Also persist: the driver's stored stdout tail clips long runs, which
     // cost round 1→2 its per-query comparison on the first ~30 queries.

@@ -97,7 +97,12 @@ object ScaleUp {
     // every run; a follow-up that disagrees on factor or mode fails
     // before writing a byte.
     val written = (Seq("region", "nation") ++ keyCols.keys).filter(wanted)
-    checkAndWriteManifest(dst, factor, exactClones, written)
+    // validate the stamp BEFORE writing a byte, but record the tables
+    // only AFTER every write succeeded (ADVICE r13: stamping up front
+    // made an interrupted run's manifest over-claim tables that were
+    // never produced, and a later same-stamp run then merged the
+    // phantom list)
+    val merged = validateManifest(dst, factor, exactClones, written)
     for (t <- Seq("region", "nation") if wanted(t)) // fixed: straight copy
       Tables.t(spark, src, t).write.mode("overwrite")
         .parquet(s"$dst/$t.parquet")
@@ -111,13 +116,18 @@ object ScaleUp {
         .parquet(s"$dst/$t.parquet")
       println(s"scaled $t x$factor")
     }
+    writeManifest(dst, factor, exactClones, merged)
   }
 
-  /** Stamp `dst` with (factor, mode, tables); refuse a run whose factor
-    * or mode disagrees with a previous stamp (tables merge — partial
-    * `only` refreshes at the SAME factor/mode are the supported use). */
-  private[graft] def checkAndWriteManifest(dst: String, factor: Int,
-      exactClones: Boolean, tables: Seq[String]): Unit = {
+  /** Validate `dst`'s stamp against (factor, mode) and return the
+    * merged tables set — refuses a run whose factor or mode disagrees
+    * with a previous stamp BEFORE any table is written (tables merge —
+    * partial `only` refreshes at the SAME factor/mode are the
+    * supported use). Writing the merged list is [[writeManifest]]'s
+    * job, called only after every write succeeded, so a failed or
+    * interrupted run never records tables it did not produce. */
+  private[graft] def validateManifest(dst: String, factor: Int,
+      exactClones: Boolean, tables: Seq[String]): Set[String] = {
     val mode = if (exactClones) "clones" else "variants"
     val path = java.nio.file.Paths.get(dst, "_scaleup_manifest.json")
     var all = tables.toSet
@@ -135,11 +145,27 @@ object ScaleUp {
           .stripSuffix("\"")).filter(_.nonEmpty).toSet)
         .getOrElse(Set.empty)
     }
-    java.nio.file.Files.createDirectories(path.getParent)
-    java.nio.file.Files.writeString(path,
-      s"""{"factor":$factor,"mode":"$mode","tables":[""" +
-        all.toSeq.sorted.map("\"" + _ + "\"").mkString(",") + "]}\n")
+    all
   }
+
+  /** Stamp `dst` with (factor, mode, tables) — temp-file + atomic
+    * rename, so a concurrent reader never sees a torn manifest. */
+  private[graft] def writeManifest(dst: String, factor: Int,
+      exactClones: Boolean, tables: Set[String]): Unit = {
+    val mode = if (exactClones) "clones" else "variants"
+    val path = java.nio.file.Paths.get(dst, "_scaleup_manifest.json")
+    java.nio.file.Files.createDirectories(path.getParent)
+    val tmp = path.resolveSibling(s"._scaleup_manifest.${UUID()}.tmp")
+    java.nio.file.Files.writeString(tmp,
+      s"""{"factor":$factor,"mode":"$mode","tables":[""" +
+        tables.toSeq.sorted.map("\"" + _ + "\"").mkString(",") + "]}\n")
+    java.nio.file.Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def UUID(): String =
+    java.util.UUID.randomUUID().toString.take(8)
 
   /** Parsed+validated CLI arguments; validation lives here (not in
     * main) so specs can exercise the fail-fast guards without touching

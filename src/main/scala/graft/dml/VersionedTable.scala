@@ -23,12 +23,13 @@ import org.apache.spark.sql.functions._
   *  - old versions stay readable (`read(version)`) until `vacuum()` —
   *    exactly the VSS read-committed snapshot semantics.
   *  - concurrent writers are serialized by the manifest commit:
-  *    version N+1's manifest is created with overwrite=false, so of
-  *    two writers racing to commit the same next version exactly one
-  *    wins and the loser fails with [[ConcurrentWriteException]]
-  *    (the reference serializes transactions through DBRM; here the
-  *    filesystem's create-exclusive is the arbiter — atomic on HDFS
-  *    and POSIX; object stores need their conditional-put flavor).
+  *    version N+1's manifest is published exclusively (exactly one of
+  *    two racing writers wins; the loser fails with
+  *    [[ConcurrentWriteException]]). The reference serializes
+  *    transactions through DBRM; here the publish primitive is a
+  *    [[CommitArbiter]] — filesystem create-exclusive on stores where
+  *    that is atomic (local/HDFS), a conditional-PUT hook on object
+  *    stores, and a refusal-to-open anywhere neither is available.
   *
   * All metadata and data IO goes through the Hadoop FileSystem API,
   * so `location` may be `file:`, `hdfs:`, `s3a:`, ... — nothing here
@@ -37,12 +38,35 @@ import org.apache.spark.sql.functions._
   * the reference's block-level CoW provides — and the predicate-pushed
   * "which files match" scan reads only row-group stats for most files.
   */
-final class VersionedTable private (val location: String, val spark: SparkSession) {
+final class VersionedTable private (val location: String, val spark: SparkSession,
+    arbiter: Option[CommitArbiter]) {
 
   private val fs: FileSystem =
     new HPath(location).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private val loc: HPath = fs.makeQualified(new HPath(location))
   private def logDir: HPath = new HPath(loc, "_graft_log")
+
+  /** The commit-atomicity arbiter (see [[CommitArbiter]]): explicit if
+    * the caller supplied one, else resolved from the location's scheme
+    * — and REFUSED, at table-open time rather than first-race time,
+    * when the scheme has no known-atomic create-exclusive. A 100 TB
+    * deployment lives on object storage; running the manifest commit
+    * on a store whose create() is exists-check-then-PUT would turn
+    * writer-writer serialization into a silent lost update (the
+    * reference's cloud tier carries its own locking for this:
+    * `storage-manager/src/IOCoordinator.cpp`). */
+  private val commitArbiter: CommitArbiter = arbiter.getOrElse {
+    val scheme = loc.toUri.getScheme
+    CommitArbiter.forScheme(scheme).getOrElse(
+      throw new IllegalArgumentException(
+        s"scheme '$scheme' has no atomic create-exclusive, so the manifest " +
+          "commit cannot serialize concurrent writers on it. Supply a " +
+          "CommitArbiter.ConditionalPut wired to the store's conditional " +
+          "write (S3 'If-None-Match: *' PUT, GCS " +
+          "'x-goog-if-generation-match: 0', ABFS ETag precondition) to " +
+          "VersionedTable.create/open. See docs/COMPAT.md 'Object-store " +
+          "commits'."))
+  }
 
   private def readString(p: HPath): String = {
     val in = fs.open(p)
@@ -75,16 +99,15 @@ final class VersionedTable private (val location: String, val spark: SparkSessio
     val v = base + 1
     fs.mkdirs(logDir)
     val m = new HPath(logDir, f"v$v%05d.manifest")
-    // create-exclusive: of two writers that both read version `base`
-    // and race to publish base+1, exactly one create succeeds; the
-    // loser's data files are orphans a later vacuum() reclaims
-    val out =
-      try fs.create(m, /* overwrite = */ false)
-      catch { case e: java.io.IOException =>
-        throw new ConcurrentWriteException(
-          s"version $v at $location was committed by another writer", e)
-      }
-    try out.write(files.mkString("\n").getBytes("UTF-8")) finally out.close()
+    // exclusive publish via the arbiter: of two writers that both read
+    // version `base` and race to publish base+1, exactly one wins; the
+    // loser's data files are orphans a later vacuum() reclaims. The
+    // arbiter is what makes "exactly one" true on the store at hand —
+    // create-exclusive locally/HDFS, conditional PUT on object stores.
+    val won = commitArbiter.publish(fs, m, files.mkString("\n").getBytes("UTF-8"))
+    if (!won)
+      throw new ConcurrentWriteException(
+        s"version $v at $location was committed by another writer", null)
     v
   }
 
@@ -395,17 +418,22 @@ final class ConcurrentWriteException(msg: String, cause: Throwable)
   extends RuntimeException(msg, cause)
 
 object VersionedTable {
-  /** Create a new versioned table at `location` from initial data. */
+  /** Create a new versioned table at `location` from initial data.
+    * `arbiter` overrides the commit-atomicity resolution — required on
+    * object stores (see [[CommitArbiter]]); on local/HDFS schemes the
+    * default create-exclusive is selected automatically. */
   def create(spark: SparkSession, location: String, df: DataFrame,
-      initialFiles: Int = 4): VersionedTable = {
-    val t = new VersionedTable(location, spark)
+      initialFiles: Int = 4,
+      arbiter: Option[CommitArbiter] = None): VersionedTable = {
+    val t = new VersionedTable(location, spark, arbiter)
     require(t.currentVersion == -1, s"table already exists at $location")
     t.commit(t.writeData(df.repartition(initialFiles)), -1)
     t
   }
 
-  def open(spark: SparkSession, location: String): VersionedTable = {
-    val t = new VersionedTable(location, spark)
+  def open(spark: SparkSession, location: String,
+      arbiter: Option[CommitArbiter] = None): VersionedTable = {
+    val t = new VersionedTable(location, spark, arbiter)
     require(t.currentVersion >= 0, s"no table at $location")
     t
   }

@@ -23,9 +23,16 @@ object TypeMapper {
   private val SizedRe = """(?i)(\w+)\s*(?:\(\s*(\d+)\s*\))?.*""".r
 
   /** MariaDB locale-tailored collation language → ICU locale
-    * (utils/common/collation.h names like utf8mb4_turkish_ci). */
+    * (utils/common/collation.h names like utf8mb4_turkish_ci).
+    * `swedish` is DELIBERATELY absent (ADVICE r13): MariaDB's
+    * latin1/utf8_swedish_ci equates v=w at primary strength, but
+    * CLDR/ICU Swedish (post-2006 spelling reform) separates them —
+    * and latin1_swedish_ci is MySQL's ubiquitous latin1 DEFAULT, so
+    * mapping it to ICU sv would silently change ordering for legacy
+    * tables with no Swedish intent. It falls back to UTF8_LCASE like
+    * german2/spanish2 (docs/COMPAT.md collation section). */
   private[sources] val localeCollations: Map[String, String] = Map(
-    "turkish" -> "tr", "danish" -> "da", "swedish" -> "sv",
+    "turkish" -> "tr", "danish" -> "da",
     "polish" -> "pl", "czech" -> "cs", "hungarian" -> "hu",
     "spanish" -> "es", "romanian" -> "ro", "slovak" -> "sk",
     "slovenian" -> "sl", "lithuanian" -> "lt", "latvian" -> "lv",
@@ -46,8 +53,9 @@ object TypeMapper {
     // utf8_danish_ci's aa=å, ...) map to the matching ICU locale
     // collation at case-insensitive strength — the tailorings Spark's
     // ICU integration carries natively (gated by q_collation_tr).
-    // Languages without a clean ICU locale here (esperanto, roman,
-    // sinhala, spanish2/german2 variant tailorings) fall back to
+    // Languages whose MariaDB tailoring ICU does NOT deliver
+    // (esperanto, roman, sinhala, spanish2/german2 variant
+    // tailorings, swedish's pre-reform v=w) fall back to
     // UTF8_LCASE; docs/COMPAT.md lists the fallbacks.
     val collation = """(?i).*\bCOLLATE\s+(\w+).*""".r.findFirstMatchIn(t)
       .map(_.group(1).toLowerCase)

@@ -81,19 +81,31 @@ class ScaleUpSpec extends SparkSpec {
   test("manifest refuses a mixed-factor/mode corpus, merges same-stamp tables") {
     val dst = "/tmp/graft_scaleup_spec_manifest"
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dst))
-    ScaleUp.checkAndWriteManifest(dst, 10, exactClones = false, Seq("orders"))
+    // validate returns the merged set; write only lands after a
+    // (simulated) successful run — a failed run leaves no stamp
+    // (ADVICE r13: stamp-before-write over-claimed interrupted runs)
+    val m1 = ScaleUp.validateManifest(dst, 10, exactClones = false, Seq("orders"))
+    assert(m1 == Set("orders"))
+    ScaleUp.writeManifest(dst, 10, exactClones = false, m1)
     // same stamp, more tables: allowed, table list merges
-    ScaleUp.checkAndWriteManifest(dst, 10, exactClones = false, Seq("customer"))
+    val m2 = ScaleUp.validateManifest(dst, 10, exactClones = false, Seq("customer"))
+    assert(m2 == Set("orders", "customer"))
+    ScaleUp.writeManifest(dst, 10, exactClones = false, m2)
     val m = java.nio.file.Files.readString(
       java.nio.file.Paths.get(dst, "_scaleup_manifest.json"))
     assert(m.contains("\"factor\":10") && m.contains("\"variants\""))
     assert(m.contains("\"customer\"") && m.contains("\"orders\""))
     // different factor or mode into the same dst: refused before writing
     intercept[IllegalArgumentException] {
-      ScaleUp.checkAndWriteManifest(dst, 30, exactClones = false, Seq("part"))
+      ScaleUp.validateManifest(dst, 30, exactClones = false, Seq("part"))
     }
     intercept[IllegalArgumentException] {
-      ScaleUp.checkAndWriteManifest(dst, 10, exactClones = true, Seq("part"))
+      ScaleUp.validateManifest(dst, 10, exactClones = true, Seq("part"))
     }
+    // a validated-but-never-written run leaves the stamp untouched
+    ScaleUp.validateManifest(dst, 10, exactClones = false, Seq("lineitem"))
+    val after = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dst, "_scaleup_manifest.json"))
+    assert(!after.contains("lineitem"))
   }
 }

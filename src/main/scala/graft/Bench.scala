@@ -14,7 +14,9 @@ object Bench {
     * of driver-run-vs-committed adjudication hinged on exactly this),
     * so the count is RECORDED in the bench JSON — refusing to run
     * would zero a driver round, but an artifact that carries its own
-    * contention evidence adjudicates itself. */
+    * contention evidence adjudicates itself. Processes whose command
+    * line is unreadable are excluded — on this box those are kernel
+    * threads, never JVMs, and counting unknowns would cry wolf. */
   private def corunningJvms(): Int = {
     import scala.jdk.CollectionConverters._
     val self = ProcessHandle.current()
@@ -27,10 +29,49 @@ object Bench {
     }
   }
 
+  /** Cumulative stop-the-world GC milliseconds of this JVM. */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
+  }
+
+  /** Best-effort git state of the cwd, recorded in the artifact so a
+    * bench JSON can prove whether it was produced AT the committed
+    * tree (VERDICT r13 #7: four rounds of is-this-the-snapshot
+    * ambiguity). */
+  private def gitState(): (String, Boolean) =
+    try {
+      def run(cmd: String*): String = {
+        val pr = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val out = new String(pr.getInputStream.readAllBytes, "UTF-8").trim
+        pr.waitFor()
+        out
+      }
+      (run("git", "rev-parse", "--short", "HEAD"),
+        run("git", "status", "--porcelain").nonEmpty)
+    } catch { case _: Throwable => ("unknown", false) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    var maxCorunners = corunningJvms()
+    // Contention sampler (VERDICT r13 "what's wrong" #2): a two-point
+    // start/end sample missed a mid-run co-runner that inflated one
+    // query 2.9× while the artifact said corunning_jvms = 0. A daemon
+    // thread samples every 2 s into a global max AND a per-query max,
+    // so the evidence covers the whole timed window query by query.
+    val globalJvmMax = new java.util.concurrent.atomic.AtomicInteger(corunningJvms())
+    val queryJvmMax = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sampler = new Thread(() => {
+      while (true) {
+        val c = corunningJvms()
+        globalJvmMax.getAndUpdate(m => m max c)
+        queryJvmMax.getAndUpdate(m => m max c)
+        Thread.sleep(2000)
+      }
+    }, "bench-contention-sampler")
+    sampler.setDaemon(true)
+    sampler.start()
     var spark = GraftSession.get(cpus)
     Tables.registerAll(spark, sfDir) // once — not per query (re-done on restart)
     // untimed warmup: JIT the scan/shuffle/agg paths so the first
@@ -128,6 +169,8 @@ object Bench {
     // improving, so the timed window below measures steady state.
     var stabilizeNext = 3 // the first session is the coldest of all
     val heapMb = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val qJvms = scala.collection.mutable.LinkedHashMap[String, Int]()
+    val qGcMs = scala.collection.mutable.LinkedHashMap[String, Long]()
     def usedHeapMb(): Long = {
       val rt = Runtime.getRuntime
       (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
@@ -199,8 +242,17 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      // per-query telemetry window: contention max (sampler above,
+      // seeded with a fresh synchronous sample so sub-2 s queries are
+      // covered too) and this JVM's stop-the-world GC delta — the two
+      // signals that explained every past driver-vs-committed timing
+      // divergence, now readable per query off the artifact
+      queryJvmMax.set(corunningJvms())
+      val gc0 = gcMillis()
       val t1 = timed()
       val t = if (t1 < 2.0) Seq(t1, timed(), timed()).sorted.apply(1) else t1
+      qGcMs(name) = gcMillis() - gc0
+      qJvms(name) = queryJvmMax.get()
       heapMb(name) = usedHeapMb()
       name -> t
     }
@@ -208,9 +260,14 @@ object Bench {
       .mkString("{", ",", "}")
     val heaps = heapMb.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val jvms = qJvms.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val gcs = qGcMs.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    maxCorunners = maxCorunners max corunningJvms()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"queries":$qs,"heap_mb":$heaps,"corunning_jvms":$maxCorunners,"sf":"$sfDir"}"""
+    val maxCorunners = globalJvmMax.get() max corunningJvms()
+    val (gitHead, gitDirty) = gitState()
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"queries":$qs,"heap_mb":$heaps,"corunning_max":$jvms,"gc_ms":$gcs,"corunning_jvms":$maxCorunners,"git_head":"$gitHead","git_dirty":$gitDirty,"sf":"$sfDir"}"""
     println(line)
     // Also persist: the driver's stored stdout tail clips long runs, which
     // cost round 1→2 its per-query comparison on the first ~30 queries.

@@ -21,33 +21,83 @@ import graft.llm.{AnnSearch, Chunking, Dedup, Multimodal, Quantize, Retrieval, T
 object LlmQueries {
   import Q._
 
-  /** Clone-id offset for the doubled-corpus `*_twins` gates — far
-    * above any fixture key (sf0.1 max doc_id/vec_id < 100k), and
-    * interpolated into BOTH the Spark plans and the DuckDB oracle
-    * strings so the two sides cannot drift apart. */
-  private val TwinOffset = 100000L
+  /** Clone-id offset for the doubled-corpus `*_twins` gates:
+    * `max(id) + 1` over the UNFILTERED base table — derived from the
+    * data rather than a compile-time constant (VERDICT r13 #3), so the
+    * twins gates run at EVERY scale decade. The oracle strings carry
+    * the SAME derivation as a scalar subquery
+    * (`id + (SELECT max(id)+1 FROM table)`), so the two sides cannot
+    * drift. Clone ids land strictly above every real id, so aliasing
+    * is impossible by construction and min-id class representatives
+    * stay the real rows — the invariants the old static-offset guard
+    * protected, now guaranteed structurally.
+    *
+    * Cached per (corpus, table): plan-only consumers (PlanGuardSpec
+    * constructs every gated query) pay at most one tiny max-aggregate
+    * per corpus, not one per construction, and the empty-corpus case
+    * fails with a crafted message instead of an opaque NPE
+    * (ADVICE r13). */
+  private val twinOffsetCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def twinOffset(s: org.apache.spark.sql.SparkSession, dir: String,
+      table: String, idCol: String): Long =
+    twinOffsetCache.computeIfAbsent(s"$dir#$table", _ => {
+      val row = t(s, dir, table).agg(max(col(idCol))).head
+      require(!row.isNullAt(0),
+        s"twins gate: $table at $dir is empty — no max($idCol) to derive " +
+          "the clone-id offset from")
+      java.lang.Long.valueOf(row.getLong(0) + 1L)
+    })
+
+  /** Anchors x corpus exact-jaccard ground truth over the doubled
+    * corpus (shared by the minhash/jaccard anchored gates, which
+    * differ only in threshold): shingle-equality join restricted to
+    * anchor docs, shared-shingle COUNT gives the exact quotient
+    * c/(na+nb-c) — identical arithmetic to the all-pairs twins
+    * oracles, linear cost in corpus size. */
+  private def anchoredJaccardOracle(threshold: Double): String =
+    s"""WITH docs2 AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + (SELECT max(doc_id)+1 FROM documents), text FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) >= 3
+      |      THEN list_transform(range(1, len(toks) - 1),
+      |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |      ELSE [txt] END) AS s
+      |  FROM (SELECT doc_id, lower(text) AS txt,
+      |          list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS toks
+      |        FROM docs2)),
+      |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+      |anch AS (SELECT * FROM ex WHERE doc_id % 1000 = 0),
+      |cand AS (
+      |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c,
+      |         any_value(a.n) AS na, any_value(b.n) AS nb
+      |  FROM anch a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT DISTINCT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+      |  c::DOUBLE / (na + nb - c) AS jaccard
+      |FROM cand WHERE c::DOUBLE / (na + nb - c) >= $threshold
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Anchor moduli for the sample-anchored scale oracles (`*_anchored`
+    * gates): pure id arithmetic (`id % K = 0`), replayed verbatim in
+    * the oracle SQL so both sides slice identically at any scale
+    * factor. Sized for ~1k anchors at sf10 (200k vectors / 200; ~1M
+    * doubled docs / 1000) — anchors × corpus keeps the DuckDB ground
+    * truth linear in corpus size where all-pairs is quadratic. */
+  private val CosineAnchorMod = 200L
+  private val TextAnchorMod = 1000L
 
   /** The doubled corpus of the twin gates: every row twice, the clone
-    * under `id + TwinOffset` with identical payload — flips the
-    * adaptive exact-twin probe so the COLLAPSED branch is the one
-    * driver-gated.
-    *
-    * The offset is asserted, not assumed (ADVICE r12): it clears the
-    * fixture's keys at sf0.1, but ScaleUp corpora reach doc_id ~151k
-    * at SF3 — running a twins gate there would silently alias clone
-    * ids with real ids, corrupting the "every row twice" shape AND
-    * textClasses' min-id representatives. The offset itself must stay
-    * a compile-time constant (it is interpolated into the oracle SQL
-    * strings), so a too-big corpus fails loudly instead of gating a
-    * corrupted shape. */
+    * under `id + offset` with identical payload — flips the adaptive
+    * exact-twin probe so the COLLAPSED branch is the one
+    * driver-gated. */
   private def doubledBy(df: org.apache.spark.sql.DataFrame,
-      idCol: String): org.apache.spark.sql.DataFrame = {
-    val mx = df.agg(max(col(idCol))).head.getLong(0)
-    require(mx < TwinOffset,
-      s"twins gate: max($idCol)=$mx >= TwinOffset=$TwinOffset — clone ids " +
-        "would alias real ids; raise TwinOffset (and its oracle-string " +
-        "interpolations) before running twins gates on this corpus")
-    df.unionByName(df.withColumn(idCol, col(idCol) + lit(TwinOffset)))
+      idCol: String, offset: Long): org.apache.spark.sql.DataFrame = {
+    require(offset > 0, s"twins gate: non-positive clone-id offset $offset")
+    df.unionByName(df.withColumn(idCol, col(idCol) + lit(offset)))
   }
 
   val queries: Map[String, QFn] = Map(
@@ -361,7 +411,7 @@ object LlmQueries {
       val d0 = docs
         .filter(size(TextAnalysis.tokens(col("text"))) > 0)
         .select(col("doc_id"), col("text"))
-      val doubled = doubledBy(d0, "doc_id")
+      val doubled = doubledBy(d0, "doc_id", twinOffset(s, dir, "documents", "doc_id"))
       val sh = doubled.select(col("doc_id"),
         call_function("simhash64_md5", col("text")).as("simhash"))
       Dedup.bandedHashPairs(sh, "doc_id", "simhash", maxDist = 8)
@@ -390,7 +440,7 @@ object LlmQueries {
       // Driver-gates the COLLAPSED branch of the exact-twin collapse
       // (r12): the fixture corpus is clone-free, so q_dedup_minhash
       // exercises only the adaptive fast path. Doubling the corpus —
-      // every text under two ids (doc_id, doc_id + TwinOffset) — flips the
+      // every text under two ids (doc_id, doc_id + max+1 offset) — flips the
       // probe: LSH runs over one representative per content class, the
       // twin cliques emit directly (jaccard exactly 1.0 via the
       // |S|/(2|S|−|S|) quotient), and each qualifying cross-class pair
@@ -398,7 +448,7 @@ object LlmQueries {
       // all-pairs exact Jaccard over the SAME doubled corpus — recall
       // and values must survive the collapse bit-for-bit.
       val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val doubled = doubledBy(d0, "doc_id")
+      val doubled = doubledBy(d0, "doc_id", twinOffset(s, dir, "documents", "doc_id"))
       Dedup.minhashDupPairs(doubled, threshold = 0.6)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -412,7 +462,7 @@ object LlmQueries {
       // twin row pins WHICH pairs survive the collapse; the cosine
       // VALUES are gated bit-exactly by q_dedup_cosine's cross pairs.
       val e0 = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val doubled = doubledBy(e0, "vec_id")
+      val doubled = doubledBy(e0, "vec_id", twinOffset(s, dir, "embeddings", "vec_id"))
       AnnSearch.cosineDupPairsExact(doubled, threshold = 0.4)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
@@ -428,7 +478,7 @@ object LlmQueries {
       // equality — no LSH recall argument needed; 0.5 matches
       // q_dedup_jaccard so the two rows differ only in corpus twins.
       val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val doubled = doubledBy(d0, "doc_id")
+      val doubled = doubledBy(d0, "doc_id", twinOffset(s, dir, "documents", "doc_id"))
       Dedup.jaccardDupPairs(doubled, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -444,8 +494,64 @@ object LlmQueries {
       // the same doubled corpus — direction, recall, and the
       // int/int → double quotient must survive the collapse.
       val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val doubled = doubledBy(d0, "doc_id")
+      val doubled = doubledBy(d0, "doc_id", twinOffset(s, dir, "documents", "doc_id"))
       Dedup.containmentDupPairs(doubled, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- sample-anchored scale oracles (VERDICT r13 #3/#4): the full
+    // all-pairs DuckDB ground truth is infeasible beyond ~100k docs
+    // (measured: a prefix-filtered exact-jaccard oracle at sf3-doubled
+    // ran >10 min / >70 GB before being killed), so these rows pin a
+    // FIXED, id-arithmetic anchor slice — the ENGINE still runs its
+    // full pipeline; the oracle exhaustively verifies every pair that
+    // touches an anchor (anchors × corpus is linear, not quadratic).
+    // Anchor rules are pure id arithmetic (`id % K = 0`), replayed
+    // verbatim in the oracle SQL, so the slice is identical on both
+    // sides at any scale factor. ----
+    "q_dedup_cosine_anchored" -> ((s, dir) => {
+      // the sf10 answer to q_dedup_cosine's all-pairs-oracle exclusion:
+      // same exact triangle block join over the whole corpus, gated on
+      // the pairs touching vec_id % 200 anchors (~1k anchors at sf10)
+      AnnSearch.cosineDupPairsExact(t(s, dir, "embeddings"), threshold = 0.4)
+        .filter(col("id_a") % CosineAnchorMod === 0 || col("id_b") % CosineAnchorMod === 0)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_dedup_minhash_twins_anchored" -> ((s, dir) => {
+      // full collapsed LSH pipeline over the doubled corpus; the gate
+      // keeps pairs touching doc_id % 1000 anchors (base AND clone ids
+      // can anchor — the rule is id arithmetic, not provenance)
+      val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val doubled = doubledBy(d0, "doc_id", twinOffset(s, dir, "documents", "doc_id"))
+      Dedup.minhashDupPairs(doubled, threshold = 0.6)
+        .filter(col("id_a") % TextAnchorMod === 0 || col("id_b") % TextAnchorMod === 0)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_dedup_jaccard_twins_anchored" -> ((s, dir) => {
+      // the PROVABLY-exact prefix-filter join (PPJoin) on the doubled
+      // corpus, anchor-sliced: unlike minhash's banded recall, every
+      // anchor-slice divergence here is a real bug by construction
+      val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val doubled = doubledBy(d0, "doc_id", twinOffset(s, dir, "documents", "doc_id"))
+      Dedup.jaccardDupPairs(doubled, threshold = 0.5)
+        .filter(col("id_a") % TextAnchorMod === 0 || col("id_b") % TextAnchorMod === 0)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_dedup_simhash_twins_anchored" -> ((s, dir) => {
+      // full banded-hamming pipeline (twin collapse + 9-band
+      // pigeonhole) over the doubled corpus, anchor-sliced like above;
+      // the oracle replays all 60 md5 sign-lanes and exact hamming for
+      // anchors × corpus
+      val docs = t(s, dir, "documents")
+      val d0 = docs
+        .filter(size(TextAnalysis.tokens(col("text"))) > 0)
+        .select(col("doc_id"), col("text"))
+      val doubled = doubledBy(d0, "doc_id", twinOffset(s, dir, "documents", "doc_id"))
+      val sh = doubled.select(col("doc_id"),
+        call_function("simhash64_md5", col("text")).as("simhash"))
+      Dedup.bandedHashPairs(sh, "doc_id", "simhash", maxDist = 8)
+        .filter(col("id_a") % TextAnchorMod === 0 || col("id_b") % TextAnchorMod === 0)
+        .withColumn("hamming", col("hamming").cast("int"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -1051,7 +1157,7 @@ object LlmQueries {
     "q_dedup_minhash_twins" ->
       s"""WITH docs2 AS (
         |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + $TwinOffset, text FROM documents),
+        |  UNION ALL SELECT doc_id + (SELECT max(doc_id)+1 FROM documents), text FROM documents),
         |sh AS (
         |  SELECT doc_id, list_distinct(
         |    CASE WHEN len(toks) >= 3
@@ -1071,19 +1177,54 @@ object LlmQueries {
     "q_dedup_cosine_twins" ->
       s"""WITH emb2 AS (
         |  SELECT vec_id, embedding FROM embeddings
-        |  UNION ALL SELECT vec_id + $TwinOffset, embedding FROM embeddings)
+        |  UNION ALL SELECT vec_id + (SELECT max(vec_id)+1 FROM embeddings), embedding FROM embeddings)
         |SELECT id_a, id_b FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
         |  FROM emb2 a JOIN emb2 b ON a.vec_id < b.vec_id) t
         |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
+    // ---- sample-anchored scale oracles: anchors x corpus is LINEAR in
+    // corpus size, so these rows stay DuckDB-feasible at sf3/sf10 where
+    // the all-pairs twins oracles above are quadratic-infeasible. The
+    // anchor rule (id % K = 0) is replayed verbatim from the Spark side.
+    "q_dedup_cosine_anchored" ->
+      """SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
+        |  greatest(a.vec_id, b.vec_id) AS id_b,
+        |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
+        |FROM (SELECT * FROM embeddings WHERE vec_id % 200 = 0) a
+        |JOIN embeddings b ON a.vec_id <> b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_minhash_twins_anchored" -> anchoredJaccardOracle(0.6),
+    "q_dedup_jaccard_twins_anchored" -> anchoredJaccardOracle(0.5),
+    "q_dedup_simhash_twins_anchored" ->
+      s"""WITH docs1 AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'), x -> length(x) > 0)) > 0),
+        |docs2 AS (
+        |  SELECT doc_id, text FROM docs1
+        |  UNION ALL SELECT doc_id + (SELECT max(doc_id)+1 FROM documents), text FROM docs1),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'), x -> length(x) > 0)) AS t
+        |  FROM docs2),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks),
+        |s AS (SELECT doc_id, $simhashMd5Bits AS sh FROM h GROUP BY doc_id),
+        |anch AS (SELECT * FROM s WHERE doc_id % 1000 = 0)
+        |SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+        |  greatest(a.doc_id, b.doc_id) AS id_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        |FROM anch a JOIN s b ON a.doc_id <> b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // exact symmetric jaccard over the doubled corpus at the
     // q_dedup_jaccard threshold — same shingle CTE as minhash_twins
     "q_dedup_jaccard_twins" ->
       s"""WITH docs2 AS (
         |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + $TwinOffset, text FROM documents),
+        |  UNION ALL SELECT doc_id + (SELECT max(doc_id)+1 FROM documents), text FROM documents),
         |sh AS (
         |  SELECT doc_id, list_distinct(
         |    CASE WHEN len(toks) >= 3
@@ -1106,7 +1247,7 @@ object LlmQueries {
     "q_dedup_containment_twins" ->
       s"""WITH docs2 AS (
         |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + $TwinOffset, text FROM documents),
+        |  UNION ALL SELECT doc_id + (SELECT max(doc_id)+1 FROM documents), text FROM documents),
         |sh AS (
         |  SELECT doc_id, list_distinct(
         |    CASE WHEN len(toks) >= 3
@@ -1269,7 +1410,7 @@ object LlmQueries {
     "q_dedup_simhash" ->
       s"""WITH toks AS (
         |  SELECT doc_id,
-        |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0)) AS t
+        |    unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'), x -> length(x) > 0)) AS t
         |  FROM documents),
         |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks),
         |s AS (SELECT doc_id, $simhashMd5Bits AS sh FROM h GROUP BY doc_id)
@@ -1283,13 +1424,13 @@ object LlmQueries {
     "q_dedup_simhash_twins" ->
       s"""WITH docs1 AS (
         |  SELECT doc_id, text FROM documents
-        |  WHERE len(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0)) > 0),
+        |  WHERE len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'), x -> length(x) > 0)) > 0),
         |docs2 AS (
         |  SELECT doc_id, text FROM docs1
-        |  UNION ALL SELECT doc_id + $TwinOffset, text FROM docs1),
+        |  UNION ALL SELECT doc_id + (SELECT max(doc_id)+1 FROM documents), text FROM docs1),
         |toks AS (
         |  SELECT doc_id,
-        |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0)) AS t
+        |    unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'), x -> length(x) > 0)) AS t
         |  FROM docs2),
         |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks),
         |s AS (SELECT doc_id, $simhashMd5Bits AS sh FROM h GROUP BY doc_id)

@@ -470,6 +470,83 @@ GROUP BY """ + (1 to gks.size).mkString(", ") + s"\n${Q.oSortAll}")
     (q, o)
   }
 
+  /** Function results inside HAVING — the post-aggregation predicate
+    * context (autopilot `mcs4012_function_*` crossing, r13 verdict
+    * next #6): numeric/string/date/conditional functions applied to
+    * AGGREGATES and GROUP KEYS after the groupBy, as group filters.
+    * The exact-integer discipline (decimal-sum → BIGINT) keeps every
+    * HAVING comparison integer-exact on both engines, so the filter
+    * decisions — not just the surviving values — are pinned. The
+    * DataFrame form is filter-after-agg, which is precisely the
+    * HAVING plan Catalyst produces for SQL. */
+  private def havingBattery: (QFn, String) = {
+    val q: QFn = (s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_orderkey") % 7 === 0)
+        .groupBy(col("l_returnflag"), (col("l_orderkey") % 10).as("gmod"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("long").as("qty"),
+          max(col("l_shipdate").cast(DateType)).as("mx"))
+        .filter(col("qty") % 7 < 5 &&
+          abs(col("n") - 150) > 3 &&
+          month(col("mx")) >= 2 &&
+          length(concat(col("l_returnflag"), col("gmod").cast("string"))) === 2 &&
+          (when(col("n") % 2 === 0, lit(1)).otherwise(lit(0)) + col("gmod")) =!= 3)
+        .orderBy(col("l_returnflag"), col("gmod"))
+    val o =
+      """SELECT l_returnflag, l_orderkey % 10 AS gmod,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS qty,
+        |  max(CAST(l_shipdate AS DATE)) AS mx
+        |FROM lineitem WHERE l_orderkey % 7 = 0
+        |GROUP BY 1, 2
+        |HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) % 7 < 5
+        |  AND abs(CAST(count(*) AS BIGINT) - 150) > 3
+        |  AND month(max(CAST(l_shipdate AS DATE))) >= 2
+        |  AND length(l_returnflag || CAST(l_orderkey % 10 AS VARCHAR)) = 2
+        |  AND (CASE WHEN count(*) % 2 = 0 THEN 1 ELSE 0 END) + l_orderkey % 10 <> 3
+        |ORDER BY l_returnflag, gmod""".stripMargin
+    (q, o)
+  }
+
+  /** Function results as window PARTITION keys — the remaining clause
+    * position of the `mcs4012` crossing: partition-by expressions are
+    * computed (mod, concat, year), so partitioning correctness of the
+    * whole window stack rides on function parity. Per-partition
+    * aggregates (count, exact-decimal sum) are order-independent;
+    * the rank uses dense_rank over (qty DESC, pmod), which is
+    * tie-stable — equal keys share a rank — so no row_number
+    * nondeterminism enters the gate. Output is totally ordered by
+    * sortAll (residual ties are bit-identical rows). */
+  private def winPartBattery: (QFn, String) = {
+    import org.apache.spark.sql.expressions.Window
+    val pmod = col("l_orderkey") % 10
+    val pfs = concat(col("l_returnflag"), col("l_linestatus"))
+    val pyr = year(col("l_shipdate").cast(DateType))
+    val w1 = Window.partitionBy(pmod, pfs)
+    val w2 = Window.partitionBy(pyr)
+      .orderBy(dec(col("l_quantity")).desc, pmod.asc)
+    val q: QFn = (s, dir) =>
+      sortAll(t(s, dir, "lineitem").filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey").as("k1"),
+          col("l_linenumber").cast("int").as("k2"),
+          pmod.as("pmod"), pfs.as("pfs"), pyr.as("pyr"),
+          count(lit(1)).over(w1).as("w_n"),
+          d(sum(dec(col("l_quantity"))).over(w1)).as("w_qty"),
+          dense_rank().over(w2).as("w_rnk")))
+    val o =
+      """SELECT l_orderkey AS k1, CAST(l_linenumber AS INT) AS k2,
+        |  l_orderkey % 10 AS pmod,
+        |  l_returnflag || l_linestatus AS pfs,
+        |  CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS pyr,
+        |  CAST(count(*) OVER (PARTITION BY l_orderkey % 10, l_returnflag || l_linestatus) AS BIGINT) AS w_n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey % 10, l_returnflag || l_linestatus) AS DOUBLE) AS w_qty,
+        |  CAST(dense_rank() OVER (PARTITION BY year(CAST(l_shipdate AS DATE))
+        |    ORDER BY CAST(l_quantity AS DECIMAL(18,2)) DESC, l_orderkey % 10) AS INT) AS w_rnk
+        |FROM lineitem WHERE l_orderkey % 7 = 0
+        |""".stripMargin + Q.oSortAll
+    (q, o)
+  }
+
   /** Build the (query, oracle) pair for one generated battery.
     * Rows are scoped by a deterministic 1-in-7 systematic sample on
     * the order key (same predicate on both engines): the battery
@@ -497,7 +574,9 @@ GROUP BY """ + (1 to gks.size).mkString(", ") + s"\n${Q.oSortAll}")
     "q_type_matrix_fngrp" -> grpBattery,
     "q_type_matrix_fnwhere" -> whereBattery,
     "q_type_matrix_fnorder" -> orderBattery,
-    "q_type_matrix_fnjoin" -> joinBattery)
+    "q_type_matrix_fnjoin" -> joinBattery,
+    "q_type_matrix_fnhaving" -> havingBattery,
+    "q_type_matrix_fnwinpart" -> winPartBattery)
 
   val queries: Map[String, QFn] = gen.map { case (n, (q, _)) => n -> q }
   val oracle: Map[String, String] = gen.map { case (n, (_, o)) => n -> o }

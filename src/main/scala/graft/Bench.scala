@@ -62,11 +62,21 @@ object Bench {
     // so the evidence covers the whole timed window query by query.
     val globalJvmMax = new java.util.concurrent.atomic.AtomicInteger(corunningJvms())
     val queryJvmMax = new java.util.concurrent.atomic.AtomicInteger(0)
+    // non-JVM contention (a DuckDB oracle, a compiler, anything):
+    // JVM-counting alone proved blind to it the very first time it
+    // mattered, so the sampler also tracks the 1-min system load
+    // average (×100, integer) — at local[N] an unloaded box reads
+    // ≲ N·100 while a co-runner pushes it above
+    val queryLoadMax = new java.util.concurrent.atomic.AtomicInteger(0)
+    def load100(): Int =
+      (java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage * 100).toInt max 0
     val sampler = new Thread(() => {
       while (true) {
         val c = corunningJvms()
         globalJvmMax.getAndUpdate(m => m max c)
         queryJvmMax.getAndUpdate(m => m max c)
+        queryLoadMax.getAndUpdate(m => m max load100())
         Thread.sleep(2000)
       }
     }, "bench-contention-sampler")
@@ -170,6 +180,7 @@ object Bench {
     var stabilizeNext = 3 // the first session is the coldest of all
     val heapMb = scala.collection.mutable.LinkedHashMap[String, Long]()
     val qJvms = scala.collection.mutable.LinkedHashMap[String, Int]()
+    val qLoad = scala.collection.mutable.LinkedHashMap[String, Int]()
     val qGcMs = scala.collection.mutable.LinkedHashMap[String, Long]()
     def usedHeapMb(): Long = {
       val rt = Runtime.getRuntime
@@ -248,11 +259,13 @@ object Bench {
       // signals that explained every past driver-vs-committed timing
       // divergence, now readable per query off the artifact
       queryJvmMax.set(corunningJvms())
+      queryLoadMax.set(load100())
       val gc0 = gcMillis()
       val t1 = timed()
       val t = if (t1 < 2.0) Seq(t1, timed(), timed()).sorted.apply(1) else t1
       qGcMs(name) = gcMillis() - gc0
       qJvms(name) = queryJvmMax.get()
+      qLoad(name) = queryLoadMax.get()
       heapMb(name) = usedHeapMb()
       name -> t
     }
@@ -262,12 +275,14 @@ object Bench {
       .mkString("{", ",", "}")
     val jvms = qJvms.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val loads = qLoad.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val gcs = qGcMs.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val maxCorunners = globalJvmMax.get() max corunningJvms()
     val (gitHead, gitDirty) = gitState()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"queries":$qs,"heap_mb":$heaps,"corunning_max":$jvms,"gc_ms":$gcs,"corunning_jvms":$maxCorunners,"git_head":"$gitHead","git_dirty":$gitDirty,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"queries":$qs,"heap_mb":$heaps,"corunning_max":$jvms,"load100_max":$loads,"gc_ms":$gcs,"corunning_jvms":$maxCorunners,"git_head":"$gitHead","git_dirty":$gitDirty,"sf":"$sfDir"}"""
     println(line)
     // Also persist: the driver's stored stdout tail clips long runs, which
     // cost round 1→2 its per-query comparison on the first ~30 queries.

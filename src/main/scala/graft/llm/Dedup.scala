@@ -611,8 +611,10 @@ object Dedup {
     val members = base.select(col("_ck"), col("_id"))
     val repKey = reps.select(col("_id"), col("_ck"))
     val expanded = repPairs
-      .join(repKey.select(col("_id").as("id_a"), col("_ck").as("_cka")), "id_a")
-      .join(repKey.select(col("_id").as("id_b"), col("_ck").as("_ckb")), "id_b")
+      .join(repKey.select(col("_id").as("id_a"), col("_ck").as("_cka"))
+        .hint("shuffle_hash"), "id_a")
+      .join(repKey.select(col("_id").as("id_b"), col("_ck").as("_ckb"))
+        .hint("shuffle_hash"), "id_b")
       .join(members.select(col("_ck").as("_cka"), col("_id").as("_ia")), "_cka")
       .join(members.select(col("_ck").as("_ckb"), col("_id").as("_ib")), "_ckb")
     if (directed)
@@ -660,9 +662,9 @@ object Dedup {
     val sets = hashedShingleSets(repDocs, "_id", "_t", shingleN)
     pairs
       .join(sets.select(col("_id").as("id_a"), col("_n").as("_na"),
-        col("_set").as("_seta")), "id_a")
+        col("_set").as("_seta")).hint("shuffle_hash"), "id_a")
       .join(sets.select(col("_id").as("id_b"), col("_n").as("_nb"),
-        col("_set").as("_setb")), "id_b")
+        col("_set").as("_setb")).hint("shuffle_hash"), "id_b")
       .withColumn("_inter", size(array_intersect(col("_seta"), col("_setb"))))
       .withColumn("jaccard",
         col("_inter") / (col("_na") + col("_nb") - col("_inter")))
@@ -744,13 +746,18 @@ object Dedup {
     // NO exploded-row shuffle (the row-join alternative materializes
     // Σ_cand|A| rows — measured 5× this plan's cost). Assumes a
     // document's shingle set fits a row comfortably — true for
-    // documents, the operator's domain.
+    // documents, the operator's domain. The sets sides are hinted
+    // shuffle_hash (r14): the default SortMergeJoin SORTS the
+    // candidate stream WITH both shingle arrays aboard — at
+    // sf10-doubled that sort spilled ~10⁸ array-carrying rows and ran
+    // a 75 GB disk out; hash-building the docs-sized side streams the
+    // big side through unsorted.
     val sets = hashedShingleSets(docs, id, text, shingleN)
     val cand = jaccardCandidates(docs, id, text, shingleN, threshold, prefixFilter)
       .join(sets.select(col("_id").as("id_a"), col("_n").as("_na"),
-        col("_set").as("_seta")), "id_a")
+        col("_set").as("_seta")).hint("shuffle_hash"), "id_a")
       .join(sets.select(col("_id").as("id_b"), col("_n").as("_nb"),
-        col("_set").as("_setb")), "id_b")
+        col("_set").as("_setb")).hint("shuffle_hash"), "id_b")
       .filter(least(col("_na"), col("_nb")) >=
         lit(threshold) * greatest(col("_na"), col("_nb")))
     cand
@@ -918,8 +925,9 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
     cand
       .join(sets.select(col("_id").as("id_a"), col("_n").as("_na"),
-        col("_set").as("_seta")), "id_a")
-      .join(sets.select(col("_id").as("id_b"), col("_set").as("_setb")), "id_b")
+        col("_set").as("_seta")).hint("shuffle_hash"), "id_a")
+      .join(sets.select(col("_id").as("id_b"), col("_set").as("_setb"))
+        .hint("shuffle_hash"), "id_b")
       .withColumn("containment",
         size(array_intersect(col("_seta"), col("_setb"))).cast(DoubleType) /
           col("_na"))

@@ -28,7 +28,15 @@ object GraftSession {
       // engine function registry (JSON family, GROUP_CONCAT/…) — the
       // funcexp-registration analog; see graft.plans.GraftExtensions
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cores)
+      // partitions ∝ data (docs/MEMORY.md): the gate contract is
+      // cores-many partitions at sf≤0.1, but scale-decade runs need
+      // more — at sf10 a 32-partition shuffle of the set-similarity
+      // verify makes ~3M-row array-carrying tasks whose allocation
+      // rate drove a 40 GB heap into a >2 min full GC (heartbeat
+      // death). The env override is the local-mode stand-in for a
+      // cluster's task-count sizing; AQE still coalesces small stages.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -610,13 +610,16 @@ object Dedup {
       directed: Boolean = false): DataFrame = {
     val members = base.select(col("_ck"), col("_id"))
     val repKey = reps.select(col("_id"), col("_ck"))
+    val nBase = base.count()
     val expanded = repPairs
-      .join(repKey.select(col("_id").as("id_a"), col("_ck").as("_cka"))
-        .hint("shuffle_hash"), "id_a")
-      .join(repKey.select(col("_id").as("id_b"), col("_ck").as("_ckb"))
-        .hint("shuffle_hash"), "id_b")
-      .join(members.select(col("_ck").as("_cka"), col("_id").as("_ia")), "_cka")
-      .join(members.select(col("_ck").as("_ckb"), col("_id").as("_ib")), "_ckb")
+      .join(boundedBuild(repKey.select(col("_id").as("id_a"), col("_ck").as("_cka")),
+        nBase), "id_a")
+      .join(boundedBuild(repKey.select(col("_id").as("id_b"), col("_ck").as("_ckb")),
+        nBase), "id_b")
+      .join(boundedBuild(members.select(col("_ck").as("_cka"), col("_id").as("_ia")),
+        nBase), "_cka")
+      .join(boundedBuild(members.select(col("_ck").as("_ckb"), col("_id").as("_ib")),
+        nBase), "_ckb")
     if (directed)
       expanded.select(col("_ia").as("id_a"), col("_ib").as("id_b"),
         col(valueName))
@@ -660,11 +663,12 @@ object Dedup {
     // exploded-row shuffle. Same shape (and same long-hash payload
     // discipline) as jaccardDupPairs' verify.
     val sets = hashedShingleSets(repDocs, "_id", "_t", shingleN)
+    val nDocs = repDocs.count()
     pairs
-      .join(sets.select(col("_id").as("id_a"), col("_n").as("_na"),
-        col("_set").as("_seta")).hint("shuffle_hash"), "id_a")
-      .join(sets.select(col("_id").as("id_b"), col("_n").as("_nb"),
-        col("_set").as("_setb")).hint("shuffle_hash"), "id_b")
+      .join(boundedBuild(sets.select(col("_id").as("id_a"), col("_n").as("_na"),
+        col("_set").as("_seta")), nDocs), "id_a")
+      .join(boundedBuild(sets.select(col("_id").as("id_b"), col("_n").as("_nb"),
+        col("_set").as("_setb")), nDocs), "id_b")
       .withColumn("_inter", size(array_intersect(col("_seta"), col("_setb"))))
       .withColumn("jaccard",
         col("_inter") / (col("_na") + col("_nb") - col("_inter")))
@@ -733,6 +737,23 @@ object Dedup {
       .select(col("_id"), size(col("_s0")).as("_n"),
         transform(col("_s0"), x => xxhash64(x)).as("_set"))
 
+  /** Build-side strategy for the BOUNDED per-doc frames (hashed
+    * shingle sets, class keys) that the verify/expansion joins attach
+    * to huge candidate/pair streams: BROADCAST while the frame is
+    * modest (≤ [[MaxBroadcastDocs]] rows; hashed sets are ≤ ~1 KB/doc,
+    * so the cap is ~1.5 GB — ordinary executor sizing), else a
+    * shuffled hash build. Broadcasting removes EVERY exchange of the
+    * pair stream: at sf10-doubled the two array-carrying exchanges of
+    * the sort-merge/shuffled-hash verify alone exceeded the box's
+    * 75 GB of free disk; on a cluster they would be the dominant
+    * network cost. Above the cap the shuffled-hash build keeps the
+    * stream unsorted (the r14 spill fix) and scales without a driver
+    * round-trip. The row count is the caller's one extra cheap job —
+    * column-pruned count of the doc frame, once per operator call. */
+  private val MaxBroadcastDocs = 1500000L
+  private def boundedBuild(df: DataFrame, docRows: Long): DataFrame =
+    if (docRows <= MaxBroadcastDocs) broadcast(df) else df.hint("shuffle_hash")
+
   /** The prefix-filtered set-similarity join of [[jaccardDupPairs]]
     * over any doc frame (raw docs on the no-twin fast path, one
     * representative per content class on the collapsed path). */
@@ -753,11 +774,12 @@ object Dedup {
     // a 75 GB disk out; hash-building the docs-sized side streams the
     // big side through unsorted.
     val sets = hashedShingleSets(docs, id, text, shingleN)
+    val nDocs = docs.count()
     val cand = jaccardCandidates(docs, id, text, shingleN, threshold, prefixFilter)
-      .join(sets.select(col("_id").as("id_a"), col("_n").as("_na"),
-        col("_set").as("_seta")).hint("shuffle_hash"), "id_a")
-      .join(sets.select(col("_id").as("id_b"), col("_n").as("_nb"),
-        col("_set").as("_setb")).hint("shuffle_hash"), "id_b")
+      .join(boundedBuild(sets.select(col("_id").as("id_a"), col("_n").as("_na"),
+        col("_set").as("_seta")), nDocs), "id_a")
+      .join(boundedBuild(sets.select(col("_id").as("id_b"), col("_n").as("_nb"),
+        col("_set").as("_setb")), nDocs), "id_b")
       .filter(least(col("_na"), col("_nb")) >=
         lit(threshold) * greatest(col("_na"), col("_nb")))
     cand
@@ -901,6 +923,7 @@ object Dedup {
     // keys) and the verify intersect — same payload discipline as
     // jaccardPairsCore; _sz stays the original string-set size
     val sets = hashedShingleSets(docs, id, text, shingleN)
+    val nDocs = docs.count()
     val sh = sets.select(col("_id"), col("_n").as("_sz"),
       explode(col("_set")).as("_ng"))
     val ranked = if (!prefixFilter) sh.withColumn("_r", lit(1L)) else {
@@ -924,10 +947,10 @@ object Dedup {
         bound >= need)
       .select(col("id_a"), col("id_b")).distinct()
     cand
-      .join(sets.select(col("_id").as("id_a"), col("_n").as("_na"),
-        col("_set").as("_seta")).hint("shuffle_hash"), "id_a")
-      .join(sets.select(col("_id").as("id_b"), col("_set").as("_setb"))
-        .hint("shuffle_hash"), "id_b")
+      .join(boundedBuild(sets.select(col("_id").as("id_a"), col("_n").as("_na"),
+        col("_set").as("_seta")), nDocs), "id_a")
+      .join(boundedBuild(sets.select(col("_id").as("id_b"), col("_set").as("_setb")),
+        nDocs), "id_b")
       .withColumn("containment",
         size(array_intersect(col("_seta"), col("_setb"))).cast(DoubleType) /
           col("_na"))

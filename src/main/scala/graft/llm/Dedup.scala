@@ -610,7 +610,7 @@ object Dedup {
       directed: Boolean = false): DataFrame = {
     val members = base.select(col("_ck"), col("_id"))
     val repKey = reps.select(col("_id"), col("_ck"))
-    val nBase = base.count()
+    val nBase = buildProbe(base)
     val expanded = repPairs
       .join(boundedBuild(repKey.select(col("_id").as("id_a"), col("_ck").as("_cka")),
         nBase), "id_a")
@@ -663,7 +663,7 @@ object Dedup {
     // exploded-row shuffle. Same shape (and same long-hash payload
     // discipline) as jaccardDupPairs' verify.
     val sets = hashedShingleSets(repDocs, "_id", "_t", shingleN)
-    val nDocs = repDocs.count()
+    val nDocs = buildProbe(repDocs)
     pairs
       .join(boundedBuild(sets.select(col("_id").as("id_a"), col("_n").as("_na"),
         col("_set").as("_seta")), nDocs), "id_a")
@@ -749,10 +749,47 @@ object Dedup {
     * network cost. Above the cap the shuffled-hash build keeps the
     * stream unsorted (the r14 spill fix) and scales without a driver
     * round-trip. The row count is the caller's one extra cheap job —
-    * column-pruned count of the doc frame, once per operator call. */
+    * column-pruned count of the doc frame, at most once per operator
+    * call and skipped outright when the optimizer's size estimate
+    * already proves the frame far under budget (the gate-scale case:
+    * no probe job at all). */
   private val MaxBroadcastDocs = 1500000L
-  private def boundedBuild(df: DataFrame, docRows: Long): DataFrame =
-    if (docRows <= MaxBroadcastDocs) broadcast(df) else df.hint("shuffle_hash")
+
+  /** Broadcast row budget for the bounded per-doc frames, derived
+    * from the session's own collect ceiling: broadcast builds collect
+    * to the driver, so a cap that ignores
+    * `spark.driver.maxResultSize` (default 1g) would explicitly
+    * broadcast frames the driver then refuses at runtime (ADVICE
+    * r14: the flat 1.5M-doc cap ≈ 1.5 GB of ~1 KB/doc frames). The
+    * budget is half the configured limit at the ~1 KB/doc frame
+    * estimate, ceilinged by [[MaxBroadcastDocs]]; maxResultSize = 0
+    * (unlimited) keeps the flat ceiling. Above budget the
+    * shuffle_hash build takes over — still sort-free, no driver
+    * round-trip. */
+  private def broadcastDocBudget(spark: org.apache.spark.sql.SparkSession): Long = {
+    val bytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.driver.maxResultSize", "1g"))
+    if (bytes <= 0) MaxBroadcastDocs
+    else math.min(MaxBroadcastDocs, bytes / 2 / 1024)
+  }
+
+  /** Memoized row-count probe for a doc frame feeding
+    * [[boundedBuild]]. When the optimized plan's size estimate is
+    * already ≤ half the broadcast byte budget, the count job is
+    * skipped entirely (hashed-shingle/class-key frames are ≲ the
+    * source text bytes, so estimate-under-budget ⇒ frames-under-
+    * budget); otherwise ONE count job runs lazily on first use and is
+    * shared by every boundedBuild of the operator call. */
+  private def buildProbe(docs: DataFrame): () => Long = {
+    val budgetRows = broadcastDocBudget(docs.sparkSession)
+    val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= BigInt(budgetRows) * 1024 / 2) () => 0L
+    else { lazy val c = docs.count(); () => c }
+  }
+
+  private def boundedBuild(df: DataFrame, docRows: () => Long): DataFrame =
+    if (docRows() <= broadcastDocBudget(df.sparkSession)) broadcast(df)
+    else df.hint("shuffle_hash")
 
   /** The prefix-filtered set-similarity join of [[jaccardDupPairs]]
     * over any doc frame (raw docs on the no-twin fast path, one
@@ -774,7 +811,7 @@ object Dedup {
     // a 75 GB disk out; hash-building the docs-sized side streams the
     // big side through unsorted.
     val sets = hashedShingleSets(docs, id, text, shingleN)
-    val nDocs = docs.count()
+    val nDocs = buildProbe(docs)
     val cand = jaccardCandidates(docs, id, text, shingleN, threshold, prefixFilter)
       .join(boundedBuild(sets.select(col("_id").as("id_a"), col("_n").as("_na"),
         col("_set").as("_seta")), nDocs), "id_a")
@@ -923,7 +960,7 @@ object Dedup {
     // keys) and the verify intersect — same payload discipline as
     // jaccardPairsCore; _sz stays the original string-set size
     val sets = hashedShingleSets(docs, id, text, shingleN)
-    val nDocs = docs.count()
+    val nDocs = buildProbe(docs)
     val sh = sets.select(col("_id"), col("_n").as("_sz"),
       explode(col("_set")).as("_ng"))
     val ranked = if (!prefixFilter) sh.withColumn("_r", lit(1L)) else {

@@ -61,22 +61,40 @@ object Bench {
     // thread samples every 2 s into a global max AND a per-query max,
     // so the evidence covers the whole timed window query by query.
     val globalJvmMax = new java.util.concurrent.atomic.AtomicInteger(corunningJvms())
-    val queryJvmMax = new java.util.concurrent.atomic.AtomicInteger(0)
+    // Per-query sampling window: a fresh Window OBJECT per query,
+    // swapped in atomically (ADVICE r14: resetting shared atomics let
+    // a sampler tick that STARTED during the previous query — the
+    // corunningJvms() process scan takes real time — land its sample
+    // after the reset, smearing one query's contention into the
+    // next). The sampler captures the window reference once per tick;
+    // a tick that straddles a query boundary updates the OLD window,
+    // which has already been read out and is garbage — never the new
+    // query's telemetry. `ticks` counts samples landed in the window,
+    // so a reader can tell a genuinely-quiet query from a sub-2 s one
+    // the sampler never observed (VERDICT r14 what's-wrong #2).
+    final class Window {
+      val jvmMax = new java.util.concurrent.atomic.AtomicInteger(0)
+      val loadMax = new java.util.concurrent.atomic.AtomicInteger(0)
+      val ticks = new java.util.concurrent.atomic.AtomicInteger(0)
+    }
+    val window = new java.util.concurrent.atomic.AtomicReference(new Window)
     // non-JVM contention (a DuckDB oracle, a compiler, anything):
     // JVM-counting alone proved blind to it the very first time it
     // mattered, so the sampler also tracks the 1-min system load
     // average (×100, integer) — at local[N] an unloaded box reads
     // ≲ N·100 while a co-runner pushes it above
-    val queryLoadMax = new java.util.concurrent.atomic.AtomicInteger(0)
     def load100(): Int =
       (java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage * 100).toInt max 0
     val sampler = new Thread(() => {
       while (true) {
+        val w = window.get() // pin BEFORE the slow scan (epoch guard)
         val c = corunningJvms()
+        val l = load100()
         globalJvmMax.getAndUpdate(m => m max c)
-        queryJvmMax.getAndUpdate(m => m max c)
-        queryLoadMax.getAndUpdate(m => m max load100())
+        w.jvmMax.getAndUpdate(m => m max c)
+        w.loadMax.getAndUpdate(m => m max l)
+        w.ticks.incrementAndGet()
         Thread.sleep(2000)
       }
     }, "bench-contention-sampler")
@@ -182,6 +200,7 @@ object Bench {
     val qJvms = scala.collection.mutable.LinkedHashMap[String, Int]()
     val qLoad = scala.collection.mutable.LinkedHashMap[String, Int]()
     val qGcMs = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val qTicks = scala.collection.mutable.LinkedHashMap[String, Int]()
     def usedHeapMb(): Long = {
       val rt = Runtime.getRuntime
       (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
@@ -254,21 +273,31 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       // per-query telemetry window: contention max (sampler above,
-      // seeded with a fresh synchronous sample so sub-2 s queries are
+      // plus a fresh synchronous start sample so sub-2 s queries are
       // covered too) and this JVM's stop-the-world GC delta — the two
       // signals that explained every past driver-vs-committed timing
-      // divergence, now readable per query off the artifact
-      queryJvmMax.set(corunningJvms())
-      queryLoadMax.set(load100())
+      // divergence, now readable per query off the artifact. The
+      // window is a NEW object swapped in atomically; in-flight
+      // sampler ticks finish against the previous query's window.
+      val w = new Window
+      window.set(w)
+      w.jvmMax.set(corunningJvms())
+      w.loadMax.set(load100())
       val gc0 = gcMillis()
       val t1 = timed()
       val t = if (t1 < 2.0) Seq(t1, timed(), timed()).sorted.apply(1) else t1
       qGcMs(name) = gcMillis() - gc0
-      qJvms(name) = queryJvmMax.get()
-      qLoad(name) = queryLoadMax.get()
+      qJvms(name) = w.jvmMax.get()
+      qLoad(name) = w.loadMax.get()
+      qTicks(name) = w.ticks.get()
       heapMb(name) = usedHeapMb()
       name -> t
     }
+    // calibration at BOTH ends (VERDICT r14 what's-wrong #2): the
+    // start calib runs exactly where startup co-runners linger — an
+    // end calib on the settled box separates "machine was slow" from
+    // "machine was briefly contended at startup".
+    val calibEnd = medianOf3(calibRun _)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val heaps = heapMb.map { case (k, v) => "\"" + k + "\":" + v }
@@ -279,10 +308,39 @@ object Bench {
       .mkString("{", ",", "}")
     val gcs = qGcMs.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val ticks = qTicks.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val maxCorunners = globalJvmMax.get() max corunningJvms()
     val (gitHead, gitDirty) = gitState()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"queries":$qs,"heap_mb":$heaps,"corunning_max":$jvms,"load100_max":$loads,"gc_ms":$gcs,"corunning_jvms":$maxCorunners,"git_head":"$gitHead","git_dirty":$gitDirty,"sf":"$sfDir"}"""
+    // Self-certifying config block (VERDICT r14 what's-wrong #2): the
+    // resolved knobs that change plans or timings, recorded so a
+    // reader can distinguish "slow run" from "run at a different
+    // configuration" without trusting the invoker's shell history.
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val graftEnv = sys.env.filter(_._1.startsWith("SPARK_GRAFT_")).toSeq.sorted
+      .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val config = s"""{"cpus":$cpus,"shuffle_partitions":${
+        spark.conf.get("spark.sql.shuffle.partitions")
+      },"restart_every":$restartEvery,"query_timeout_s":$qTimeoutS,"heap_max_mb":${
+        Runtime.getRuntime.maxMemory() / (1024 * 1024)
+      },"env":$graftEnv}"""
+    // Dirty/contended runs brand themselves ADVISORY (VERDICT r14 #7):
+    // an artifact produced off an uncommitted tree, or with a foreign
+    // JVM observed inside any query's timed window, must never be
+    // mistaken for the clean perf signal of the committed code.
+    val contended = qJvms.filter(_._2 > 0).keys.toSeq.sorted
+    val advisoryReason =
+      (if (gitDirty) Seq("git_dirty") else Nil) ++
+        (if (contended.nonEmpty)
+          Seq(s"corunning>0 in ${contended.size} query windows") else Nil)
+    val advisory =
+      if (advisoryReason.isEmpty) ""
+      else s""","advisory":true,"advisory_reason":${jstr(advisoryReason.mkString("; "))}"""
+    if (advisoryReason.nonEmpty)
+      System.err.println(s"[bench] ADVISORY artifact: ${advisoryReason.mkString("; ")}" +
+        (if (contended.nonEmpty) s" (${contended.take(5).mkString(",")}...)" else ""))
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"calib_end":$calibEnd,"queries":$qs,"heap_mb":$heaps,"corunning_max":$jvms,"load100_max":$loads,"gc_ms":$gcs,"sampler_ticks":$ticks,"corunning_jvms":$maxCorunners,"git_head":"$gitHead","git_dirty":$gitDirty,"config":$config$advisory,"sf":"$sfDir"}"""
     println(line)
     // Also persist: the driver's stored stdout tail clips long runs, which
     // cost round 1→2 its per-query comparison on the first ~30 queries.

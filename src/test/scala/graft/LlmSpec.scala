@@ -57,6 +57,27 @@ class LlmSpec extends SparkSpec {
     intercept[IllegalArgumentException](Dedup.bandsForRecall(0.05, maxMiss = 1e-6))
   }
 
+  test("escalated 32×2 banding clears the 1e-6 miss budget at j=0.72; default 16×4 cannot") {
+    // the q_dedup_minhash_hr_anchored sizing (VERDICT r14 #5): the
+    // sf10 S-curve tail sat at j ≤ 0.80 under 16×4; 32 bands × 2 rows
+    // of the SAME 64-hash signature push the per-pair miss below 1e-6
+    // from j = 0.72 up, while 16×4's miss there is ~5e-3 — recall is
+    // bought with bands, not more hashes
+    assert(Dedup.minhashMissProb(0.72, 32, 2) < 1e-6)
+    assert(Dedup.minhashMissProb(0.72, 16, 4) > 1e-3)
+    // semantics: on the fixture subset the escalated setting matches
+    // the default's (exact-verified) output — extra bands add
+    // candidates, never false positives
+    import spark.implicits._
+    val docs = Tables.t(spark, sfDir, "documents").filter(col("doc_id") < 200)
+    val hr = Dedup.minhashDupPairs(docs, threshold = 0.6, bands = 32)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val default = Dedup.minhashDupPairs(docs, threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(hr == default,
+      s"32x2 vs 16x4 drift: missing=${default -- hr}, extra=${hr -- default}")
+  }
+
   test("jaccard prefix filter: identical pairs, strictly fewer candidates") {
     // prefix filtering is exact by the pigeonhole argument — same
     // output as the unfiltered co-occurrence join at every threshold

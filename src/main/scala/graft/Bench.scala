@@ -257,13 +257,21 @@ object Bench {
           it += 1
         }
       }
-      // median of 3 timed runs for fast queries: single-shot timings
-      // at small absolutes carry GC/run-order noise that
+      // median of 3 timed runs for fast AND mid-weight queries:
+      // single-shot timings carry GC/run-order/co-tenant noise that
       // round-over-round comparisons then misread as regressions (r6
-      // saw textually unchanged sub-second queries swing 4x). Heavy
-      // queries (first run >= 2 s) keep one timed run — their noise
-      // is relatively small and two extra runs would dominate the
-      // suite's wall clock.
+      // saw textually unchanged sub-second queries swing 4x; the r15
+      // baseline measured SAME-code 2-6 s queries swinging ±2.5×
+      // between two quiet-box suite runs — q_dedup_minhash 1.18 s vs
+      // 5.70 s, q_dedup_resolve 2.30 s vs 5.38 s — while family
+      // totals held within 5%, i.e. pure single-shot variance, not
+      // plan behavior). The median threshold is therefore 8 s (r15;
+      // was 2 s — declared in OPTIMIZATION_r15.md): every query whose
+      // first timed run lands under it gets median-of-3. Truly heavy
+      // queries (>= 8 s: multi-micro-batch stream/DML workloads whose
+      // dozens of jobs self-average) keep one timed run — two extra
+      // runs would dominate the suite's wall clock for the least
+      // noisy members.
       def timed(): Double = {
         val t0 = System.nanoTime()
         try run()
@@ -285,7 +293,9 @@ object Bench {
       w.loadMax.set(load100())
       val gc0 = gcMillis()
       val t1 = timed()
-      val t = if (t1 < 2.0) Seq(t1, timed(), timed()).sorted.apply(1) else t1
+      val medianUnderS =
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_MEDIAN_UNDER_S", "8").toDouble
+      val t = if (t1 < medianUnderS) Seq(t1, timed(), timed()).sorted.apply(1) else t1
       qGcMs(name) = gcMillis() - gc0
       qJvms(name) = w.jvmMax.get()
       qLoad(name) = w.loadMax.get()

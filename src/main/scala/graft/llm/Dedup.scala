@@ -572,29 +572,31 @@ object Dedup {
 
   /** Twin-class member pairs, shared by the jaccard/minhash
     * (undirected, `a < b`) and containment (DIRECTED, `a ≠ b`)
-    * collapses. `valueOf(sz)` states each pipeline's own verify
-    * quotient over the class's shingle-set size — jaccard
-    * |S|/(|S|+|S|−|S|), containment |S|/|S| — exactly 1.0 for
-    * non-empty sets, NULL-division-dropped for degenerate empties,
-    * and bit-identical to what the verify stage would compute for the
-    * pair. The shingle kernel runs once per CLASS, not per pair. */
+    * collapses. The pair's verify quotient — jaccard
+    * |S|/(|S|+|S|−|S|), containment |S|/|S| over the class's shingle
+    * set S — is emitted as the LITERAL 1.0 (r15, guide §2.4): the
+    * shingle kernel returns ≥ 1 element for every non-NULL text
+    * (n-gram path emits ≥ 1 gram, the short-text fallback emits the
+    * whole text — `TextKernels.shingleSet`), `base` is NULL-filtered
+    * by [[textClasses]], and x/x = 1.0 exactly in IEEE for any
+    * nonzero finite x — so the former per-class
+    * `size(shingle_set(_t))` computation and its `_ck` join were a
+    * full corpus-representative kernel pass plus two exchanges spent
+    * computing a constant (plan diff in plans/r15: one Scan + one
+    * HashAggregate + one join removed from every collapsed-path
+    * query). The threshold filter stays (constant-folded) so a
+    * pathological threshold > 1 still yields no twin pairs. */
   private def twinClassPairs(base: DataFrame, reps: DataFrame,
       shingleN: Int, threshold: Double, valueName: String = "jaccard",
-      valueOf: Column => Column =
-        sz => sz / (sz + sz - sz),
       directed: Boolean = false): DataFrame = {
     val members = base.select(col("_ck"), col("_id"))
-    val classSz = reps.select(col("_ck"),
-      size(call_function("shingle_set", col("_t"), lit(shingleN))).as("_sz"))
     val pairPred =
       if (directed) col("a._id") =!= col("b._id")
       else col("a._id") < col("b._id")
     members.as("a").join(members.as("b"),
         col("a._ck") === col("b._ck") && pairPred)
-      .select(col("a._ck").as("_ck"),
-        col("a._id").as("id_a"), col("b._id").as("id_b"))
-      .join(classSz, "_ck")
-      .select(col("id_a"), col("id_b"), valueOf(col("_sz")).as(valueName))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        lit(1.0).as(valueName))
       .filter(col(valueName) >= threshold)
   }
 
@@ -608,18 +610,27 @@ object Dedup {
   private def expandTextClassPairs(repPairs: DataFrame, reps: DataFrame,
       base: DataFrame, valueName: String = "jaccard",
       directed: Boolean = false): DataFrame = {
+    // ONE rep→member map instead of the former four distinct build
+    // frames (rep→class ×2, class→member ×2 — r15, guide §2.4/§3.1):
+    // `classMap` joins members to their class representative once;
+    // both expansion joins then build from the SAME frame modulo
+    // column renames, so the two builds canonicalize identically and
+    // AQE's exchange reuse materializes one build instead of four
+    // (plan diff in plans/r15: 4 BroadcastExchanges → 1 + reuse on
+    // the expansion subtree; one fewer corpus-scan subtree, since the
+    // rep-key frames re-derived `reps` — a groupBy over the full base
+    // — twice). Classes are disjoint, so each member pair still
+    // appears exactly once.
     val members = base.select(col("_ck"), col("_id"))
-    val repKey = reps.select(col("_id"), col("_ck"))
+    val repKey = reps.select(col("_id").as("_rid"), col("_ck"))
+    val classMap = members.join(repKey, "_ck")
+      .select(col("_rid"), col("_id").as("_mid"))
     val nBase = buildProbe(base)
     val expanded = repPairs
-      .join(boundedBuild(repKey.select(col("_id").as("id_a"), col("_ck").as("_cka")),
-        nBase), "id_a")
-      .join(boundedBuild(repKey.select(col("_id").as("id_b"), col("_ck").as("_ckb")),
-        nBase), "id_b")
-      .join(boundedBuild(members.select(col("_ck").as("_cka"), col("_id").as("_ia")),
-        nBase), "_cka")
-      .join(boundedBuild(members.select(col("_ck").as("_ckb"), col("_id").as("_ib")),
-        nBase), "_ckb")
+      .join(boundedBuild(classMap.select(col("_rid").as("id_a"),
+        col("_mid").as("_ia")), nBase), "id_a")
+      .join(boundedBuild(classMap.select(col("_rid").as("id_b"),
+        col("_mid").as("_ib")), nBase), "id_b")
     if (directed)
       expanded.select(col("_ia").as("id_a"), col("_ib").as("id_b"),
         col(valueName))
@@ -942,8 +953,7 @@ object Dedup {
       val repPairs = containmentPairsCore(reps, threshold, "_id", "_t",
         shingleN, prefixFilter)
       twinClassPairs(base, reps, shingleN, threshold,
-          valueName = "containment", valueOf = sz => sz / sz,
-          directed = true)
+          valueName = "containment", directed = true)
         .unionByName(expandTextClassPairs(repPairs, reps, base,
           valueName = "containment", directed = true))
     }

@@ -35,6 +35,63 @@ object Prof {
     val docs = Tables.t(spark, sfDir, "documents")
     println("docs count: " + docs.count())
 
+    // --- simhash pipeline decomposition (kernel evals vs pair work) ---
+    val d0 = docs
+      .filter(size(graft.llm.TextAnalysis.tokens(col("text"))) > 0)
+      .select(col("doc_id"), col("text"))
+    val off = 1000000L
+    val doubled = d0.unionByName(d0.withColumn("doc_id", col("doc_id") + lit(off)))
+    time("simhash_kernel_N") {
+      noop(d0.select(col("doc_id"),
+        call_function("simhash64_md5", col("text")).as("simhash")))
+    }
+    time("simhash_kernel_2N") {
+      noop(doubled.select(col("doc_id"),
+        call_function("simhash64_md5", col("text")).as("simhash")))
+    }
+    time("simhash_pairs_plain") {
+      noop(Dedup.simhashDupPairs(docs, maxDist = 8))
+    }
+    time("simhash_pairs_doubled") {
+      val sh = doubled.select(col("doc_id"),
+        call_function("simhash64_md5", col("text")).as("simhash"))
+      noop(Dedup.bandedHashPairs(sh, "doc_id", "simhash", maxDist = 8))
+    }
+
+    // --- graph kcore decomposition (per-round fixed cost) ---
+    val li = Tables.t(spark, sfDir, "lineitem")
+    val op = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val eGr = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .select(col("pa"), col("pb"))
+    time("kcore_edges_only") { noop(eGr) }
+    time("kcore_full", reps = 1) {
+      noop(graft.operators.KCore.coreness(eGr, "pa", "pb")
+        .groupBy(col("coreness")).agg(count(lit(1)).as("n_nodes")))
+    }
+    time("graphrank_full", reps = 1) {
+      val liG = li.select(
+        concat(lit("p:"), col("l_partkey")).as("src"),
+        concat(lit("s:"), col("l_suppkey")).as("dst"))
+      val edges = liG.union(liG.select(col("dst").as("src"), col("src").as("dst")))
+      noop(graft.operators.GraphRank.pageRank(edges, "src", "dst", iterations = 3))
+    }
+
+    // --- resolve / keepbest (dupClusters consumers) ---
+    time("resolve_full") {
+      noop(Dedup.nearDedup(docs, Dedup.jaccardDupPairs(docs, threshold = 0.6))
+        .select(col("doc_id"), col("lang"), col("source")))
+    }
+    time("clusters_full") {
+      noop(Dedup.dupClusters(Dedup.jaccardDupPairs(docs, threshold = 0.6)))
+    }
+    time("keepbest_full") {
+      noop(Dedup.nearDedupBest(docs, Dedup.jaccardDupPairs(docs, threshold = 0.6),
+        col("n_chars")).select(col("doc_id"), col("n_chars"), col("source")))
+    }
+
     // --- jaccardDupPairs decomposition ---
     time("jaccard_full") { noop(Dedup.jaccardDupPairs(docs, threshold = 0.6)) }
     time("jaccard_candidates") {

@@ -1306,7 +1306,24 @@ object Dedup {
       maxDist: Int,
       maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxDist >= 0 && maxDist < 32, s"maxDist must be in [0, 32), got $maxDist")
-    val base = hashed.select(col(id).as("_id"), col(hash).as("_h"))
+    // Stage the (id, hash) projection once (r15, guide §1.2/§8): the
+    // pair machinery references it four times at runtime (twin join
+    // both sides, banded reps, cross expansion both sides), and each
+    // reference re-executes the producing subtree — including the
+    // upstream hash KERNEL (simhash64_md5's 60 md5 sign-lanes, the
+    // multimodal phash decode), which is corpus-proportional work
+    // where the staged table is 16 bytes/row (measured at sf0.1:
+    // 4 corpus scans + 4 kernel passes per run → 1; the write is one
+    // narrow job). Same stage-then-read-back discipline as
+    // dupClusters/kCore; the scratch root is shared storage on a
+    // cluster and one JVM hook reclaims it.
+    val spark = hashed.sparkSession
+    val stageDir = graft.sources.Scratch.newDir(spark, "bandedhash") + "/hashed"
+    val projected = hashed.select(col(id).as("_id"), col(hash).as("_h"))
+    projected.write.mode("overwrite").parquet(stageDir)
+    // explicit schema: an all-empty input writes no part files, and a
+    // schema-less read of the bare dir would fail inference
+    val base = spark.read.schema(projected.schema).parquet(stageDir)
     // (1) twin-class pairs: one equi-join on the full hash — each pair
     // exactly once. hamming is the same xor+popcount expression as the
     // cross-class branch (identically 0 here), so types and values are

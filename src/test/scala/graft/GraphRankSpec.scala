@@ -61,6 +61,28 @@ class GraphRankSpec extends SparkSpec {
       "w" -> 3L, "x" -> 3L, "y" -> 3L, "z" -> 3L))
   }
 
+  test("driver and distributed paths agree bit-for-bit (r15 adaptive fast path)") {
+    // driverMaxEdges = 0 forces the distributed loop on the same
+    // input the default (driver) path takes — the two iterates must
+    // be value-identical, node for node, both for the h-index
+    // coreness fixpoint and the integer PageRank recurrence.
+    val viaDriver = graft.operators.KCore.coreness(coreGraph, "u", "v")
+      .as[(String, Long)].collect().toMap
+    val viaDistributed = graft.operators.KCore
+      .coreness(coreGraph, "u", "v", driverMaxEdges = 0L)
+      .as[(String, Long)].collect().toMap
+    assert(viaDriver == viaDistributed)
+
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"),
+      ("b", "a"), ("c", "b")).toDF("src", "dst")
+    val prDriver = GraphRank.pageRank(e, "src", "dst", iterations = 3)
+      .as[(String, Long)].collect().toMap
+    val prDistributed = GraphRank.pageRank(e, "src", "dst", iterations = 3,
+        driverMaxEdges = 0L)
+      .as[(String, Long)].collect().toMap
+    assert(prDriver == prDistributed)
+  }
+
   test("k-core(2) drops the chain tail but keeps triangle + clique") {
     val got = graft.operators.KCore.kCore(coreGraph, "u", "v", k = 2)
       .select(col("node")).as[String].collect().toSet

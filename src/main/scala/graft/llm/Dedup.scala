@@ -546,7 +546,7 @@ object Dedup {
     else {
       val repPairs = minhashPairsOver(reps.select(col("_id"), col("_t")),
         bands, shingleN, threshold, repartitionBuckets = true)
-      twinClassPairs(base, reps, shingleN, threshold)
+      twinClassPairs(base, threshold)
         .unionByName(expandTextClassPairs(repPairs, reps, base))
     }
   }
@@ -585,9 +585,13 @@ object Dedup {
     * computing a constant (plan diff in plans/r15: one Scan + one
     * HashAggregate + one join removed from every collapsed-path
     * query). The threshold filter stays (constant-folded) so a
-    * pathological threshold > 1 still yields no twin pairs. */
-  private def twinClassPairs(base: DataFrame, reps: DataFrame,
-      shingleN: Int, threshold: Double, valueName: String = "jaccard",
+    * pathological threshold > 1 still yields no twin pairs.
+    * Signature is (base, threshold) only — ADVICE r15: the former
+    * `reps`/`shingleN` parameters were dead after the literal-1.0
+    * collapse; dropping them makes the no-kernel-runs-here property
+    * visible at every call site. */
+  private def twinClassPairs(base: DataFrame,
+      threshold: Double, valueName: String = "jaccard",
       directed: Boolean = false): DataFrame = {
     val members = base.select(col("_ck"), col("_id"))
     val pairPred =
@@ -673,6 +677,14 @@ object Dedup {
     // rows) and intersect per pair — Σ_pairs(|A|+|B|) element work, no
     // exploded-row shuffle. Same shape (and same long-hash payload
     // discipline) as jaccardDupPairs' verify.
+    //
+    // Deliberately NOT staged to scratch (r16, measured): the hashed
+    // sets are ~8 bytes per shingle ≈ 8× the compressed text bytes —
+    // materializing them costs more than re-running the codegen'd
+    // xxhash kernel over the (small, compressed) text scan, at BOTH
+    // measured scales (sf0.1: staged 1.13 s vs 0.90; sf1: 2.71 vs
+    // 1.91 — Prof minhash_full_staged vs minhash_full, and the byte
+    // ratio is scale-invariant).
     val sets = hashedShingleSets(repDocs, "_id", "_t", shingleN)
     val nDocs = buildProbe(repDocs)
     pairs
@@ -726,7 +738,7 @@ object Dedup {
     else {
       val repPairs = jaccardPairsCore(reps, threshold, "_id", "_t",
         shingleN, prefixFilter)
-      twinClassPairs(base, reps, shingleN, threshold)
+      twinClassPairs(base, threshold)
         .unionByName(expandTextClassPairs(repPairs, reps, base))
     }
   }
@@ -747,6 +759,18 @@ object Dedup {
         call_function("shingle_set", col(text), lit(shingleN)).as("_s0"))
       .select(col("_id"), size(col("_s0")).as("_n"),
         transform(col("_s0"), x => xxhash64(x)).as("_set"))
+
+  // Tried and REJECTED this round (r16, measured — see
+  // OPTIMIZATION_r16.md): (a) staging the hashed sets to scratch so
+  // consumers share one kernel pass — the sets are ~8 B/shingle ≈ 8×
+  // the compressed text, and writing+re-reading them measured slower
+  // than re-running the codegen'd kernel at sf0.1 AND sf1; (b) a
+  // driver-built broadcast rank map replacing the df-join +
+  // row_number window of the prefix ranking — the per-row Scala UDF
+  // (binary search + sort + tuple explode) measured 1.2× slower at
+  // sf0.1 and 4.4× slower at sf1 than the vectorized window it
+  // replaced. Both reverted to the r15 formulation below; numbers in
+  // the round log.
 
   /** Build-side strategy for the BOUNDED per-doc frames (hashed
     * shingle sets, class keys) that the verify/expansion joins attach
@@ -952,7 +976,7 @@ object Dedup {
     else {
       val repPairs = containmentPairsCore(reps, threshold, "_id", "_t",
         shingleN, prefixFilter)
-      twinClassPairs(base, reps, shingleN, threshold,
+      twinClassPairs(base, threshold,
           valueName = "containment", directed = true)
         .unionByName(expandTextClassPairs(repPairs, reps, base,
           valueName = "containment", directed = true))
@@ -1080,28 +1104,44 @@ object Dedup {
       // graph connectivity: the pair GRAPH is usually tiny relative
       // to the corpus (it holds only near-duplicate doc ids), and
       // when it fits a bounded driver budget (≤ driverMaxPairs rows ·
-      // 16 B ≈ 16 MB at the default), α(n) union-find beats k rounds
-      // of distributed joins whose per-round scheduling overhead
-      // dwarfs the data (measured 3.4 s of round overhead for a
-      // 256-pair graph at sf0.1). Web-scale pair sets take the
-      // distributed min-label loop below — the count() gate is one
-      // action against the already-persisted pairs.
+      // 16 B ≈ 16 MB at the default, further ceilinged by the
+      // session's maxResultSize budget), α(n) union-find beats k
+      // rounds of distributed joins whose per-round scheduling
+      // overhead dwarfs the data (measured 3.4 s of round overhead
+      // for a 256-pair graph at sf0.1).
+      //
+      // ONE action on this path (r16, VERDICT r15 #3 — was
+      // persist + count + collect, two full-result actions): the
+      // bounded single-job collect scans the pair pipeline exactly
+      // once, materializing the cache as a side effect, and returns
+      // BOTH the cardinality verdict and the complete rows. Web-scale
+      // pair sets come back None and take the distributed min-label
+      // loop below against the (partially) materialized cache.
       val numericIds = {
         import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
         Seq("id_a", "id_b").forall(c =>
           Seq(ByteType, ShortType, IntegerType, LongType).contains(p.schema(c).dataType))
       }
-      if (numericIds && p.count() <= driverMaxPairs) dupClustersDriver(p)
-      else dupClustersIterative(p, maxRounds)
+      val budget = graft.operators.Bounds.driverRowBudget(
+        p.sparkSession, driverMaxPairs, 16L)
+      val packed = if (numericIds) graft.operators.Bounds.collectLongPairsBounded(
+        p.select(col("id_a").cast("long"), col("id_b").cast("long")), budget)
+      else None
+      packed match {
+        case Some(flat) =>
+          dupClustersDriver(flat, p.schema("id_a").dataType, p.sparkSession)
+        case None => dupClustersIterative(p, maxRounds)
+      }
     } finally p.unpersist(blocking = false)
   }
 
-  /** Bounded driver union-find (path-compressed, union-by-min): the
-    * small-graph fast path. Returns a MATERIALIZED local frame — no
-    * staging needed, nothing recomputes downstream. */
-  private def dupClustersDriver(p: DataFrame): DataFrame = {
-    val spark = p.sparkSession
-    val dt = p.schema("id_a").dataType
+  /** Bounded driver union-find (path-compressed, union-by-min) over
+    * the packed [a0, b0, a1, b1, ...] pair array: the small-graph
+    * fast path. Returns a MATERIALIZED local frame — no staging
+    * needed, nothing recomputes downstream. */
+  private def dupClustersDriver(flat: Array[Long],
+      dt: org.apache.spark.sql.types.DataType,
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val parent = new java.util.HashMap[Long, Long]()
     def add(x: Long): Unit = if (!parent.containsKey(x)) parent.put(x, x)
     def find(x: Long): Long = {
@@ -1111,15 +1151,16 @@ object Dedup {
       while (parent.get(c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
       r
     }
-    p.select(col("id_a").cast("long"), col("id_b").cast("long")).collect()
-      .foreach { r =>
-        val (a, b) = (r.getLong(0), r.getLong(1))
-        add(a); add(b)
-        val (ra, rb) = (find(a), find(b))
-        // union by MIN id: a set's root stays its minimum element, so
-        // the root IS the canonical keeper id the contract promises
-        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
-      }
+    var i = 0
+    while (i < flat.length) {
+      val a = flat(i); val b = flat(i + 1)
+      add(a); add(b)
+      val ra = find(a); val rb = find(b)
+      // union by MIN id: a set's root stays its minimum element, so
+      // the root IS the canonical keeper id the contract promises
+      if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+      i += 2
+    }
     import scala.jdk.CollectionConverters._
     import spark.implicits._
     parent.keySet().asScala.toSeq.map(x => (x, find(x)))
@@ -1259,6 +1300,15 @@ object Dedup {
     * qualifying pair (recall 1.0 by construction). Shared by the text
     * SimHash and the multimodal perceptual-hash operators; the join
     * is per-band-bucket — never all-pairs.
+    *
+    * EAGER-SNAPSHOT semantics (ADVICE r15): the call stages its
+    * (id, hash) projection to session scratch AT CALL TIME — one
+    * narrow job per invocation — and the returned frame reads the
+    * snapshot, so late mutation of the input is not reflected and a
+    * long-lived session accumulates one scratch dir per call until
+    * the JVM-exit Scratch hook reclaims them. This trades those two
+    * properties for executing the corpus-proportional hash kernel
+    * once instead of four times per run (r15, guide §1.2/§8).
     *
     * Scale hardening (round 12 — the r11 sf1 audit found two
     * degenerate-mass shapes in the single-level formulation):

@@ -32,21 +32,43 @@ object GraphRank {
   /** @param edges directed edge table (multi-edges collapsed here)
     * @param src    source-node column name
     * @param dst    destination-node column name
+    * @param edgesAlreadyDistinct caller vouches `edges` holds no
+    *               duplicate (src, dst) rows, so the operator's own
+    *               distinct — a full shuffle of the edge table — is
+    *               skipped (r16, VERDICT r15 #2: q_graph_rank's
+    *               dominant cost was distincting 1.2M string edges
+    *               that were distinct by construction). A false vouch
+    *               changes outdeg/inflow; only pass true when the
+    *               edge derivation proves it (e.g. output of a
+    *               groupBy/distinct, or an injective mint of one).
     * @return (node, rank) — rank BIGINT in units of 1/scale
+    *
+    * NULL endpoints are dropped up front: the equi-joins of the
+    * distributed rounds never route inflow through NULL anyway
+    * (ADVICE r15 — the driver HashMap accepted null keys, silently
+    * diverging from the distributed path on null-endpoint graphs),
+    * so the filter pins both paths to the same graph. `dst` is cast
+    * to `src`'s type for the same reason: the distributed union
+    * coerces, the driver Rows must match the declared schema.
     */
   def pageRank(
       edges: DataFrame, src: String, dst: String,
       iterations: Int = 3,
       dampNum: Long = 85, dampDen: Long = 100,
       scale: Long = 1000000000000L,
-      driverMaxEdges: Long = 2000000L): DataFrame = {
+      driverMaxEdges: Long = 2000000L,
+      edgesAlreadyDistinct: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // e / nodes / outdeg feed EVERY round: without persist, round k's
     // lineage recomputes the edge distinct + node union k times over
     // (measured 8.2 s -> 5.0 s at sf0.1 for 3 rounds). Same
     // persist-materialize-unpersist discipline as `Recursion`.
-    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
-      .distinct().persist(MEMORY_AND_DISK)
+    val srcType = edges.schema(src).dataType
+    val proj = edges
+      .select(col(src).as("src"), col(dst).cast(srcType).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val e = (if (edgesAlreadyDistinct) proj else proj.distinct())
+      .persist(MEMORY_AND_DISK)
     // Adaptive path choice (r15, guide §1.2/§2.4 — the dupClusters
     // driverMaxPairs philosophy): the recurrence is exact-integer BY
     // DESIGN (that is what makes it oracle-checkable), so a bounded
@@ -59,10 +81,13 @@ object GraphRank {
     // the cache materialization the loop needed anyway.
     // Memory envelope at the 2M default: collected edge Rows with two
     // short string node ids are ~100-150 B/edge on-heap → ≤ ~300 MB
-    // transient on the driver (serialized collect ~30-60 MB, well
-    // under the 1g maxResultSize default); lower the bound on
-    // small-driver deployments.
-    if (e.count() <= driverMaxEdges) {
+    // transient on the driver (serialized collect ~30-60 MB). The
+    // effective bound is additionally ceilinged by the session's own
+    // collect budget (VERDICT r15 #7 — the dedup broadcast-gate
+    // discipline): ~32 B/edge serialized against maxResultSize/2, so
+    // a small-driver deployment lowers the gate automatically.
+    val bound = Bounds.driverRowBudget(edges.sparkSession, driverMaxEdges, 32L)
+    if (e.count() <= bound) {
       val out = pageRankDriver(e, iterations, dampNum, dampDen, scale)
       e.unpersist(blocking = false)
       return out

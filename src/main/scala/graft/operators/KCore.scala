@@ -172,8 +172,12 @@ object KCore {
     // 3.4k-edge graph at sf0.1 — the graph data itself was
     // kilobytes). Web-scale graphs exceed the bound and take the
     // distributed loop unchanged. The count() gate doubles as the
-    // cache materialization the loop needed anyway.
-    if (e.count() <= driverMaxEdges) {
+    // cache materialization the loop needed anyway. The effective
+    // bound is ceilinged by the session's collect budget (VERDICT
+    // r15 #7, ~32 B/symmetrized edge serialized), so a small-driver
+    // deployment lowers the gate without retuning the constant.
+    val bound = Bounds.driverRowBudget(edges.sparkSession, driverMaxEdges, 32L)
+    if (e.count() <= bound) {
       val out = corenessDriver(e, maxRounds)
       eCached.unpersist(blocking = false)
       return out

@@ -14,12 +14,25 @@ object GraphQueries {
 
   val queries: Map[String, QFn] = Map(
     "q_graph_rank" -> ((s, dir) => {
-      // bidirectional bipartite link graph: p:<part> <-> s:<supplier>
-      val li = t(s, dir, "lineitem").select(
-        concat(lit("p:"), col("l_partkey")).as("src"),
-        concat(lit("s:"), col("l_suppkey")).as("dst"))
+      // bidirectional bipartite link graph: p:<part> <-> s:<supplier>.
+      // Distinct runs on the NUMERIC (partkey, suppkey) pair BEFORE
+      // the string mint and symmetrization (r16, VERDICT r15 #2,
+      // guide §2.3): the former shape distincted 1.2M minted-string
+      // pairs inside pageRank; this one distincts 0.6M two-int rows,
+      // and the edge set it mints is distinct BY CONSTRUCTION — the
+      // "p:"/"s:" mint is injective on the keys, and the two
+      // directions are disjoint (src prefixes differ) — so pageRank
+      // skips its own distinct (edgesAlreadyDistinct). Same edge set,
+      // same recurrence, bit-identical ranks (oracle hash-checked).
+      val pk = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val li = pk.select(
+        concat(lit("p:"), col("pk")).as("src"),
+        concat(lit("s:"), col("sk")).as("dst"))
       val edges = li.union(li.select(col("dst").as("src"), col("src").as("dst")))
-      GraphRank.pageRank(edges, "src", "dst", iterations = 3)
+      GraphRank.pageRank(edges, "src", "dst", iterations = 3,
+          edgesAlreadyDistinct = true)
         .orderBy(col("node"))
     }),
     "q_graph_triangles" -> ((s, dir) => {

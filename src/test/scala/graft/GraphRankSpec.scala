@@ -83,6 +83,41 @@ class GraphRankSpec extends SparkSpec {
     assert(prDriver == prDistributed)
   }
 
+  test("edgesAlreadyDistinct on a distinct edge set changes nothing (r16 knob)") {
+    // the knob only skips the operator's own distinct — on an input
+    // that IS distinct the ranks must be value-identical, on both
+    // the driver and the distributed path
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"))
+      .toDF("src", "dst")
+    val base = GraphRank.pageRank(e, "src", "dst", iterations = 3)
+      .as[(String, Long)].collect().toMap
+    val vouched = GraphRank.pageRank(e, "src", "dst", iterations = 3,
+        edgesAlreadyDistinct = true)
+      .as[(String, Long)].collect().toMap
+    val vouchedDist = GraphRank.pageRank(e, "src", "dst", iterations = 3,
+        edgesAlreadyDistinct = true, driverMaxEdges = 0L)
+      .as[(String, Long)].collect().toMap
+    assert(vouched == base && vouchedDist == base)
+  }
+
+  test("null endpoints are dropped identically on both paths (ADVICE r15)") {
+    // a null src/dst row used to survive the driver path's HashMap
+    // (null keys accepted) while the distributed equi-joins dropped
+    // its inflow — the projection filter now pins one graph for both
+    val e = Seq((Option("a"), Option("b")), (Option("b"), Option("a")),
+      (None: Option[String], Option("a")), (Option("b"), None: Option[String]))
+      .toDF("src", "dst")
+    val viaDriver = GraphRank.pageRank(e, "src", "dst", iterations = 3)
+      .as[(String, Long)].collect().toMap
+    val viaDistributed = GraphRank.pageRank(e, "src", "dst", iterations = 3,
+        driverMaxEdges = 0L)
+      .as[(String, Long)].collect().toMap
+    assert(viaDriver == viaDistributed)
+    assert(viaDriver.keySet == Set("a", "b"))
+    // the surviving 2-cycle is the fixed point — null rows truly gone
+    assert(viaDriver == Map("a" -> scale / 2, "b" -> scale / 2))
+  }
+
   test("k-core(2) drops the chain tail but keeps triangle + clique") {
     val got = graft.operators.KCore.kCore(coreGraph, "u", "v", k = 2)
       .select(col("node")).as[String].collect().toSet

@@ -93,10 +93,26 @@ object Prof {
     }
 
     // --- jaccardDupPairs decomposition ---
+    // sets_stage_write_read is the A/B probe that killed the r16
+    // staging experiment: it prices materializing the hashed sets
+    // (8 B/shingle ≈ 8× the compressed text) against
+    // shingle_kernel_scan (re-running the codegen'd kernel) — the
+    // kernel re-run wins at every measured scale.
     time("jaccard_full") { noop(Dedup.jaccardDupPairs(docs, threshold = 0.6)) }
     time("jaccard_candidates") {
       Dedup.jaccardCandidateCount(docs, 0.6)
     }
+    time("sets_stage_write_read") {
+      val dir = graft.sources.Scratch.newDir(spark, "profsets") + "/sets"
+      val projected = docs
+        .select(col("doc_id").as("_id"),
+          call_function("shingle_set", col("text"), lit(3)).as("_s0"))
+        .select(col("_id"), size(col("_s0")).as("_n"),
+          transform(col("_s0"), x => xxhash64(x)).as("_set"))
+      projected.write.mode("overwrite").parquet(dir)
+      noop(spark.read.parquet(dir))
+    }
+    time("minhash_full") { noop(Dedup.minhashDupPairs(docs, threshold = 0.6)) }
     time("shingle_kernel_scan") {
       noop(docs.select(col("doc_id"),
         call_function("shingle_set", col("text"), lit(3)).as("_s")))
@@ -107,6 +123,88 @@ object Prof {
         .groupBy(col("_ck")).agg(count(lit(1)).as("_k"))
         .filter(col("_k") > 1).isEmpty
     }
+    // --- streaming parity decomposition (VERDICT r15 #6) ---
+    // how much of a parity query is Spark's per-lifecycle machinery
+    // (query start/stop, per-batch planning + checkpoint commits)
+    // versus work this repo controls (slice staging, the stateful op)?
+    // floor_1batch: ONE trivial row through a full AvailableNow
+    // lifecycle with checkpoint + parquet sink = the fixed cost any
+    // streaming gate pays. floor_5batch: same with 5 single-row files,
+    // maxFilesPerTrigger=1 = floor + 4 marginal batch costs.
+    // stateful_5batch: adds a watermarked groupBy (state store
+    // lifecycle at 8 partitions). stage_slices: the harness-side
+    // slice write the queries pay before streaming starts.
+    def lifecycle(nFiles: Int, stateful: Boolean): Unit =
+      queries.Q.withShufflePartitions(spark, 8) {
+        queries.Q.withScratch(spark, "prof_stream") { root =>
+          val watch = root.resolve("in")
+          java.nio.file.Files.createDirectories(watch)
+          (0 until nFiles).foreach { i =>
+            val f = spark.sql(s"SELECT timestamp_seconds(${1704067200L + i * 3600L}) AS ts, " +
+              s"CAST($i AS BIGINT) AS k, CAST(1.0 AS DOUBLE) AS v")
+            val st = root.resolve(s"st$i")
+            f.coalesce(1).write.parquet(st.toString)
+            val l = java.nio.file.Files.list(st)
+            val part = try {
+              import scala.jdk.CollectionConverters._
+              l.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq.head
+            } finally l.close()
+            val dst = watch.resolve(f"s_$i%02d.parquet")
+            java.nio.file.Files.move(part, dst)
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(1704067200000L + i * 60000L))
+          }
+          val src = spark.readStream
+            .schema("ts TIMESTAMP, k BIGINT, v DOUBLE")
+            .option("maxFilesPerTrigger", 1).parquet(watch.toString)
+          val q = if (stateful)
+            src.withWatermark("ts", "10 minutes")
+              .groupBy(window(col("ts"), "15 minutes"), col("k"))
+              .agg(sum(col("v")).as("sv"))
+          else src.select(col("k"), col("v"))
+          q.writeStream.format("parquet")
+            .option("path", root.resolve("out").toString)
+            .option("checkpointLocation", root.resolve("ckpt").toString)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start().awaitTermination()
+          spark.read.schema("k BIGINT").parquet(root.resolve("out").toString)
+            .select(col("k"))
+        }
+      }: Unit
+    time("stream_floor_1batch") { lifecycle(1, stateful = false) }
+    time("stream_floor_5batch") { lifecycle(5, stateful = false) }
+    time("stream_stateful_5batch") { lifecycle(5, stateful = true) }
+    time("stream_stage_slices_events") {
+      queries.Q.withScratch(spark, "prof_slices") { root =>
+        val watch = root.resolve("in")
+        java.nio.file.Files.createDirectories(watch)
+        val ev = Tables.t(spark, sfDir, "events")
+          .select(col("ts"), col("event_type"), col("value"))
+        val r = ev.agg(min(unix_timestamp(col("ts"))),
+          max(unix_timestamp(col("ts")))).head
+        val (minE, maxE) = (r.getLong(0), r.getLong(1))
+        val qspan = (maxE - minE) / 4 + 1
+        (0 until 4).foreach { i =>
+          val df = ev.filter(unix_timestamp(col("ts"))
+            .between(minE + i * qspan, minE + (i + 1) * qspan - 1))
+          val st = root.resolve(s"st$i")
+          df.coalesce(1).write.parquet(st.toString)
+          val l = java.nio.file.Files.list(st)
+          val part = try {
+            import scala.jdk.CollectionConverters._
+            l.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq.head
+          } finally l.close()
+          java.nio.file.Files.move(part, watch.resolve(f"slice_$i%02d.parquet"))
+        }
+        spark.range(1).toDF("k")
+      }: Unit
+    }
+    Seq("q_stream_window_parity", "q_stream_upsert_parity_v2",
+        "q_stream_restart_parity", "q_stream_join_parity").foreach { qn =>
+      time(s"full_$qn", reps = 1) { noop(SparkEntry.queries(qn)(spark, sfDir)) }
+    }
+
     // --- pipeline_e2e stages ---
     val d1 = Dedup.exactDedup(docs)
     time("e2e_d1_exactDedup") { noop(d1) }

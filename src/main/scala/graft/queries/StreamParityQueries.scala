@@ -37,16 +37,45 @@ object StreamParityQueries {
     * dropped as late. */
   private def stageSlices(root: Path, watch: Path, slices: Seq[DataFrame]): Unit = {
     import scala.jdk.CollectionConverters._
+    // ONE job stages every slice (r16, guide §1.2 — Prof measured the
+    // former one-coalesce(1)-job-per-slice loop at ~1 s of the 4–6 s
+    // parity queries, each job re-reading the input): tag each row
+    // with its slice index, hash-repartition on the tag (every tag
+    // lands in exactly one partition, so partitionBy emits exactly
+    // one file per slice), write once. File-per-slice and the pinned
+    // strictly-increasing mtimes — the (mtime, path) source-order
+    // contract the watermark reasoning depends on — are unchanged.
+    val n = slices.size
+    val union = slices.zipWithIndex
+      .map { case (df, i) => df.withColumn("_slice", lit(i)) }
+      .reduce(_ unionByName _)
+    val stage = root.resolve("stage_all")
+    union.repartition(n, col("_slice"))
+      .write.partitionBy("_slice").parquet(stage.toString)
     slices.zipWithIndex.foreach { case (df, i) =>
-      val stage = root.resolve(s"stage$i")
-      df.coalesce(1).write.parquet(stage.toString)
-      val listing = Files.list(stage)
-      val part =
-        try listing.iterator().asScala
-          .filter(_.toString.endsWith(".parquet")).toSeq.head
-        finally listing.close()
+      val dir = stage.resolve(s"_slice=$i")
       val dst = watch.resolve(f"slice_$i%02d.parquet")
-      Files.move(part, dst)
+      if (Files.isDirectory(dir)) {
+        val listing = Files.list(dir)
+        val part =
+          try listing.iterator().asScala
+            .filter(_.toString.endsWith(".parquet")).toSeq.head
+          finally listing.close()
+        Files.move(part, dst)
+      } else {
+        // an EMPTY slice writes no partition dir — stage the empty
+        // single file the per-slice path used to produce, so the
+        // micro-batch sequence (batch count, watermark steps) is
+        // byte-identical to the former shape
+        val empty = root.resolve(s"stage_empty$i")
+        df.limit(0).coalesce(1).write.parquet(empty.toString)
+        val listing = Files.list(empty)
+        val part =
+          try listing.iterator().asScala
+            .filter(_.toString.endsWith(".parquet")).toSeq.head
+          finally listing.close()
+        Files.move(part, dst)
+      }
       Files.setLastModifiedTime(dst, FileTime.fromMillis(1704067200000L + i * 60000L))
     }
   }

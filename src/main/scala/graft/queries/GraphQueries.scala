@@ -16,23 +16,35 @@ object GraphQueries {
     "q_graph_rank" -> ((s, dir) => {
       // bidirectional bipartite link graph: p:<part> <-> s:<supplier>.
       // Distinct runs on the NUMERIC (partkey, suppkey) pair BEFORE
-      // the string mint and symmetrization (r16, VERDICT r15 #2,
-      // guide §2.3): the former shape distincted 1.2M minted-string
-      // pairs inside pageRank; this one distincts 0.6M two-int rows,
-      // and the edge set it mints is distinct BY CONSTRUCTION — the
-      // "p:"/"s:" mint is injective on the keys, and the two
-      // directions are disjoint (src prefixes differ) — so pageRank
-      // skips its own distinct (edgesAlreadyDistinct). Same edge set,
-      // same recurrence, bit-identical ranks (oracle hash-checked).
+      // symmetrization (r16, VERDICT r15 #2, guide §2.3): the former
+      // shape distincted 1.2M minted-string pairs inside pageRank;
+      // this one distincts 0.6M two-int rows. The ranking itself runs
+      // over LONG-encoded node ids — part nodes even (2·pk),
+      // suppliers odd (2·sk + 1), injective for keys < 2⁶² — and the
+      // "p:"/"s:" strings are minted on the 0.14M OUTPUT rows instead
+      // of the 1.2M edge rows: PageRank's integer recurrence depends
+      // only on the graph topology, never on node labels, so ranks
+      // are bit-identical under any injective relabeling (oracle
+      // hash-checked; the same argument lets edgesAlreadyDistinct
+      // skip the operator's own distinct — the encode is injective on
+      // the distinct pairs and the two directions land in disjoint
+      // parity classes). Collecting/persisting (long, long) edges
+      // instead of ~20-char strings also cuts the driver fast path's
+      // payload ~4x.
       val pk = t(s, dir, "lineitem")
         .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
         .distinct()
       val li = pk.select(
-        concat(lit("p:"), col("pk")).as("src"),
-        concat(lit("s:"), col("sk")).as("dst"))
+        (col("pk") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
       val edges = li.union(li.select(col("dst").as("src"), col("src").as("dst")))
       GraphRank.pageRank(edges, "src", "dst", iterations = 3,
           edgesAlreadyDistinct = true)
+        .select(
+          when(col("node") % 2 === 0,
+              concat(lit("p:"), shiftright(col("node"), 1)))
+            .otherwise(concat(lit("s:"), shiftright(col("node"), 1)))
+            .as("node"),
+          col("rank"))
         .orderBy(col("node"))
     }),
     "q_graph_triangles" -> ((s, dir) => {
